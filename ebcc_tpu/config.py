@@ -1,0 +1,122 @@
+"""Codec configuration.
+
+Parity: mirrors the reference ``codec_config_t`` (reference
+``src/ebcc_codec.h:26-39``: dims[3], base_cr, residual mode, error,
+chunk_dims[3]; ``residual_cr`` is vestigial there and intentionally omitted
+here) plus the env-var overrides the reference reads per encode call
+(``src/ebcc_codec.c:630-650``, README.md:81-84):
+
+  * ``EBCC_INIT_BASE_ERROR_QUANTILE`` — base-layer error quantile (default
+    1e-6; ``0`` forces quantile target 1.0, i.e. pure-base).
+  * ``EBCC_DISABLE_PURE_BASE_COMPRESSION_FALLBACK`` — disable the
+    pure-base-vs-base+residual size comparison.
+  * ``EBCC_DISABLE_MEAN_ADJUSTMENT`` — disable folding the mean error into
+    the stored min/max.
+  * ``EBCC_DISABLE_PURE_BASE_COMPRESSION_FALLBACK_CONSISTENCY`` — accepted
+    for CLI/env parity; a no-op here (the TPU build's scan-based search has
+    no re-encode step whose determinism would need pinning, cf. reference
+    ebcc_codec.c:828-835).
+  * ``EBCC_LOG_LEVEL`` — 0..5 (TRACE..FATAL), see ``ebcc_tpu.utils.logging``.
+
+TPU-build extensions (not in the reference): wavelet depths per layer,
+entropy backend level, and the internal bitplane counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+NDIMS = 3
+MIN_INTERNAL_IMAGE_DIM = 32  # parity: EBCC_MIN_INTERNAL_IMAGE_DIM (ebcc_codec.h:16)
+MAX_INTERNAL_IMAGE_DIM = 2047  # parity: EBCC_MAX_INTERNAL_IMAGE_DIM (ebcc_codec.h:17)
+
+RESIDUAL_NONE = 0
+RESIDUAL_MAX_ERROR = 1
+RESIDUAL_RELATIVE_ERROR = 2
+
+_RESIDUAL_NAMES = {RESIDUAL_NONE: "NONE", RESIDUAL_MAX_ERROR: "MAX_ERROR",
+                   RESIDUAL_RELATIVE_ERROR: "RELATIVE_ERROR"}
+
+# Static bitplane counts. Base coefficients live on a [0, 65535] scale
+# (parity with the reference's uint16 quantization, ebcc_codec.c:686-689).
+# The scaled 9/7 lifting has DC gain sqrt(2) per 1-D pass => gain 2 per 2-D
+# level => |coeff| <= 65535 * 2^5 < 2^22 at 5 levels.  Residual
+# coefficients live on a [0, 255] scale (parity with MAXELEM,
+# spiht_re.h:12) => |coeff| <= 255 * 2^3 < 2^12 at 3 levels.  The encoder
+# also verifies no coefficient overflows the static plane count at runtime.
+BASE_NUM_PLANES = 22
+RES_NUM_PLANES = 12
+
+
+@dataclasses.dataclass
+class CodecConfig:
+    """User-facing codec configuration (one instance per dataset)."""
+
+    dims: Tuple[int, int, int]
+    base_cr: float = 30.0
+    residual_mode: int = RESIDUAL_NONE  # RESIDUAL_* constant
+    error: float = 0.0
+    chunk_dims: Tuple[int, int, int] = (0, 0, 0)
+
+    # TPU-build knobs.
+    base_levels: int = 5
+    residual_levels: int = 3
+    zstd_level: int = 9
+
+    def __post_init__(self):
+        self.dims = tuple(int(d) for d in self.dims)
+        self.chunk_dims = tuple(int(d) for d in self.chunk_dims)
+        if len(self.dims) != NDIMS or len(self.chunk_dims) != NDIMS:
+            raise ValueError(f"dims/chunk_dims must have {NDIMS} entries")
+        if self.residual_mode not in _RESIDUAL_NAMES:
+            raise ValueError(f"invalid residual mode {self.residual_mode}")
+
+    @property
+    def residual_mode_name(self) -> str:
+        return _RESIDUAL_NAMES[self.residual_mode]
+
+    def describe(self) -> str:
+        """Parity with ``print_config`` (ebcc_codec.c:414-429)."""
+        lines = [
+            f"dimensions:\t{self.dims}",
+            f"chunk dimensions:\t{self.chunk_dims}",
+            f"base_cr:\t{self.base_cr}",
+            f"residual type:\t{self.residual_mode_name}",
+        ]
+        if self.residual_mode == RESIDUAL_MAX_ERROR:
+            lines.append(f"max error:\t{self.error}")
+        elif self.residual_mode == RESIDUAL_RELATIVE_ERROR:
+            lines.append(f"relative error:\t{self.error}")
+        return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class EncodeOptions:
+    """Per-call options resolved from environment (reference reads these per
+    ``ebcc_encode`` call, ebcc_codec.c:630-650)."""
+
+    base_error_quantile: float = 1e-6
+    disable_pure_base_fallback: bool = False
+    disable_mean_adjustment: bool = False
+
+    @classmethod
+    def from_env(cls) -> "EncodeOptions":
+        opts = cls()
+        q = os.environ.get("EBCC_INIT_BASE_ERROR_QUANTILE")
+        if q is not None:
+            try:
+                opts.base_error_quantile = float(q)
+            except ValueError:
+                pass
+        if os.environ.get("EBCC_DISABLE_PURE_BASE_COMPRESSION_FALLBACK"):
+            opts.disable_pure_base_fallback = True
+        if os.environ.get("EBCC_DISABLE_MEAN_ADJUSTMENT"):
+            opts.disable_mean_adjustment = True
+        return opts
+
+    @property
+    def base_quantile_target(self) -> float:
+        # quantile 0 => target 1.0 => pure base (reference ebcc_codec.c:650, 738)
+        return 1.0 - self.base_error_quantile

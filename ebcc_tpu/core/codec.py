@@ -1,0 +1,600 @@
+"""Host orchestration: the public codec API.
+
+API parity with the reference C API (``src/ebcc_codec.h:41-49``):
+
+  =====================  =========================================
+  reference              this module
+  =====================  =========================================
+  ``ebcc_encode``        :func:`encode`
+  ``ebcc_decode``        :func:`decode`
+  ``ebcc_encode_chunking``        :func:`encode_chunked`
+  ``ebcc_encode_chunking_compat`` :func:`encode_chunked_compat`
+  ``ebcc_decode_chunking``        :func:`decode_chunked`
+  ``print_config``       ``CodecConfig.describe``
+  ``free_buffer``        (garbage collector)
+  =====================  =========================================
+
+Architecture: the reference encodes chunks one at a time in a serial loop
+(ebcc_codec.c:1007-1046); here ALL equally-shaped chunks are gathered into a
+batch and pushed through one jitted device program (``core.kernels``), with
+host work limited to stream assembly + entropy coding.  The same batched path
+backs the sharded multi-device encoder in ``ebcc_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config as cfg
+from ..config import CodecConfig, EncodeOptions
+from ..utils.logging import logger, set_level_from_env
+from . import entropy, kernels, stream
+
+# Residual payloads at or below this many compressed bytes are dropped
+# (parity: reference drop rule `coeffs_size <= 16`, ebcc_codec.c:811).
+RESIDUAL_DROP_BYTES = 16
+
+# Chunk batches are processed in device-side slices of this many chunks to
+# bound HBM footprint; shapes are padded to the slice size to avoid
+# recompilation churn.
+DEFAULT_MAX_BATCH = 32
+
+
+def _padded_hw(h: int, w: int, levels_max: int) -> Tuple[int, int]:
+    mult = 1 << levels_max
+    return (-(-h // mult)) * mult, (-(-w // mult)) * mult
+
+
+def _layout(dims: Sequence[int]) -> Tuple[int, int, int]:
+    """Map logical (d0, d1, d2) onto (n_frames, height, width).
+
+    The reference flattens leading dims into one tall image and lets J2K tile
+    it (ebcc_codec.c:661-669); frames here are independent batch entries, so
+    d0 becomes the batch axis whenever d1 is a valid frame height.  Only when
+    d1 is below the minimum frame dim do we merge leading dims (and then the
+    reference's [32, 2047] flattened-height validation applies).
+    """
+    d0, d1, d2 = dims
+    if not (cfg.MIN_INTERNAL_IMAGE_DIM <= d2 <= cfg.MAX_INTERNAL_IMAGE_DIM):
+        raise ValueError(
+            f"width {d2} outside [{cfg.MIN_INTERNAL_IMAGE_DIM}, "
+            f"{cfg.MAX_INTERNAL_IMAGE_DIM}]")
+    if cfg.MIN_INTERNAL_IMAGE_DIM <= d1 <= cfg.MAX_INTERNAL_IMAGE_DIM:
+        return d0, d1, d2
+    flat = d0 * d1
+    if not (cfg.MIN_INTERNAL_IMAGE_DIM <= flat <= cfg.MAX_INTERNAL_IMAGE_DIM):
+        raise ValueError(
+            f"invalid dims {tuple(dims)}: product(dims[0:2]) and dims[2] must "
+            f"be within [{cfg.MIN_INTERNAL_IMAGE_DIM}, "
+            f"{cfg.MAX_INTERNAL_IMAGE_DIM}]")
+    return 1, flat, d2
+
+
+def _layer_payload(planes_np, signs_np, cut: int, num_planes: int):
+    """Assemble one layer's raw payload for one chunk.
+
+    planes_np: (P, D0, Hp, Wb) uint8 (MSB plane first); signs_np (D0, Hp, Wb).
+    Keeps plane rows [top, P - cut); masks signs to coefficients significant
+    at the cut.  Returns (payload_bytes, top, kept).
+    """
+    last = num_planes - cut
+    kept_planes = planes_np[:last]
+    nz = [bool(kept_planes[i].any()) for i in range(last)]
+    top = 0
+    while top < last and not nz[top]:
+        top += 1
+    kept = last - top
+    if kept <= 0:
+        return b"", min(top, 255), 0
+    body = kept_planes[top:last]
+    mask = np.bitwise_or.reduce(body, axis=0)
+    signs = signs_np & mask
+    return body.tobytes() + signs.tobytes(), top, kept
+
+
+def _entropy_encode(payload: bytes, backend: int, level: int) -> bytes:
+    if not payload:
+        return b""
+    return entropy.compress(payload, backend, level)
+
+
+class _ChunkResult:
+    """Host-side view of one chunk's device outputs (numpy scalars/arrays)."""
+
+    def __init__(self, out, i):
+        for k, v in out.items():
+            if k.endswith("_planes"):
+                setattr(self, k, v[:, i])  # (P, D0, Hp, Wb)
+            elif k.endswith("_signs"):
+                setattr(self, k, v[i])
+            elif k.endswith("_sizes") or k.endswith("_quantiles"):
+                setattr(self, k, v[:, i])
+            else:
+                setattr(self, k, v[i])
+
+
+def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
+                                opts: EncodeOptions, n_frames, h, w,
+                                backend: int) -> bytes:
+    """Per-chunk candidate selection + serialization for MAX/RELATIVE modes.
+
+    Mirrors the reference's endgame (ebcc_codec.c:737-868): skip-residual,
+    pure-base-required, pure-base-vs-base+residual size comparison, residual
+    drop rule, mean-error adjustment folded into stored min/max.
+    """
+    level = config.zstd_level
+    minval = float(res.minval)
+    maxval = float(res.maxval)
+
+    if bool(res.const):
+        header = stream.FrameHeader(
+            flags=stream.FLAG_CONST, entropy=backend,
+            n_frames=n_frames, height=h, width=w,
+            minval=minval, maxval=maxval, rmin=0.0, rmax=0.0,
+            base_levels=config.base_levels, res_levels=config.residual_levels,
+            base_nplanes=cfg.BASE_NUM_PLANES, base_cut=0, base_top=0,
+            res_nplanes=cfg.RES_NUM_PLANES, res_cut=0, res_top=0,
+            base_comp_size=0, res_comp_size=0)
+        return stream.pack_frame_stream(header, b"", b"")
+
+    if getattr(res, "overflow", False) and bool(res.overflow):
+        raise RuntimeError(
+            "internal coefficient overflow: bitplane count too small for "
+            "this data (please report)")
+
+    base_cut = int(res.base_cut)
+    pure_cut = int(res.pure_cut)
+    res_cut = int(res.res_cut)
+    skip_residual = bool(res.skip_residual)
+    res_feasible = bool(res.res_feasible)
+    pure_feasible = bool(res.pure_feasible)
+
+    # Candidate A: base @ base_cut (+ residual @ res_cut unless skipped).
+    base_payload, base_top, base_kept = _layer_payload(
+        res.base_planes, res.base_signs, base_cut, cfg.BASE_NUM_PLANES)
+    base_comp = _entropy_encode(base_payload, backend, level)
+
+    use_residual = (not skip_residual) and res_feasible
+    res_comp = b""
+    res_top = 0
+    if use_residual:
+        res_payload, res_top, res_kept = _layer_payload(
+            res.res_planes, res.res_signs, res_cut, cfg.RES_NUM_PLANES)
+        res_comp = _entropy_encode(res_payload, backend, level)
+        if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
+            res_comp = b""
+            use_residual = False
+
+    # Candidate B: pure base @ pure_cut (quantile-1.0 analog, ref c:819-854).
+    choose_pure = False
+    pure_comp = None
+    pure_top = 0
+    if (not skip_residual) and (not res_feasible):
+        # pure-base required (ref c:755-758): residual can't reach the bound.
+        if not pure_feasible:
+            logger.warning(
+                "Could not reach error target %g in any configuration; "
+                "shipping best effort (finest cut).", float(res.target_abs))
+        choose_pure = True
+    elif use_residual and not opts.disable_pure_base_fallback:
+        pure_payload, pure_top, _ = _layer_payload(
+            res.base_planes, res.base_signs, pure_cut, cfg.BASE_NUM_PLANES)
+        pure_comp = _entropy_encode(pure_payload, backend, level)
+        if len(pure_comp) < len(base_comp) + len(res_comp):
+            logger.info(
+                "Pure base compression (%d) is better than base (%d) + "
+                "residual (%d)", len(pure_comp), len(base_comp), len(res_comp))
+            choose_pure = True
+
+    if choose_pure:
+        if pure_comp is None:
+            pure_payload, pure_top, _ = _layer_payload(
+                res.base_planes, res.base_signs, pure_cut, cfg.BASE_NUM_PLANES)
+            pure_comp = _entropy_encode(pure_payload, backend, level)
+        base_comp, base_cut, base_top = pure_comp, pure_cut, pure_top
+        use_residual = False
+        res_comp = b""
+        mean = float(res.pure_mean)
+    elif use_residual:
+        mean = float(res.res_mean)
+    else:
+        mean = float(res.base_mean)
+
+    flags = 0
+    if use_residual:
+        flags |= stream.FLAG_HAS_RESIDUAL
+    if not opts.disable_mean_adjustment and abs(mean) > 1e-18:
+        # Fold the mean error into the stored min/max (ref c:863-868).  The
+        # feasibility scans already used the centered criterion, so the
+        # shipped bound holds post-adjustment.
+        minval += mean
+        maxval += mean
+        flags |= stream.FLAG_MEAN_ADJUSTED
+        logger.info("Mean of compression error: %e; adjusting min/max", mean)
+
+    header = stream.FrameHeader(
+        flags=flags, entropy=backend,
+        n_frames=n_frames, height=h, width=w,
+        minval=minval, maxval=maxval,
+        rmin=float(res.rmin) if use_residual else 0.0,
+        rmax=float(res.rmax) if use_residual else 0.0,
+        base_levels=config.base_levels, res_levels=config.residual_levels,
+        base_nplanes=cfg.BASE_NUM_PLANES, base_cut=base_cut,
+        base_top=base_top,
+        res_nplanes=cfg.RES_NUM_PLANES, res_cut=res_cut if use_residual else 0,
+        res_top=res_top,
+        base_comp_size=len(base_comp), res_comp_size=len(res_comp))
+    return stream.pack_frame_stream(header, base_comp, res_comp)
+
+
+def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
+                               n_frames, h, w, backend: int) -> bytes:
+    """Residual-NONE mode: pick the finest cut whose ACTUAL compressed size
+    fits the base_cr byte budget (role of J2K rate allocation hitting
+    ``tcp_rates[0] = base_cr / 2``, ref ebcc_codec.c:116).  The device size
+    estimate seeds the search; each host step is one zstd call (no device
+    re-encode), and size is monotone in the cut.
+    """
+    level = config.zstd_level
+    if bool(res.const):
+        header = stream.FrameHeader(
+            flags=stream.FLAG_CONST, entropy=backend,
+            n_frames=n_frames, height=h, width=w,
+            minval=float(res.minval), maxval=float(res.maxval),
+            rmin=0.0, rmax=0.0,
+            base_levels=config.base_levels, res_levels=config.residual_levels,
+            base_nplanes=cfg.BASE_NUM_PLANES, base_cut=0, base_top=0,
+            res_nplanes=cfg.RES_NUM_PLANES, res_cut=0, res_top=0,
+            base_comp_size=0, res_comp_size=0)
+        return stream.pack_frame_stream(header, b"", b"")
+
+    numel = n_frames * h * w
+    budget = max(0, int(numel * 4 / config.base_cr) - stream.FRAME_HEADER_SIZE)
+    est = res.base_est_sizes  # (P+1,)
+    cut = int(np.argmax(est <= budget)) if (est <= budget).any() \
+        else cfg.BASE_NUM_PLANES
+
+    def payload_at(c):
+        if c >= cfg.BASE_NUM_PLANES:
+            return b"", 0
+        pl, top, kept = _layer_payload(
+            res.base_planes, res.base_signs, c, cfg.BASE_NUM_PLANES)
+        return _entropy_encode(pl, backend, level), top
+
+    comp, top = payload_at(cut)
+    while len(comp) > budget and cut < cfg.BASE_NUM_PLANES:
+        cut += 1
+        comp, top = payload_at(cut)
+    while cut > 0:
+        trial, trial_top = payload_at(cut - 1)
+        if len(trial) <= budget:
+            cut -= 1
+            comp, top = trial, trial_top
+        else:
+            break
+
+    header = stream.FrameHeader(
+        flags=0, entropy=backend,
+        n_frames=n_frames, height=h, width=w,
+        minval=float(res.minval), maxval=float(res.maxval),
+        rmin=0.0, rmax=0.0,
+        base_levels=config.base_levels, res_levels=config.residual_levels,
+        base_nplanes=cfg.BASE_NUM_PLANES, base_cut=cut, base_top=top,
+        res_nplanes=cfg.RES_NUM_PLANES, res_cut=0, res_top=0,
+        base_comp_size=len(comp), res_comp_size=0)
+    return stream.pack_frame_stream(header, comp, b"")
+
+
+def _encode_chunk_batch(x_batch: np.ndarray, config: CodecConfig,
+                        opts: EncodeOptions) -> List[bytes]:
+    """Encode a batch of equally-shaped chunks -> per-chunk stream bytes.
+
+    x_batch: (B, n_frames, h, w) float32.
+    """
+    import jax
+
+    if not np.isfinite(x_batch).all():
+        # parity: reference check_nan_inf hard-exits (ebcc_codec.c:598-605);
+        # we raise instead of killing the process.
+        raise ValueError("NaN or Inf found in data")
+
+    b, n_frames, h, w = x_batch.shape
+    backend = entropy.default_backend()
+    xb = np.ascontiguousarray(x_batch, dtype=np.float32)
+
+    if config.residual_mode == cfg.RESIDUAL_NONE:
+        out = kernels.encode_batch_rate_only(
+            xb, base_levels=config.base_levels,
+            res_levels=config.residual_levels)
+        out = jax.device_get(out)
+        return [
+            _assemble_rate_mode_stream(_ChunkResult(out, i), config,
+                                       n_frames, h, w, backend)
+            for i in range(b)
+        ]
+
+    relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
+    out = kernels.encode_batch(
+        xb, np.float32(config.error), np.float32(opts.base_quantile_target),
+        base_levels=config.base_levels, res_levels=config.residual_levels,
+        relative_mode=relative,
+        use_centered=not opts.disable_mean_adjustment)
+    out = jax.device_get(out)
+    return [
+        _assemble_error_mode_stream(_ChunkResult(out, i), config, opts,
+                                    n_frames, h, w, backend)
+        for i in range(b)
+    ]
+
+
+def encode(data: np.ndarray, config: CodecConfig,
+           opts: Optional[EncodeOptions] = None) -> bytes:
+    """Encode one logical array (= one chunk) -> ETPU stream bytes.
+
+    Parity: ``ebcc_encode`` (ebcc_codec.c:607-918).
+    """
+    set_level_from_env()
+    opts = opts or EncodeOptions.from_env()
+    data = np.asarray(data, dtype=np.float32).reshape(config.dims)
+    n_frames, h, w = _layout(config.dims)
+    x = data.reshape(1, n_frames, h, w)
+    logger.info("%s", config.describe())
+    return _encode_chunk_batch(x, config, opts)[0]
+
+
+def _unpack_layer(header, payload: bytes, num_planes, cut, top, d0, hp, wb):
+    """-> (planes (P, d0, hp, wb) uint8 zero-filled, signs (d0, hp, wb))."""
+    planes = np.zeros((num_planes, d0, hp, wb), np.uint8)
+    signs = np.zeros((d0, hp, wb), np.uint8)
+    kept = num_planes - cut - top
+    if kept <= 0 or not payload:
+        return planes, signs
+    plane_bytes = d0 * hp * wb
+    raw_size = (kept + 1) * plane_bytes
+    raw = entropy.decompress(payload, header.entropy, raw_size)
+    if len(raw) != raw_size:
+        raise stream.StreamError(
+            f"decompressed payload size {len(raw)} != expected {raw_size}")
+    body = np.frombuffer(raw, np.uint8)
+    planes[top:top + kept] = body[:kept * plane_bytes].reshape(
+        kept, d0, hp, wb)
+    signs[:] = body[kept * plane_bytes:].reshape(d0, hp, wb)
+    return planes, signs
+
+
+def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
+    """Decode a list of ETPU streams (must share shape) -> (N, d0, h, w).
+
+    When ``sharding`` is given, the batched plane arrays are laid out over
+    the mesh so the device program runs SPMD across chips."""
+    import jax
+
+    headers = []
+    payloads = []
+    for s in streams:
+        hd, basep, resp = stream.split_frame_stream(s)
+        headers.append(hd)
+        payloads.append((basep, resp))
+
+    h0 = headers[0]
+    key = (h0.n_frames, h0.height, h0.width, h0.base_levels, h0.res_levels,
+           h0.base_nplanes, h0.res_nplanes)
+    for hd in headers[1:]:
+        k = (hd.n_frames, hd.height, hd.width, hd.base_levels, hd.res_levels,
+             hd.base_nplanes, hd.res_nplanes)
+        if k != key:
+            raise stream.StreamError("inconsistent chunk stream shapes")
+
+    n = len(headers)
+    d0, h, w = h0.n_frames, h0.height, h0.width
+    hp, wp = _padded_hw(h, w, max(h0.base_levels, h0.res_levels))
+    wb = wp // 8
+
+    base_planes = np.zeros((h0.base_nplanes, n, d0, hp, wb), np.uint8)
+    base_signs = np.zeros((n, d0, hp, wb), np.uint8)
+    res_planes = np.zeros((h0.res_nplanes, n, d0, hp, wb), np.uint8)
+    res_signs = np.zeros((n, d0, hp, wb), np.uint8)
+    minval = np.zeros(n, np.float32)
+    maxval = np.zeros(n, np.float32)
+    rmin = np.zeros(n, np.float32)
+    rmax = np.zeros(n, np.float32)
+    base_cut = np.zeros(n, np.int32)
+    res_cut = np.zeros(n, np.int32)
+    const_mask = np.zeros(n, bool)
+    any_residual = False
+
+    for i, (hd, (basep, resp)) in enumerate(zip(headers, payloads)):
+        minval[i], maxval[i] = hd.minval, hd.maxval
+        const_mask[i] = hd.const_field
+        base_cut[i] = hd.base_cut
+        if hd.const_field:
+            continue
+        pl, sg = _unpack_layer(hd, basep, hd.base_nplanes, hd.base_cut,
+                               hd.base_top, d0, hp, wb)
+        base_planes[:, i], base_signs[i] = pl, sg
+        if hd.has_residual:
+            any_residual = True
+            rmin[i], rmax[i] = hd.rmin, hd.rmax
+            res_cut[i] = hd.res_cut
+            pl, sg = _unpack_layer(hd, resp, hd.res_nplanes, hd.res_cut,
+                                   hd.res_top, d0, hp, wb)
+            res_planes[:, i], res_signs[i] = pl, sg
+
+    args = [base_planes, base_signs, base_cut,
+            res_planes, res_signs, res_cut,
+            minval, maxval, rmin, rmax]
+    if sharding is not None:
+        import jax.sharding as jsh
+        batch_axis = sharding.spec
+        mesh = sharding.mesh
+        scalar_sh = jsh.NamedSharding(mesh, jsh.PartitionSpec(*batch_axis))
+        plane_sh = jsh.NamedSharding(
+            mesh, jsh.PartitionSpec(None, *batch_axis))
+        placed = []
+        for a in args:
+            sh = plane_sh if a.ndim == 5 else scalar_sh
+            placed.append(jax.device_put(a, sh))
+        args = placed
+    out = kernels.decode_batch_cuts(
+        *args,
+        base_levels=h0.base_levels, res_levels=h0.res_levels,
+        out_hw=(h, w), has_residual=any_residual)
+    out = np.array(jax.device_get(out))  # copy: device_get can be read-only
+    if const_mask.any():
+        out[const_mask] = minval[const_mask, None, None, None]
+    return out
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode one ETPU stream -> (n_frames, h, w) float32.
+
+    Parity: ``ebcc_decode`` (ebcc_codec.c:1215-1320); like the reference this
+    accepts either a plain frame stream or (for convenience) dispatches a
+    chunked container to :func:`decode_chunked`.
+    """
+    if buf[:4] == stream.MAGIC_CHUNKED:
+        return decode_chunked(buf)
+    return _decode_streams([buf])[0]
+
+
+# ---------------------------------------------------------------------------
+# Chunked container paths (parity: ebcc_encode_chunking /
+# ebcc_encode_chunking_compat / ebcc_decode_chunking, ebcc_codec.c:920-1449).
+# ---------------------------------------------------------------------------
+
+def _chunk_grid(dims, chunk_dims):
+    counts = tuple(-(-d // c) for d, c in zip(dims, chunk_dims))
+    return counts
+
+
+def _gather_chunks(data: np.ndarray, chunk_dims, counts) -> np.ndarray:
+    """Extract the full chunk batch with edge-replicate padding for partial
+    edge chunks (parity: copy_chunk_from_data_padded, ebcc_codec.c:339-351).
+    One vectorized numpy gather instead of a per-chunk loop."""
+    dims = data.shape
+    idx = []
+    for d, c, n in zip(dims, chunk_dims, counts):
+        ax = (np.arange(n)[:, None] * c + np.arange(c)[None, :])
+        idx.append(np.minimum(ax, d - 1))  # clamp = edge replication
+    g = data[
+        idx[0][:, None, None, :, None, None],
+        idx[1][None, :, None, None, :, None],
+        idx[2][None, None, :, None, None, :],
+    ]  # (n0, n1, n2, c0, c1, c2)
+    return g.reshape(-1, *chunk_dims)
+
+
+def _scatter_chunks(chunks: np.ndarray, dims, chunk_dims, counts) -> np.ndarray:
+    """Inverse of :func:`_gather_chunks` (drops padding; parity:
+    copy_chunk_to_data_unpadded, ebcc_codec.c:353-370)."""
+    n0, n1, n2 = counts
+    c0, c1, c2 = chunk_dims
+    full = chunks.reshape(n0, n1, n2, c0, c1, c2).transpose(0, 3, 1, 4, 2, 5)
+    full = full.reshape(n0 * c0, n1 * c1, n2 * c2)
+    return np.ascontiguousarray(full[: dims[0], : dims[1], : dims[2]])
+
+
+def encode_chunked(data: np.ndarray, config: CodecConfig,
+                   opts: Optional[EncodeOptions] = None,
+                   max_batch: int = DEFAULT_MAX_BATCH) -> bytes:
+    """Chunked encode -> ETPK container.
+
+    Parity: ``ebcc_encode_chunking`` (ebcc_codec.c:920-1052), with the serial
+    per-chunk loop replaced by batched device encodes over all chunks.
+    """
+    set_level_from_env()
+    opts = opts or EncodeOptions.from_env()
+    data = np.asarray(data, dtype=np.float32).reshape(config.dims)
+
+    chunk_dims = tuple(config.chunk_dims)
+    if all(c == 0 for c in chunk_dims):
+        chunk_dims = tuple(config.dims)
+    if any(c == 0 for c in chunk_dims):
+        raise ValueError("dims and chunk_dims must be non-zero")
+    # validation parity (ebcc_codec.c:937-941)
+    _layout(chunk_dims)
+
+    counts = _chunk_grid(config.dims, chunk_dims)
+    num_chunks = int(np.prod(counts))
+    chunk_size = int(np.prod(chunk_dims))
+    total = int(np.prod(config.dims))
+    padded = chunk_size * num_chunks
+    if padded > total and padded - total > total // 10:
+        logger.warning(
+            "Chunk padding adds %d values over %d real values (%.2f%%)",
+            padded - total, total, 100.0 * (padded - total) / total)
+
+    chunks = _gather_chunks(data, chunk_dims, counts)
+    n_frames, h, w = _layout(chunk_dims)
+    chunks = chunks.reshape(num_chunks, n_frames, h, w)
+
+    chunk_cfg = CodecConfig(
+        dims=chunk_dims, base_cr=config.base_cr,
+        residual_mode=config.residual_mode, error=config.error,
+        chunk_dims=(0, 0, 0), base_levels=config.base_levels,
+        residual_levels=config.residual_levels, zstd_level=config.zstd_level)
+
+    streams_out: List[bytes] = []
+    for start in range(0, num_chunks, max_batch):
+        sl = chunks[start:start + max_batch]
+        b = sl.shape[0]
+        if b < max_batch and num_chunks > max_batch:
+            # pad to the bucket size to reuse the compiled program
+            sl = np.concatenate(
+                [sl, np.repeat(sl[-1:], max_batch - b, axis=0)], axis=0)
+        streams_out.extend(
+            _encode_chunk_batch(sl, chunk_cfg, opts)[:b])
+
+    header = stream.ChunkedHeader(
+        dims=tuple(config.dims), chunk_dims=chunk_dims,
+        num_chunks=num_chunks, chunk_size=chunk_size)
+    return stream.pack_chunked(header, streams_out)
+
+
+def encode_chunked_compat(data: np.ndarray, config: CodecConfig,
+                          opts: Optional[EncodeOptions] = None) -> bytes:
+    """Parity: ``ebcc_encode_chunking_compat`` (ebcc_codec.c:1054-1090) —
+    defaults chunk dims to (1, <=1024, <=1024) tiles and converts
+    RELATIVE_ERROR to MAX_ERROR using the GLOBAL data range so the bound is
+    uniform across chunks."""
+    data = np.asarray(data, dtype=np.float32).reshape(config.dims)
+    compat = CodecConfig(**{**config.__dict__})
+    if all(c == 0 for c in compat.chunk_dims):
+        d = compat.dims
+        compat.chunk_dims = (
+            1,
+            1024 if d[1] > cfg.MAX_INTERNAL_IMAGE_DIM else d[1],
+            1024 if d[2] > cfg.MAX_INTERNAL_IMAGE_DIM else d[2])
+        logger.info("compat chunk dimensions: %s", compat.chunk_dims)
+    if compat.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR:
+        if not np.isfinite(data).all():
+            raise ValueError("NaN or Inf found in data")
+        rng = float(data.max() - data.min())
+        compat.error = compat.error * rng
+        compat.residual_mode = cfg.RESIDUAL_MAX_ERROR
+    return encode_chunked(data, compat, opts)
+
+
+def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray:
+    """Decode an ETPK container -> array shaped like the original dims.
+
+    Parity: ``ebcc_decode_chunking`` (ebcc_codec.c:1322-1449) including the
+    plain-stream dispatch for non-ETPK payloads (c:1326-1329)."""
+    if buf[:4] != stream.MAGIC_CHUNKED:
+        return decode(buf)
+    header, chunk_streams = stream.iter_chunked(buf)
+    counts = _chunk_grid(header.dims, header.chunk_dims)
+    if int(np.prod(counts)) != header.num_chunks:
+        raise stream.StreamError("inconsistent chunk metadata")
+    if int(np.prod(header.chunk_dims)) != header.chunk_size:
+        raise stream.StreamError("inconsistent chunk metadata")
+
+    decoded = []
+    for start in range(0, len(chunk_streams), max_batch):
+        batch = chunk_streams[start:start + max_batch]
+        decoded.append(_decode_streams(batch))
+    chunks = np.concatenate(decoded, axis=0)
+    chunks = chunks.reshape(header.num_chunks, *header.chunk_dims)
+    return _scatter_chunks(chunks, header.dims, header.chunk_dims, counts)

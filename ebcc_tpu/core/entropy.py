@@ -1,0 +1,60 @@
+"""Host-side lossless entropy backends for packed bitplane payloads.
+
+Role parity: the reference backends are (a) OpenJPEG's EBCOT/MQ arithmetic
+coder inside the J2K base codestream and (b) zstd level 22 over the SPIHT
+residual bytes (reference ``src/ebcc_codec.c:813-817, 1301``).  In the TPU
+build all entropy coding is host-side (accelerators don't entropy-code), is
+applied to the device-produced dense bitplane payloads of BOTH layers, and is
+pluggable: a backend id byte is recorded in every stream header so formats
+can evolve (zstd today, the native context-modeling coder as it lands).
+
+zstd notes: level is configurable (default well below the reference's 22 —
+level 22 costs ~100x encode time for a few % on these structured bitmask
+payloads; the bench sweeps this trade-off).
+"""
+
+from __future__ import annotations
+
+from ..utils.logging import logger
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - zstd is expected in the image
+    _zstd = None
+
+BACKEND_STORE = 0
+BACKEND_ZSTD = 1
+BACKEND_NATIVE_CAB = 2  # reserved: native context-adaptive binary coder
+
+
+def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
+             threads: int = 0) -> bytes:
+    if backend == BACKEND_STORE or _zstd is None:
+        if backend != BACKEND_STORE and _zstd is None:
+            logger.warning("zstandard unavailable; storing uncompressed")
+        return bytes(data)
+    if backend == BACKEND_ZSTD:
+        # write_checksum: a flipped payload byte must fail loudly at decode,
+        # not silently reconstruct garbage (robust-decoder posture).
+        cctx = _zstd.ZstdCompressor(level=level, threads=threads,
+                                    write_checksum=True)
+        return cctx.compress(data)
+    raise ValueError(f"unknown entropy backend {backend}")
+
+
+def decompress(data: bytes, backend: int, orig_size: int) -> bytes:
+    if backend == BACKEND_STORE:
+        return bytes(data)
+    if backend == BACKEND_ZSTD:
+        if _zstd is None:
+            raise RuntimeError("zstandard required to decode this stream")
+        dctx = _zstd.ZstdDecompressor()
+        try:
+            return dctx.decompress(data, max_output_size=orig_size)
+        except _zstd.ZstdError as e:
+            raise ValueError(f"corrupt entropy payload: {e}") from e
+    raise ValueError(f"unknown entropy backend {backend}")
+
+
+def default_backend() -> int:
+    return BACKEND_ZSTD if _zstd is not None else BACKEND_STORE

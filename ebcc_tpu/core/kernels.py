@@ -1,0 +1,280 @@
+"""Jitted batched device programs: the codec's compute heart.
+
+This module re-expresses the reference's per-frame serial encoder state
+machine (``ebcc_encode``, reference ``src/ebcc_codec.c:607-918``) as ONE
+batched XLA program over a batch of equally-shaped chunks:
+
+  * The base-layer CR bisection (HOT LOOP 1, ebcc_codec.c:545-596 — each
+    trial a full J2K encode+decode) becomes a monotone scan over bitplane
+    cuts evaluated with ``lax.map`` (one batched inverse DWT per candidate).
+  * The residual truncation bisection (HOT LOOP 2, ebcc_codec.c:765-807 —
+    each trial a serial SPIHT decode + full-frame error scan) likewise
+    becomes a batched error-vs-cut curve.
+  * Divergent per-frame control flow (const field ebcc_codec.c:678,
+    skip-residual c:737, pure-base-required c:755-758) is expressed as
+    masks/selects so a single program covers every path for every chunk in
+    the batch — the batch axis can then be vmapped and sharded over a mesh.
+
+Scaling conventions (parity):
+  * base layer works on ``u = (x - min)/(max - min) * 65535`` (reference
+    uint16 scaling, ebcc_codec.c:686-689) — kept in f32; the quantization
+    happens in the wavelet domain instead of the pixel domain, which is
+    strictly more accurate.
+  * residual layer works on ``r_n = (r - rmin)/(rmax - rmin) * 255``
+    (reference normalization ebcc_codec.c:717-719 and MAXELEM scaling
+    spiht_re.h:12, dwt.h:47,65).
+
+Error-bound semantics (parity, tightened):
+  * base cut: coarsest cut whose error quantile meets the base quantile
+    target (reference quantile-relaxed CR search, c:559-594).
+  * residual cut: coarsest cut whose *post-mean-adjustment* max abs error
+    meets the target.  The reference verifies the bound before folding the
+    mean error into min/max (c:783 vs c:863-868), which can overshoot; we
+    use the centered criterion so the shipped bound is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BASE_NUM_PLANES, RES_NUM_PLANES
+from ..ops import bitplane, dwt
+
+BASE_SCALE = 65535.0
+RES_SCALE = 255.0
+
+
+def _pad2d(x, multiple):
+    return dwt.pad_to_multiple(x, multiple)
+
+
+def _scan_cuts(q, num_planes, levels, eval_fn):
+    """Evaluate ``eval_fn(recon_coeffs, cut)`` for every cut in [0, P).
+
+    Returns a pytree stacked along a leading cut axis, computed with
+    ``lax.map`` (sequential, memory-bounded; each step is a full batched
+    inverse DWT on the VPU).
+    """
+
+    def body(cut):
+        rec = bitplane.reconstruct_at_cut(q, cut)
+        return eval_fn(idwt(rec, levels), cut)
+
+    def idwt(rec, levels):
+        return dwt.idwt2d(rec, levels)
+
+    return jax.lax.map(body, jnp.arange(num_planes, dtype=jnp.int32))
+
+
+def _last_true_index(mask_p_b, default):
+    """Along leading axis P of a (P, B) boolean array, the LARGEST index that
+    is True, else ``default``.  (Cut feasibility is monotone decreasing in
+    cut, so this picks the coarsest feasible cut.)"""
+    p = mask_p_b.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)[:, None]
+    cand = jnp.where(mask_p_b, idx, -1)
+    best = cand.max(axis=0)
+    return jnp.where(best >= 0, best, default)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "relative_mode", "use_centered"),
+)
+def encode_batch(
+    x,                       # (B, D0, H, W) float32
+    error_target,            # scalar f32: abs target, or rel target if relative_mode
+    base_quantile_target,    # scalar f32 in (0, 1]
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    relative_mode: bool = False,
+    use_centered: bool = True,
+):
+    """Full batched encode program.  Returns a dict of device arrays; all
+    stream assembly happens on host (``ebcc_tpu.core.codec``).
+    """
+    b, d0, h, w = x.shape
+    mult = 1 << max(base_levels, res_levels)
+
+    # ---- per-chunk range & const detection (ref c:673-689) ----
+    minval = x.min(axis=(1, 2, 3))
+    maxval = x.max(axis=(1, 2, 3))
+    const = minval == maxval
+    rng = jnp.where(const, 1.0, maxval - minval)
+    target = jnp.where(
+        jnp.asarray(relative_mode), error_target * (maxval - minval), error_target
+    )  # (B,) abs target per chunk (ref REL->ABS, c:723-726)
+
+    u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
+    up, orig_hw = _pad2d(u, mult)
+
+    # ---- base layer transform + quantize ----
+    ybase = dwt.dwt2d(up, base_levels)
+    qbase = bitplane.quantize_floor(ybase)
+
+    scale_back = rng[:, None, None, None] / BASE_SCALE
+    off = minval[:, None, None, None]
+
+    def base_metrics(rec_coeff_spatial, cut):
+        recon = dwt.unpad(rec_coeff_spatial, orig_hw) * scale_back + off
+        err = x - recon
+        m = err.mean(axis=(1, 2, 3))
+        err_c = err - m[:, None, None, None] if use_centered else err
+        maxe = jnp.abs(err_c).max(axis=(1, 2, 3))
+        q = 1.0 - (jnp.abs(err) > target[:, None, None, None]).sum(
+            axis=(1, 2, 3)) / (d0 * h * w)
+        return maxe, q, m
+
+    maxe_p, quant_p, mean_p = _scan_cuts(qbase, BASE_NUM_PLANES, base_levels,
+                                         base_metrics)
+
+    # Coarsest cut meeting the quantile target (ref HOT LOOP 1 semantics).
+    base_cut = _last_true_index(quant_p >= base_quantile_target,
+                               jnp.int32(0))
+    # Coarsest cut meeting the FULL bound (quantile 1.0 analog, ref c:836).
+    pure_cut = _last_true_index(maxe_p <= target[None, :], jnp.int32(0))
+    pure_feasible = (maxe_p <= target[None, :]).any(axis=0)
+
+    base_planes, base_signs = bitplane.extract_planes(qbase, BASE_NUM_PLANES)
+    base_sizes = bitplane.estimated_code_bytes(
+        qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
+
+    # ---- base reconstruction at the chosen cut ----
+    rec_b = bitplane.reconstruct_at_cut(qbase, base_cut[:, None, None, None])
+    base_recon = dwt.unpad(dwt.idwt2d(rec_b, base_levels), orig_hw) * scale_back + off
+    base_err = x - base_recon
+    base_maxerr = jnp.abs(base_err).max(axis=(1, 2, 3))
+    skip_residual = base_maxerr <= target  # ref c:737
+
+    # ---- residual layer (ref c:702-817) ----
+    residual = base_err
+    rmin = residual.min(axis=(1, 2, 3))
+    rmax = residual.max(axis=(1, 2, 3))
+    rrng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
+    rn = (residual - rmin[:, None, None, None]) / rrng[:, None, None, None] * RES_SCALE
+    rnp_, _ = _pad2d(rn, mult)
+    yres = dwt.dwt2d(rnp_, res_levels)
+    qres = bitplane.quantize_floor(yres)
+
+    res_scale_back = rrng[:, None, None, None] / RES_SCALE
+    res_off = rmin[:, None, None, None]
+
+    def res_metrics(rec_spatial, cut):
+        res_rec = dwt.unpad(rec_spatial, orig_hw) * res_scale_back + res_off
+        recon = base_recon + res_rec
+        err = x - recon
+        m = err.mean(axis=(1, 2, 3))
+        err_c = err - m[:, None, None, None] if use_centered else err
+        maxe = jnp.abs(err_c).max(axis=(1, 2, 3))
+        return maxe, m
+
+    res_maxe_p, res_mean_p = _scan_cuts(qres, RES_NUM_PLANES, res_levels,
+                                        res_metrics)
+    res_feas_p = res_maxe_p <= target[None, :]
+    res_cut = _last_true_index(res_feas_p, jnp.int32(0))
+    res_feasible = res_feas_p.any(axis=0)  # else pure-base required (ref c:755-758)
+
+    res_planes, res_signs = bitplane.extract_planes(qres, RES_NUM_PLANES)
+    res_sizes = bitplane.estimated_code_bytes(
+        qres.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]), RES_NUM_PLANES)
+
+    take = lambda arr_p_b, idx: jnp.take_along_axis(
+        arr_p_b, idx[None, :], axis=0)[0]
+
+    overflow = (
+        (jnp.abs(qbase).max(axis=(1, 2, 3)) >= (1 << BASE_NUM_PLANES))
+        | (jnp.abs(qres).max(axis=(1, 2, 3)) >= (1 << RES_NUM_PLANES)))
+
+    return {
+        "minval": minval, "maxval": maxval, "const": const,
+        "overflow": overflow,
+        "target_abs": target,
+        "base_planes": base_planes, "base_signs": base_signs,
+        "base_cut": base_cut, "pure_cut": pure_cut,
+        "pure_feasible": pure_feasible,
+        "base_est_sizes": base_sizes,
+        "base_quantiles": quant_p,
+        "pure_maxerr": take(maxe_p, pure_cut),
+        "pure_mean": take(mean_p, pure_cut),
+        "skip_residual": skip_residual,
+        "base_maxerr": base_maxerr,
+        "base_mean": take(mean_p, base_cut),
+        "rmin": rmin, "rmax": rmax,
+        "res_planes": res_planes, "res_signs": res_signs,
+        "res_cut": res_cut, "res_feasible": res_feasible,
+        "res_maxerr": take(res_maxe_p, res_cut),
+        "res_mean": take(res_mean_p, res_cut),
+        "res_est_sizes": res_sizes,
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("base_levels", "res_levels", "out_hw"))
+def encode_batch_rate_only(
+    x, *, base_levels: int = 5, res_levels: int = 3, out_hw=None):
+    """Rate-targeted (residual NONE) encode: no error scans needed.
+
+    The cut is chosen on HOST from actual compressed sizes (monotone in cut),
+    so the device only produces planes + size estimates + the mean-free
+    metadata.  ``out_hw`` unused; kept for signature stability.
+    """
+    b, d0, h, w = x.shape
+    mult = 1 << max(base_levels, res_levels)
+    minval = x.min(axis=(1, 2, 3))
+    maxval = x.max(axis=(1, 2, 3))
+    const = minval == maxval
+    rng = jnp.where(const, 1.0, maxval - minval)
+    u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
+    up, _ = _pad2d(u, mult)
+    ybase = dwt.dwt2d(up, base_levels)
+    qbase = bitplane.quantize_floor(ybase)
+    planes, signs = bitplane.extract_planes(qbase, BASE_NUM_PLANES)
+    sizes = bitplane.estimated_code_bytes(
+        qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
+    return {"minval": minval, "maxval": maxval, "const": const,
+            "base_planes": planes, "base_signs": signs,
+            "base_est_sizes": sizes}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual"),
+)
+def decode_batch_cuts(
+    base_planes, base_signs, base_cut,
+    res_planes, res_signs, res_cut,
+    minval, maxval, rmin, rmax,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+):
+    """Batched decode with explicit per-chunk cuts (from the stream header).
+
+    The dequantization midpoint offset is a function of (magnitude, cut), so
+    reconstruction = ``reconstruct_at_cut(q, cut)`` on the truncated
+    magnitudes — identical arithmetic to the encoder's feasibility scan,
+    which is what makes the error bound exact at decode time.
+    """
+    h, w = out_hw
+
+    def layer(planes, signs, cut, num_planes, levels, scale, lo, hi):
+        mag = bitplane.assemble_magnitude(planes, num_planes)
+        sbits = bitplane.unpack_bits_last_axis(signs)
+        q = jnp.where(sbits.astype(bool), -mag, mag)
+        rec = bitplane.reconstruct_at_cut(q, cut[:, None, None, None])
+        spatial = dwt.idwt2d(rec, levels)[..., :h, :w]
+        rng = jnp.where(hi > lo, hi - lo, 1.0)
+        return spatial * (rng[:, None, None, None] / scale) + lo[:, None, None, None]
+
+    out = layer(base_planes, base_signs, base_cut, BASE_NUM_PLANES,
+                base_levels, BASE_SCALE, minval, maxval)
+    if has_residual:
+        out = out + layer(res_planes, res_signs, res_cut, RES_NUM_PLANES,
+                          res_levels, RES_SCALE, rmin, rmax)
+    return out

@@ -1,0 +1,194 @@
+"""Versioned bitstream containers (host-side serialization).
+
+Format-capability parity with the reference's self-describing, versioned,
+chunk-independent containers:
+
+  * ``ETPU`` frame stream <-> reference ``EBCC`` 48-byte frame header
+    (reference ``src/ebcc_codec.c:190-202, 870-907, 1226-1258``): magic,
+    version, const-field flag, stored min/max (mean-adjusted), residual
+    min/max, payload sizes.
+  * ``ETPK`` chunking container <-> reference ``EBCK`` 80-byte header
+    (ebcc_codec.c:204-213, 975-992): dims, chunk dims, chunk count/size,
+    then independent per-chunk ``[u64 size][stream]`` records — chunk
+    independence is what makes decode trivially parallel and any prefix of
+    chunks resumable.
+
+Differences (deliberate, TPU-first): payloads are entropy-coded dense
+bitplane stacks rather than J2K/SPIHT codestreams, so the header carries the
+wavelet depths, plane counts, cuts and entropy backend id instead of J2K
+lengths.  Little-endian throughout; decoder bounds-checks every field like
+the reference's robust-decoder posture (c:1235-1258, 1314-1317).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+MAGIC_FRAME = b"ETPU"
+MAGIC_CHUNKED = b"ETPK"
+FRAME_VERSION = 1
+CHUNKED_VERSION = 1
+
+FLAG_CONST = 0x01
+FLAG_HAS_RESIDUAL = 0x02
+FLAG_MEAN_ADJUSTED = 0x04
+
+# magic, version, flags, entropy, reserved,
+# n_frames, height, width, reserved2,
+# minval, maxval, rmin, rmax,
+# base_levels, res_levels, base_nplanes, base_cut, base_top,
+# res_nplanes, res_cut, res_top,
+# base_comp_size, res_comp_size, reserved3
+_FRAME_FMT = "<4s4B4I4f8B3Q"
+FRAME_HEADER_SIZE = struct.calcsize(_FRAME_FMT)
+assert FRAME_HEADER_SIZE == 72
+
+_CHUNKED_FMT = "<4sIII3Q3QQQ"
+CHUNKED_HEADER_SIZE = struct.calcsize(_CHUNKED_FMT)
+assert CHUNKED_HEADER_SIZE == 80
+
+
+class StreamError(ValueError):
+    """Invalid/corrupt stream (decode paths return errors, never exit —
+    mirrors the reference decoder's error-return posture)."""
+
+
+@dataclasses.dataclass
+class FrameHeader:
+    flags: int
+    entropy: int
+    n_frames: int
+    height: int
+    width: int
+    minval: float
+    maxval: float
+    rmin: float
+    rmax: float
+    base_levels: int
+    res_levels: int
+    base_nplanes: int
+    base_cut: int
+    base_top: int
+    res_nplanes: int
+    res_cut: int
+    res_top: int
+    base_comp_size: int
+    res_comp_size: int
+
+    @property
+    def const_field(self) -> bool:
+        return bool(self.flags & FLAG_CONST)
+
+    @property
+    def has_residual(self) -> bool:
+        return bool(self.flags & FLAG_HAS_RESIDUAL)
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            _FRAME_FMT, MAGIC_FRAME, FRAME_VERSION, self.flags, self.entropy, 0,
+            self.n_frames, self.height, self.width, 0,
+            self.minval, self.maxval, self.rmin, self.rmax,
+            self.base_levels, self.res_levels, self.base_nplanes,
+            self.base_cut, self.base_top,
+            self.res_nplanes, self.res_cut, self.res_top,
+            self.base_comp_size, self.res_comp_size, 0)
+
+    @classmethod
+    def unpack(cls, buf: bytes) -> "FrameHeader":
+        if len(buf) < FRAME_HEADER_SIZE:
+            raise StreamError("truncated ETPU header")
+        (magic, version, flags, entropy, _r0,
+         n_frames, height, width, _r1,
+         minval, maxval, rmin, rmax,
+         base_levels, res_levels, base_nplanes, base_cut, base_top,
+         res_nplanes, res_cut, res_top,
+         base_comp, res_comp, _r2) = struct.unpack_from(_FRAME_FMT, buf)
+        if magic != MAGIC_FRAME:
+            raise StreamError(f"bad ETPU magic {magic!r}")
+        if version != FRAME_VERSION:
+            raise StreamError(f"unsupported ETPU version {version}")
+        if n_frames == 0 or height == 0 or width == 0:
+            raise StreamError("invalid ETPU dims")
+        return cls(flags, entropy, n_frames, height, width,
+                   minval, maxval, rmin, rmax,
+                   base_levels, res_levels, base_nplanes, base_cut, base_top,
+                   res_nplanes, res_cut, res_top, base_comp, res_comp)
+
+
+def pack_frame_stream(header: FrameHeader, base_payload: bytes,
+                      res_payload: bytes) -> bytes:
+    assert header.base_comp_size == len(base_payload)
+    assert header.res_comp_size == len(res_payload)
+    return header.pack() + base_payload + res_payload
+
+
+def split_frame_stream(buf: bytes):
+    """-> (header, base_payload, res_payload); validates exact length
+    (trailing-bytes check parity, ebcc_codec.c:1314-1317)."""
+    header = FrameHeader.unpack(buf)
+    off = FRAME_HEADER_SIZE
+    end_base = off + header.base_comp_size
+    end_res = end_base + header.res_comp_size
+    if end_res != len(buf):
+        raise StreamError(
+            f"payload size mismatch: header says {end_res}, have {len(buf)}")
+    return header, buf[off:end_base], buf[end_base:end_res]
+
+
+@dataclasses.dataclass
+class ChunkedHeader:
+    dims: tuple
+    chunk_dims: tuple
+    num_chunks: int
+    chunk_size: int
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            _CHUNKED_FMT, MAGIC_CHUNKED, CHUNKED_VERSION, 3, 0,
+            *self.dims, *self.chunk_dims, self.num_chunks, self.chunk_size)
+
+    @classmethod
+    def unpack(cls, buf: bytes) -> "ChunkedHeader":
+        if len(buf) < CHUNKED_HEADER_SIZE:
+            raise StreamError("truncated ETPK header")
+        vals = struct.unpack_from(_CHUNKED_FMT, buf)
+        magic, version, ndims, _res = vals[0], vals[1], vals[2], vals[3]
+        if magic != MAGIC_CHUNKED:
+            raise StreamError(f"bad ETPK magic {magic!r}")
+        if version != CHUNKED_VERSION:
+            raise StreamError(f"unsupported ETPK version {version}")
+        if ndims != 3:
+            raise StreamError(f"unsupported ETPK ndims {ndims}")
+        dims = tuple(vals[4:7])
+        chunk_dims = tuple(vals[7:10])
+        num_chunks, chunk_size = vals[10], vals[11]
+        return cls(dims, chunk_dims, num_chunks, chunk_size)
+
+
+def pack_chunked(header: ChunkedHeader, chunk_streams) -> bytes:
+    parts = [header.pack()]
+    for s in chunk_streams:
+        parts.append(struct.pack("<Q", len(s)))
+        parts.append(s)
+    return b"".join(parts)
+
+
+def iter_chunked(buf: bytes):
+    """Yield (header, [chunk_stream, ...]) with full bounds validation
+    (parity: ebcc_decode_chunking validation, ebcc_codec.c:1337-1446)."""
+    header = ChunkedHeader.unpack(buf)
+    off = CHUNKED_HEADER_SIZE
+    streams = []
+    for i in range(header.num_chunks):
+        if off + 8 > len(buf):
+            raise StreamError(f"missing chunk {i} size")
+        (size,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        if off + size > len(buf):
+            raise StreamError(f"truncated chunk {i} payload")
+        streams.append(buf[off:off + size])
+        off += size
+    if off != len(buf):
+        raise StreamError("trailing payload bytes")
+    return header, streams

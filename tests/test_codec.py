@@ -1,0 +1,231 @@
+"""End-to-end codec property tests.
+
+Test-strategy parity (SURVEY §4): (a) round-trips against real ERA5 data,
+(b) the HARD guarantee ``max_error <= target`` (the reference's tests allow
+1.5x observed slack; ours must hold exactly because the encoder verifies the
+bound with the decoder's own arithmetic), (c) CR floors, (d) edge cases
+(const fields, padded edge chunks, chunk-dim defaults)."""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+from ebcc_tpu import (
+    CodecConfig,
+    EncodeOptions,
+    RESIDUAL_MAX_ERROR,
+    RESIDUAL_NONE,
+    RESIDUAL_RELATIVE_ERROR,
+    decode,
+    decode_chunked,
+    encode,
+    encode_chunked,
+    encode_chunked_compat,
+)
+
+
+def _roundtrip(data, config, opts=None):
+    blob = encode(data, config, opts)
+    out = decode(blob)
+    return blob, out.reshape(data.shape)
+
+
+class TestMaxErrorMode:
+    @pytest.mark.parametrize("target", [0.5, 0.1, 0.02])
+    def test_bound_holds_small(self, small_frame, target):
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=target)
+        blob, out = _roundtrip(data, config)
+        assert np.abs(out - data).max() <= target
+
+    def test_bound_holds_medium_and_compresses(self, medium_frame):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob, out = _roundtrip(data, config)
+        assert np.abs(out - data).max() <= 0.1
+        assert data.nbytes / len(blob) > 2  # CR floor (ref benchmarks)
+
+    def test_monotone_size_vs_target(self, medium_frame):
+        """Tighter targets must not produce smaller streams
+        (parity: error-bound accuracy sweep, ref benchmarks tb:125-154)."""
+        data = medium_frame[None]
+        sizes = []
+        for tgt in [1.0, 0.1, 0.01]:
+            config = CodecConfig(dims=data.shape, base_cr=30,
+                                 residual_mode=RESIDUAL_MAX_ERROR, error=tgt)
+            blob, out = _roundtrip(data, config)
+            assert np.abs(out - data).max() <= tgt
+            sizes.append(len(blob))
+        assert sizes == sorted(sizes)
+
+    def test_3d_stack(self, stacked_3d):
+        config = CodecConfig(dims=stacked_3d.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob, out = _roundtrip(stacked_3d, config)
+        assert np.abs(out - stacked_3d).max() <= 0.1
+
+
+class TestRelativeErrorMode:
+    def test_bound_scales_with_range(self, medium_frame):
+        data = medium_frame[None]
+        rel = 0.01
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_RELATIVE_ERROR, error=rel)
+        blob, out = _roundtrip(data, config)
+        rng = data.max() - data.min()
+        assert np.abs(out - data).max() <= rel * rng
+
+
+class TestRateMode:
+    def test_rate_respected(self, medium_frame, base_cr):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=base_cr,
+                             residual_mode=RESIDUAL_NONE)
+        blob, out = _roundtrip(data, config)
+        achieved = data.nbytes / len(blob)
+        # Must not undershoot the requested rate (stream must fit the budget)
+        assert achieved >= base_cr * 0.95
+        # ... and should not wildly overshoot either (quality left on table);
+        # plane granularity allows up to ~one-plane overshoot.
+        assert np.isfinite(out).all()
+
+
+class TestEdgeCases:
+    def test_const_field(self, constant_frame):
+        """Parity: const-field shortcut (ref c:678) + CR>5 + tiny atol
+        (ref test_zarr.py:183-210)."""
+        config = CodecConfig(dims=constant_frame.shape, base_cr=100,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.01)
+        blob, out = _roundtrip(constant_frame, config)
+        assert np.abs(out - constant_frame).max() <= 1e-6
+        assert constant_frame.nbytes / len(blob) > 5
+
+    def test_nan_rejected(self, small_frame):
+        data = small_frame[None].copy()
+        data[0, 3, 4] = np.nan
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            encode(data, config)
+
+    def test_invalid_dims_rejected(self):
+        with pytest.raises(ValueError):
+            CodecConfig(dims=(1, 64), base_cr=30)
+        data = np.zeros((1, 8, 8), np.float32)
+        config = CodecConfig(dims=(1, 8, 8), base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        with pytest.raises(ValueError):
+            encode(data, config)
+
+    def test_small_leading_dim_merged(self):
+        """dims (8, 8, 64): d1 < 32 merges leading dims into a 64-row frame
+        (parity with reference flattening, ebcc_codec.c:661-669)."""
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(8, 8, 64)).astype(np.float32)
+        config = CodecConfig(dims=data.shape, base_cr=10,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.05)
+        blob = encode(data, config)
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.05
+
+
+class TestChunked:
+    def test_roundtrip_exact_grid(self, base_test_data):
+        data = np.ascontiguousarray(base_test_data[:128, :256])[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        blob = encode_chunked(data, config)
+        out = decode_chunked(blob)
+        assert out.shape == data.shape
+        assert np.abs(out - data).max() <= 0.1
+
+    def test_padded_edge_chunks(self, base_test_data):
+        """Chunk grid not dividing dims -> edge-replicate padding
+        (parity: test_c_api.py:194-208)."""
+        data = np.ascontiguousarray(base_test_data[:100, :150])[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        blob = encode_chunked(data, config)
+        out = decode_chunked(blob)
+        assert out.shape == data.shape
+        assert np.abs(out - data).max() <= 0.1
+
+    def test_zero_chunk_dims_default_full(self, small_frame):
+        """chunk_dims (0,0,0) -> whole array as one chunk
+        (parity: test_c_api.py:245-257)."""
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = encode_chunked(data, config)
+        from ebcc_tpu.core import stream as stream_mod
+        hdr, streams = stream_mod.iter_chunked(blob)
+        assert hdr.num_chunks == 1
+        assert hdr.chunk_dims == data.shape
+        out = decode_chunked(blob)
+        assert np.abs(out - data).max() <= 0.1
+
+    def test_chunk_dims_larger_than_data(self, small_frame):
+        """Chunk dims exceeding data dims (parity: test_c_api.py:211-242)."""
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 96, 96))
+        blob = encode_chunked(data, config)
+        out = decode_chunked(blob)
+        assert np.abs(out - data).max() <= 0.1
+
+    def test_compat_default_tiling_and_rel_conversion(self, base_test_data):
+        """compat: default (1, <=1024, <=1024) tiles + REL->MAX via GLOBAL
+        range (parity: test_c_api.py:260-288)."""
+        data = np.stack([base_test_data[:256, :256] + i for i in range(3)])
+        rel = 0.005
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_RELATIVE_ERROR, error=rel)
+        blob = encode_chunked_compat(data, config)
+        from ebcc_tpu.core import stream as stream_mod
+        hdr, _ = stream_mod.iter_chunked(blob)
+        assert hdr.chunk_dims == (1, 256, 256)
+        out = decode_chunked(blob)
+        global_rng = data.max() - data.min()
+        assert np.abs(out - data).max() <= rel * global_rng
+
+    def test_plain_stream_accepted_by_chunked_decoder(self, small_frame):
+        """Parity: test_c_api.py:291-300."""
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = encode(data, config)
+        out = decode_chunked(blob)
+        assert np.abs(out.reshape(data.shape) - data).max() <= 0.1
+
+
+class TestEnvOptions:
+    def test_quantile_zero_forces_pure_base(self, small_frame, monkeypatch):
+        """EBCC_INIT_BASE_ERROR_QUANTILE=0 => quantile target 1.0 => stream
+        has no residual layer (parity: ref c:634-650, 738)."""
+        monkeypatch.setenv("EBCC_INIT_BASE_ERROR_QUANTILE", "0")
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.05)
+        blob = encode(data, config, EncodeOptions.from_env())
+        from ebcc_tpu.core import stream as stream_mod
+        hdr, _, _ = stream_mod.split_frame_stream(blob)
+        assert not hdr.has_residual
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.05
+
+    def test_disable_mean_adjustment(self, small_frame, monkeypatch):
+        monkeypatch.setenv("EBCC_DISABLE_MEAN_ADJUSTMENT", "1")
+        data = small_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.05)
+        blob = encode(data, config, EncodeOptions.from_env())
+        from ebcc_tpu.core import stream as stream_mod
+        hdr, _, _ = stream_mod.split_frame_stream(blob)
+        assert not (hdr.flags & stream_mod.FLAG_MEAN_ADJUSTED)
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.05

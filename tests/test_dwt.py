@@ -1,0 +1,92 @@
+"""Transform-layer unit tests (parity role: golden tests for the transform
+engine behind both layers, cf. reference dwt.h behavior)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ebcc_tpu.ops import bitplane, dwt
+
+
+@pytest.mark.parametrize("shape,levels", [
+    ((1, 32, 32), 1),
+    ((2, 64, 96), 3),
+    ((3, 2, 64, 128), 4),
+    ((1, 160, 224), 5),
+])
+def test_perfect_reconstruction(shape, levels):
+    rng = np.random.default_rng(42)
+    x = (rng.normal(size=shape) * 100).astype(np.float32)
+    y = dwt.dwt2d(jnp.asarray(x), levels)
+    xr = np.asarray(dwt.idwt2d(y, levels))
+    np.testing.assert_allclose(xr, x, atol=5e-3)
+
+
+def test_constant_annihilation():
+    """9/7 highpass must annihilate constants (2 vanishing moments),
+    including at the replicated boundaries."""
+    c = jnp.full((1, 64, 64), 777.0, jnp.float32)
+    y = np.asarray(dwt.dwt2d(c, 3))
+    detail = y.copy()
+    detail[0, :8, :8] = 0.0
+    assert np.abs(detail).max() < 1e-2
+
+
+def test_energy_compaction_smooth():
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = (np.sin(yy / 9.0) * np.cos(xx / 7.0) * 1000).astype(np.float32)
+    y = np.asarray(dwt.dwt2d(jnp.asarray(smooth[None]), 3))
+    ll = y[0, :16, :16]
+    assert (ll ** 2).sum() / (y ** 2).sum() > 0.95
+
+
+def test_pad_unpad_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 45, 70)).astype(np.float32))
+    xp, hw = dwt.pad_to_multiple(x, 32)
+    assert xp.shape[-2] % 32 == 0 and xp.shape[-1] % 32 == 0
+    assert np.array_equal(np.asarray(dwt.unpad(xp, hw)), np.asarray(x))
+
+
+def test_subband_shapes_cover():
+    bands = dwt.subband_shapes(64, 128, 3)
+    total = sum(r * c for _, (_, _, r, c) in bands)
+    assert total == 64 * 128
+    assert bands[0][0] == "LL3"
+
+
+class TestBitplane:
+    def test_pack_unpack(self):
+        rng = np.random.default_rng(1)
+        bits = rng.integers(0, 2, size=(3, 5, 64)).astype(np.uint8)
+        packed = bitplane.pack_bits_last_axis(jnp.asarray(bits))
+        assert packed.shape == (3, 5, 8)
+        out = np.asarray(bitplane.unpack_bits_last_axis(packed))
+        assert np.array_equal(out, bits)
+
+    def test_planes_roundtrip_exact(self):
+        rng = np.random.default_rng(2)
+        q = rng.integers(-5000, 5000, size=(2, 32, 64)).astype(np.int32)
+        planes, signs = bitplane.extract_planes(jnp.asarray(q), 14)
+        mag = np.asarray(bitplane.assemble_magnitude(planes, 14))
+        sbits = np.asarray(bitplane.unpack_bits_last_axis(signs)).astype(bool)
+        q2 = np.where(sbits, -mag, mag)
+        assert np.array_equal(q2, q)
+
+    @pytest.mark.parametrize("cut", [0, 2, 5, 9])
+    def test_cut_error_bound(self, cut):
+        """Midpoint deadzone reconstruction error must be < 2^cut per coeff."""
+        rng = np.random.default_rng(3)
+        q = rng.integers(-4000, 4000, size=(1, 16, 32)).astype(np.int32)
+        rec = np.asarray(bitplane.reconstruct_at_cut(jnp.asarray(q), jnp.int32(cut)))
+        assert np.abs(rec - q).max() <= (1 << cut)
+
+    def test_cut_monotone(self):
+        rng = np.random.default_rng(4)
+        q = rng.integers(-4000, 4000, size=(1, 16, 32)).astype(np.int32)
+        errs = [
+            np.abs(np.asarray(bitplane.reconstruct_at_cut(jnp.asarray(q), jnp.int32(c))) - q).max()
+            for c in range(12)
+        ]
+        assert all(a <= b + 1e-6 for a, b in zip(errs, errs[1:]))
