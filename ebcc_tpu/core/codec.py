@@ -30,7 +30,8 @@ import numpy as np
 from .. import config as cfg
 from ..config import CodecConfig, EncodeOptions
 from ..utils.logging import logger, set_level_from_env
-from . import entropy, kernels, stream
+from ..utils.timing import stage
+from . import entropy, kernels, stream, transfer
 
 # Residual payloads at or below this many compressed bytes are dropped
 # (parity: reference drop rule `coeffs_size <= 16`, ebcc_codec.c:811).
@@ -105,8 +106,10 @@ class _ChunkResult:
 
     def __init__(self, out, i):
         for k, v in out.items():
-            if k.endswith("_planes"):
-                setattr(self, k, v[:, i])  # (P, D0, Hp, Wb)
+            if v is None:
+                setattr(self, k, None)
+            elif k.endswith("_planes"):
+                setattr(self, k, v[:, i])  # (K<=P, D0, Hp, Wb)
             elif k.endswith("_signs"):
                 setattr(self, k, v[i])
             elif k.endswith("_sizes") or k.endswith("_quantiles"):
@@ -287,46 +290,130 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, comp, b"")
 
 
-def _encode_chunk_batch(x_batch: np.ndarray, config: CodecConfig,
-                        opts: EncodeOptions) -> List[bytes]:
-    """Encode a batch of equally-shaped chunks -> per-chunk stream bytes.
+def _bucket4(k: int, cap: int) -> int:
+    """Round a plane count up to a multiple of 4 (bounded by cap) so the
+    device-side slice shapes reuse a small set of compiled programs."""
+    return min(cap, -(-k // 4) * 4)
 
-    x_batch: (B, n_frames, h, w) float32.
+
+def _fetch_encode_outputs(out, error_mode: bool):
+    """Transfer device encode outputs to host.
+
+    The scalar/metadata outputs come first (one small fetch, including the
+    per-plane support extents), then the plane data crosses the link as ONE
+    packed buffer holding only each needed plane's nonzero rectangle
+    (core.transfer pyramid compaction) — typically ~3-5 bits per grid point
+    instead of the dense stack's 14+.
     """
     import jax
 
-    if not np.isfinite(x_batch).all():
+    with stage("enc: small fetch (+compute)"):
+        small = {k: v for k, v in out.items() if k != "planes_comb"}
+        small = jax.device_get(small)
+
+    pb, pr = cfg.BASE_NUM_PLANES, cfg.RES_NUM_PLANES
+    comb = out["planes_comb"]
+    n_comb, b, d0, hp, wb = comb.shape
+    rate_only = n_comb == pb + 1
+
+    if error_mode and not rate_only:
+        min_base_cut = int(min(small["base_cut"].min(),
+                               small["pure_cut"].min()))
+        kb = pb - min_base_cut
+        kr = pr - int(small["res_cut"].min())
+    else:
+        kb = pb
+        kr = 0
+
+    sign_base_row = pb
+    rows_needed = list(range(kb)) + [sign_base_row]
+    if kr > 0 and not rate_only:
+        res0 = pb + 1
+        rows_needed += list(range(res0, res0 + kr)) + [pb + 1 + pr]
+
+    ext_r = small.pop("ext_rows")
+    plane_rows = [r for r in rows_needed if ext_r[r] > 0]
+    extents = [int(ext_r[r]) for r in plane_rows]
+
+    full = np.zeros((n_comb, b, d0, hp, wb), np.uint8)
+    if plane_rows:
+        row_idx = transfer.build_row_index(plane_rows, extents, b, d0, hp)
+        cap_rows = transfer.bucket_rows(row_idx.size)
+        with stage("enc: idx upload + pack"):
+            idx_dev = jax.device_put(transfer.pad_index(row_idx, cap_rows, 0))
+            buf_dev = transfer.pack_rows(comb, idx_dev, cap_rows=cap_rows)
+        with stage(f"enc: row fetch {cap_rows}x{wb}B"):
+            buf = np.asarray(jax.device_get(buf_dev))
+        with stage("enc: rows_to_dense"):
+            full = transfer.rows_to_dense(buf, row_idx, full.shape)
+
+    small["base_planes"] = full[:pb]
+    small["base_signs"] = full[pb]
+    if rate_only:
+        small["res_planes"] = None
+        small["res_signs"] = None
+    else:
+        small["res_planes"] = full[pb + 1:pb + 1 + pr]
+        small["res_signs"] = full[pb + 1 + pr]
+    return small
+
+
+def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
+                    error_mode: bool, n_chunks: int) -> List[bytes]:
+    """Host-side stream assembly for a fetched batch, with zstd spread over
+    a thread pool (zstandard releases the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if error_mode:
+        fn = lambda i: _assemble_error_mode_stream(
+            _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend)
+    else:
+        fn = lambda i: _assemble_rate_mode_stream(
+            _ChunkResult(out_np, i), config, n_frames, h, w, backend)
+    with stage("assemble+zstd"):
+        if n_chunks <= 1:
+            return [fn(i) for i in range(n_chunks)]
+        with ThreadPoolExecutor(max_workers=min(4, n_chunks)) as pool:
+            return list(pool.map(fn, range(n_chunks)))
+
+
+def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions):
+    """Dispatch the device encode program on an already-device-resident
+    (or host numpy) batch.  Returns the device output dict (async)."""
+    if config.residual_mode == cfg.RESIDUAL_NONE:
+        return kernels.encode_batch_rate_only(
+            xb, base_levels=config.base_levels,
+            res_levels=config.residual_levels)
+    relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
+    return kernels.encode_batch(
+        xb, np.float32(config.error), np.float32(opts.base_quantile_target),
+        base_levels=config.base_levels, res_levels=config.residual_levels,
+        relative_mode=relative,
+        use_centered=not opts.disable_mean_adjustment)
+
+
+def _encode_chunk_batch(x_batch, config: CodecConfig,
+                        opts: EncodeOptions,
+                        skip_finite_check: bool = False) -> List[bytes]:
+    """Encode a batch of equally-shaped chunks -> per-chunk stream bytes.
+
+    x_batch: (B, n_frames, h, w) float32 (numpy or device array).
+    """
+    is_np = isinstance(x_batch, np.ndarray)
+    if is_np and not skip_finite_check and not np.isfinite(x_batch).all():
         # parity: reference check_nan_inf hard-exits (ebcc_codec.c:598-605);
         # we raise instead of killing the process.
         raise ValueError("NaN or Inf found in data")
 
     b, n_frames, h, w = x_batch.shape
     backend = entropy.default_backend()
-    xb = np.ascontiguousarray(x_batch, dtype=np.float32)
+    xb = np.ascontiguousarray(x_batch, dtype=np.float32) if is_np else x_batch
 
-    if config.residual_mode == cfg.RESIDUAL_NONE:
-        out = kernels.encode_batch_rate_only(
-            xb, base_levels=config.base_levels,
-            res_levels=config.residual_levels)
-        out = jax.device_get(out)
-        return [
-            _assemble_rate_mode_stream(_ChunkResult(out, i), config,
-                                       n_frames, h, w, backend)
-            for i in range(b)
-        ]
-
-    relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
-    out = kernels.encode_batch(
-        xb, np.float32(config.error), np.float32(opts.base_quantile_target),
-        base_levels=config.base_levels, res_levels=config.residual_levels,
-        relative_mode=relative,
-        use_centered=not opts.disable_mean_adjustment)
-    out = jax.device_get(out)
-    return [
-        _assemble_error_mode_stream(_ChunkResult(out, i), config, opts,
-                                    n_frames, h, w, backend)
-        for i in range(b)
-    ]
+    error_mode = config.residual_mode != cfg.RESIDUAL_NONE
+    out = encode_batch_device(xb, config, opts)
+    out_np = _fetch_encode_outputs(out, error_mode)
+    return _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
+                           error_mode, b)
 
 
 def encode(data: np.ndarray, config: CodecConfig,
@@ -344,13 +431,17 @@ def encode(data: np.ndarray, config: CodecConfig,
     return _encode_chunk_batch(x, config, opts)[0]
 
 
-def _unpack_layer(header, payload: bytes, num_planes, cut, top, d0, hp, wb):
-    """-> (planes (P, d0, hp, wb) uint8 zero-filled, signs (d0, hp, wb))."""
-    planes = np.zeros((num_planes, d0, hp, wb), np.uint8)
-    signs = np.zeros((d0, hp, wb), np.uint8)
+def _unpack_layer_into(header, payload: bytes, num_planes, cut, top,
+                       planes_out, signs_out):
+    """Entropy-decode one layer payload into bottom-aligned rows of a
+    K-row plane stack (K = planes_out.shape[0]; see decode_batch_cuts row
+    alignment contract: row i holds bit cut + K-1-i)."""
     kept = num_planes - cut - top
     if kept <= 0 or not payload:
-        return planes, signs
+        return
+    k, d0, hp, wb = planes_out.shape
+    if kept > k:
+        raise stream.StreamError("plane stack smaller than kept planes")
     plane_bytes = d0 * hp * wb
     raw_size = (kept + 1) * plane_bytes
     raw = entropy.decompress(payload, header.entropy, raw_size)
@@ -358,18 +449,20 @@ def _unpack_layer(header, payload: bytes, num_planes, cut, top, d0, hp, wb):
         raise stream.StreamError(
             f"decompressed payload size {len(raw)} != expected {raw_size}")
     body = np.frombuffer(raw, np.uint8)
-    planes[top:top + kept] = body[:kept * plane_bytes].reshape(
+    planes_out[k - kept:] = body[:kept * plane_bytes].reshape(
         kept, d0, hp, wb)
-    signs[:] = body[kept * plane_bytes:].reshape(d0, hp, wb)
-    return planes, signs
+    signs_out[:] = body[kept * plane_bytes:].reshape(d0, hp, wb)
 
 
-def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
-    """Decode a list of ETPU streams (must share shape) -> (N, d0, h, w).
+def _decode_streams_device(streams: List[bytes], sharding=None):
+    """Decode a list of ETPU streams (must share shape) into a DEVICE array
+    ``(N, d0, h, w)`` plus host-side (const_mask, minval).
 
-    When ``sharding`` is given, the batched plane arrays are laid out over
-    the mesh so the device program runs SPMD across chips."""
+    Only the kept plane rows cross the host->device link (bottom-aligned
+    K-row stacks; see decode_batch_cuts).  When ``sharding`` is given, the
+    batched arrays are laid out over the mesh so the program runs SPMD."""
     import jax
+    from concurrent.futures import ThreadPoolExecutor
 
     headers = []
     payloads = []
@@ -392,9 +485,20 @@ def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
     hp, wp = _padded_hw(h, w, max(h0.base_levels, h0.res_levels))
     wb = wp // 8
 
-    base_planes = np.zeros((h0.base_nplanes, n, d0, hp, wb), np.uint8)
+    def kept_of(hd):
+        kb = 0 if hd.const_field else max(
+            0, hd.base_nplanes - hd.base_cut - hd.base_top)
+        kr = max(0, hd.res_nplanes - hd.res_cut - hd.res_top) \
+            if (hd.has_residual and not hd.const_field) else 0
+        return kb, kr
+
+    kepts = [kept_of(hd) for hd in headers]
+    kb = _bucket4(max(1, max(k[0] for k in kepts)), h0.base_nplanes)
+    kr = _bucket4(max(1, max(k[1] for k in kepts)), h0.res_nplanes)
+
+    base_planes = np.zeros((kb, n, d0, hp, wb), np.uint8)
     base_signs = np.zeros((n, d0, hp, wb), np.uint8)
-    res_planes = np.zeros((h0.res_nplanes, n, d0, hp, wb), np.uint8)
+    res_planes = np.zeros((kr, n, d0, hp, wb), np.uint8)
     res_signs = np.zeros((n, d0, hp, wb), np.uint8)
     minval = np.zeros(n, np.float32)
     maxval = np.zeros(n, np.float32)
@@ -403,30 +507,37 @@ def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
     base_cut = np.zeros(n, np.int32)
     res_cut = np.zeros(n, np.int32)
     const_mask = np.zeros(n, bool)
-    any_residual = False
+    any_residual = any(hd.has_residual for hd in headers)
 
-    for i, (hd, (basep, resp)) in enumerate(zip(headers, payloads)):
+    def unpack_one(i):
+        hd = headers[i]
+        basep, resp = payloads[i]
         minval[i], maxval[i] = hd.minval, hd.maxval
         const_mask[i] = hd.const_field
         base_cut[i] = hd.base_cut
         if hd.const_field:
-            continue
-        pl, sg = _unpack_layer(hd, basep, hd.base_nplanes, hd.base_cut,
-                               hd.base_top, d0, hp, wb)
-        base_planes[:, i], base_signs[i] = pl, sg
+            return
+        _unpack_layer_into(hd, basep, hd.base_nplanes, hd.base_cut,
+                           hd.base_top, base_planes[:, i], base_signs[i])
         if hd.has_residual:
-            any_residual = True
             rmin[i], rmax[i] = hd.rmin, hd.rmax
             res_cut[i] = hd.res_cut
-            pl, sg = _unpack_layer(hd, resp, hd.res_nplanes, hd.res_cut,
-                                   hd.res_top, d0, hp, wb)
-            res_planes[:, i], res_signs[i] = pl, sg
+            _unpack_layer_into(hd, resp, hd.res_nplanes, hd.res_cut,
+                               hd.res_top, res_planes[:, i], res_signs[i])
 
-    args = [base_planes, base_signs, base_cut,
-            res_planes, res_signs, res_cut,
-            minval, maxval, rmin, rmax]
+    with stage("dec: entropy decode+unpack"):
+        if n <= 1:
+            for i in range(n):
+                unpack_one(i)
+        else:
+            with ThreadPoolExecutor(max_workers=min(4, n)) as pool:
+                list(pool.map(unpack_one, range(n)))
+
     if sharding is not None:
         import jax.sharding as jsh
+        args = [base_planes, base_signs, base_cut,
+                res_planes, res_signs, res_cut,
+                minval, maxval, rmin, rmax]
         batch_axis = sharding.spec
         mesh = sharding.mesh
         scalar_sh = jsh.NamedSharding(mesh, jsh.PartitionSpec(*batch_axis))
@@ -437,13 +548,60 @@ def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
             sh = plane_sh if a.ndim == 5 else scalar_sh
             placed.append(jax.device_put(a, sh))
         args = placed
+    else:
+        # Single-device path: only the nonzero plane rows cross the
+        # host->device link (one packed row buffer; core.transfer).
+        comb_host = np.concatenate(
+            [base_planes, base_signs[None], res_planes, res_signs[None]],
+            axis=0)
+        with stage("dec: dense_to_rows"):
+            row_idx, buf = transfer.dense_to_rows(comb_host)
+        cap_rows = transfer.bucket_rows(max(1, row_idx.size))
+        with stage(f"dec: upload {cap_rows} rows + scatter"):
+            buf_padded = np.zeros((cap_rows, wb), np.uint8)
+            buf_padded[: buf.shape[0]] = buf
+            comb_dev = transfer.scatter_rows(
+                jax.device_put(buf_padded),
+                jax.device_put(transfer.pad_index(row_idx, cap_rows, -1)),
+                cap_rows=cap_rows, shape=comb_host.shape)
+        args = [comb_dev[:kb], comb_dev[kb], base_cut,
+                comb_dev[kb + 1:kb + 1 + kr], comb_dev[kb + 1 + kr],
+                res_cut, minval, maxval, rmin, rmax]
     out = kernels.decode_batch_cuts(
         *args,
         base_levels=h0.base_levels, res_levels=h0.res_levels,
         out_hw=(h, w), has_residual=any_residual)
+    return out, const_mask, minval
+
+
+def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
+    """Host-resident decode: :func:`_decode_streams_device` + fetch."""
+    import jax
+
+    out, const_mask, minval = _decode_streams_device(streams, sharding)
     out = np.array(jax.device_get(out))  # copy: device_get can be read-only
     if const_mask.any():
         out[const_mask] = minval[const_mask, None, None, None]
+    return out
+
+
+def encode_frames_device(x_dev, config: CodecConfig,
+                         opts: Optional[EncodeOptions] = None) -> List[bytes]:
+    """Device-resident encode: ``x_dev`` is a ``(B, n_frames, h, w)`` jax
+    array already living in HBM (the TPU-pipeline case, e.g. compressing
+    model/simulation output or re-compressing an archive that is consumed on
+    device).  Only compressed-domain data crosses the host link.  Returns
+    one ETPU stream per batch entry."""
+    opts = opts or EncodeOptions.from_env()
+    b, n_frames, h, w = x_dev.shape
+    return _encode_chunk_batch(x_dev, config, opts)
+
+
+def decode_frames_device(streams: List[bytes]):
+    """Device-resident decode: returns a ``(B, n_frames, h, w)`` jax array
+    still in HBM (feed it straight into a TPU consumer).  Only the
+    compressed-domain payloads cross the host link."""
+    out, const_mask, minval = _decode_streams_device(streams)
     return out
 
 
@@ -536,7 +694,18 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
         chunk_dims=(0, 0, 0), base_levels=config.base_levels,
         residual_levels=config.residual_levels, zstd_level=config.zstd_level)
 
-    streams_out: List[bytes] = []
+    if not np.isfinite(chunks).all():
+        raise ValueError("NaN or Inf found in data")
+
+    # Pipeline: a worker thread runs the (link-bound) device dispatch +
+    # sliced fetch of batch k+1 while the main thread entropy-codes and
+    # assembles batch k.
+    from concurrent.futures import ThreadPoolExecutor
+
+    error_mode = chunk_cfg.residual_mode != cfg.RESIDUAL_NONE
+    backend = entropy.default_backend()
+
+    slices = []
     for start in range(0, num_chunks, max_batch):
         sl = chunks[start:start + max_batch]
         b = sl.shape[0]
@@ -544,8 +713,22 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
             # pad to the bucket size to reuse the compiled program
             sl = np.concatenate(
                 [sl, np.repeat(sl[-1:], max_batch - b, axis=0)], axis=0)
-        streams_out.extend(
-            _encode_chunk_batch(sl, chunk_cfg, opts)[:b])
+        slices.append((sl, b))
+
+    def run_batch(sl):
+        return _fetch_encode_outputs(
+            encode_batch_device(sl, chunk_cfg, opts), error_mode)
+
+    streams_out: List[bytes] = []
+    with ThreadPoolExecutor(max_workers=1) as fetcher:
+        fut = fetcher.submit(run_batch, slices[0][0])
+        for i, (_, b) in enumerate(slices):
+            out_np = fut.result()
+            if i + 1 < len(slices):
+                fut = fetcher.submit(run_batch, slices[i + 1][0])
+            streams_out.extend(
+                _assemble_batch(out_np, chunk_cfg, opts, n_frames, h, w,
+                                backend, error_mode, b))
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,

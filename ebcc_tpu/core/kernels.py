@@ -42,6 +42,14 @@ import jax.numpy as jnp
 
 from ..config import BASE_NUM_PLANES, RES_NUM_PLANES
 from ..ops import bitplane, dwt
+from . import transfer
+
+# Row layout of the combined plane stack shipped to the host: base magnitude
+# planes, base sign plane, residual magnitude planes, residual sign plane.
+COMB_SIGN_BASE_ROW = BASE_NUM_PLANES
+COMB_RES0_ROW = BASE_NUM_PLANES + 1
+COMB_SIGN_RES_ROW = BASE_NUM_PLANES + 1 + RES_NUM_PLANES
+COMB_ROWS = BASE_NUM_PLANES + RES_NUM_PLANES + 2
 
 BASE_SCALE = 65535.0
 RES_SCALE = 255.0
@@ -189,11 +197,19 @@ def encode_batch(
         (jnp.abs(qbase).max(axis=(1, 2, 3)) >= (1 << BASE_NUM_PLANES))
         | (jnp.abs(qres).max(axis=(1, 2, 3)) >= (1 << RES_NUM_PLANES)))
 
+    # Combined plane stack + per-plane support extents: the host fetches
+    # only each plane's nonzero top-left rectangle in one packed transfer
+    # (see core.transfer).
+    planes_comb = jnp.concatenate(
+        [base_planes, base_signs[None], res_planes, res_signs[None]], axis=0)
+    ext_rows = transfer.plane_row_extents(planes_comb)
+
     return {
         "minval": minval, "maxval": maxval, "const": const,
         "overflow": overflow,
         "target_abs": target,
-        "base_planes": base_planes, "base_signs": base_signs,
+        "planes_comb": planes_comb,
+        "ext_rows": ext_rows,
         "base_cut": base_cut, "pure_cut": pure_cut,
         "pure_feasible": pure_feasible,
         "base_est_sizes": base_sizes,
@@ -204,7 +220,6 @@ def encode_batch(
         "base_maxerr": base_maxerr,
         "base_mean": take(mean_p, base_cut),
         "rmin": rmin, "rmax": rmax,
-        "res_planes": res_planes, "res_signs": res_signs,
         "res_cut": res_cut, "res_feasible": res_feasible,
         "res_maxerr": take(res_maxe_p, res_cut),
         "res_mean": take(res_mean_p, res_cut),
@@ -235,8 +250,11 @@ def encode_batch_rate_only(
     planes, signs = bitplane.extract_planes(qbase, BASE_NUM_PLANES)
     sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
+    planes_comb = jnp.concatenate([planes, signs[None]], axis=0)
+    ext_rows = transfer.plane_row_extents(planes_comb)
     return {"minval": minval, "maxval": maxval, "const": const,
-            "base_planes": planes, "base_signs": signs,
+            "planes_comb": planes_comb,
+            "ext_rows": ext_rows,
             "base_est_sizes": sizes}
 
 
@@ -256,6 +274,12 @@ def decode_batch_cuts(
 ):
     """Batched decode with explicit per-chunk cuts (from the stream header).
 
+    Plane arrays carry only K <= NUM_PLANES rows (host↔device transfer
+    minimization: untransmitted planes never cross the link).  Row alignment
+    contract with the host: chunk b's kept planes occupy the BOTTOM
+    ``kept_b`` rows of the K-row stack, so row i holds bit ``cut_b + K-1-i``
+    and the assembled K-bit magnitude is left-shifted by ``cut_b``.
+
     The dequantization midpoint offset is a function of (magnitude, cut), so
     reconstruction = ``reconstruct_at_cut(q, cut)`` on the truncated
     magnitudes — identical arithmetic to the encoder's feasibility scan,
@@ -263,8 +287,10 @@ def decode_batch_cuts(
     """
     h, w = out_hw
 
-    def layer(planes, signs, cut, num_planes, levels, scale, lo, hi):
-        mag = bitplane.assemble_magnitude(planes, num_planes)
+    def layer(planes, signs, cut, levels, scale, lo, hi):
+        k = planes.shape[0]
+        mag_k = bitplane.assemble_magnitude(planes, k)
+        mag = mag_k << cut[:, None, None, None]
         sbits = bitplane.unpack_bits_last_axis(signs)
         q = jnp.where(sbits.astype(bool), -mag, mag)
         rec = bitplane.reconstruct_at_cut(q, cut[:, None, None, None])
@@ -272,9 +298,9 @@ def decode_batch_cuts(
         rng = jnp.where(hi > lo, hi - lo, 1.0)
         return spatial * (rng[:, None, None, None] / scale) + lo[:, None, None, None]
 
-    out = layer(base_planes, base_signs, base_cut, BASE_NUM_PLANES,
+    out = layer(base_planes, base_signs, base_cut,
                 base_levels, BASE_SCALE, minval, maxval)
     if has_residual:
-        out = out + layer(res_planes, res_signs, res_cut, RES_NUM_PLANES,
+        out = out + layer(res_planes, res_signs, res_cut,
                           res_levels, RES_SCALE, rmin, rmax)
     return out

@@ -78,37 +78,16 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
         chunk_dims=(0, 0, 0), base_levels=config.base_levels,
         residual_levels=config.residual_levels, zstd_level=config.zstd_level)
 
-    from ..config import RESIDUAL_NONE, RESIDUAL_RELATIVE_ERROR
+    from ..config import RESIDUAL_NONE
     from ..core import entropy, stream
 
     backend = entropy.default_backend()
-    if config.residual_mode == RESIDUAL_NONE:
-        out = kernels.encode_batch_rate_only(
-            xb, base_levels=config.base_levels,
-            res_levels=config.residual_levels)
-        out = jax.device_get(out)
-        streams = [
-            _codec._assemble_rate_mode_stream(
-                _codec._ChunkResult(out, i), chunk_cfg, n_frames, h, w,
-                backend)
-            for i in range(num_chunks)
-        ]
-    else:
-        relative = config.residual_mode == RESIDUAL_RELATIVE_ERROR
-        out = kernels.encode_batch(
-            xb, np.float32(config.error),
-            np.float32(opts.base_quantile_target),
-            base_levels=config.base_levels,
-            res_levels=config.residual_levels,
-            relative_mode=relative,
-            use_centered=not opts.disable_mean_adjustment)
-        out = jax.device_get(out)
-        streams = [
-            _codec._assemble_error_mode_stream(
-                _codec._ChunkResult(out, i), chunk_cfg, opts, n_frames, h, w,
-                backend)
-            for i in range(num_chunks)
-        ]
+    error_mode = config.residual_mode != RESIDUAL_NONE
+    out = _codec.encode_batch_device(xb, chunk_cfg, opts)
+    out_np = _codec._fetch_encode_outputs(out, error_mode)
+    streams = _codec._assemble_batch(
+        out_np, chunk_cfg, opts, n_frames, h, w, backend, error_mode,
+        num_chunks)
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,
