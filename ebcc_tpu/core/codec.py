@@ -73,26 +73,30 @@ def _layout(dims: Sequence[int]) -> Tuple[int, int, int]:
     return 1, flat, d2
 
 
-def _layer_payload(planes_np, signs_np, cut: int, num_planes: int):
-    """Assemble one layer's raw payload for one chunk.
+def build_layer_payload(v, stored_cut: int, cut: int, num_planes: int):
+    """Assemble one layer's raw payload for one chunk from its dense signed
+    kept-values.
 
-    planes_np: (P, D0, Hp, Wb) uint8 (MSB plane first); signs_np (D0, Hp, Wb).
-    Keeps plane rows [top, P - cut); masks signs to coefficients significant
-    at the cut.  Returns (payload_bytes, top, kept).
+    v: (D0, Hp, Wp) int32, values = sign * (|q| >> stored_cut) with
+    stored_cut <= cut.  The payload is the dense bitplane stack of the
+    magnitudes at ``cut`` — rows [top, num_planes - cut), MSB first — plus
+    the sign plane masked to coefficients significant at the cut (exactly
+    the ETPU stream layout; see core.stream).
+    Returns (payload_bytes, top, kept).
     """
-    last = num_planes - cut
-    kept_planes = planes_np[:last]
-    nz = [bool(kept_planes[i].any()) for i in range(last)]
-    top = 0
-    while top < last and not nz[top]:
-        top += 1
-    kept = last - top
-    if kept <= 0:
-        return b"", min(top, 255), 0
-    body = kept_planes[top:last]
-    mask = np.bitwise_or.reduce(body, axis=0)
-    signs = signs_np & mask
-    return body.tobytes() + signs.tobytes(), top, kept
+    mag = np.abs(v) >> (cut - stored_cut)
+    mx = int(mag.max()) if mag.size else 0
+    if mx == 0:
+        return b"", min(num_planes - cut, 255), 0
+    msb = mx.bit_length()
+    kept = msb
+    top = num_planes - cut - msb
+    parts = [
+        np.packbits(((mag >> s) & 1).astype(np.uint8), axis=-1).tobytes()
+        for s in range(msb - 1, -1, -1)
+    ]
+    signs = np.packbits(((v < 0) & (mag > 0)).astype(np.uint8), axis=-1)
+    return b"".join(parts) + signs.tobytes(), top, kept
 
 
 def _entropy_encode(payload: bytes, backend: int, level: int) -> bytes:
@@ -101,21 +105,48 @@ def _entropy_encode(payload: bytes, backend: int, level: int) -> bytes:
     return entropy.compress(payload, backend, level)
 
 
+class _SparseBatch:
+    """Host-side view of a batch's sparse coefficient exchange (see
+    core.transfer): sorted flat indices into the (layer, chunk, D0, Hp, Wp)
+    coefficient space + signed kept-values."""
+
+    def __init__(self, idx: np.ndarray, vals: np.ndarray, b: int, d0: int,
+                 hp: int, wp: int):
+        self.idx = idx
+        self.vals = vals
+        self.b = b
+        self.sc = d0 * hp * wp
+        self.shape = (d0, hp, wp)
+        bounds = np.arange(2 * b + 1, dtype=np.int64) * self.sc
+        self.splits = np.searchsorted(idx, bounds)
+
+    def dense(self, layer: int, i: int) -> np.ndarray:
+        """Dense (D0, Hp, Wp) int32 signed kept-values of one chunk/layer."""
+        j = layer * self.b + i
+        lo, hi = self.splits[j], self.splits[j + 1]
+        out = np.zeros(self.sc, np.int32)
+        out[self.idx[lo:hi] - j * self.sc] = self.vals[lo:hi]
+        return out.reshape(self.shape)
+
+
 class _ChunkResult:
     """Host-side view of one chunk's device outputs (numpy scalars/arrays)."""
 
     def __init__(self, out, i):
+        self._i = i
         for k, v in out.items():
-            if v is None:
-                setattr(self, k, None)
-            elif k.endswith("_planes"):
-                setattr(self, k, v[:, i])  # (K<=P, D0, Hp, Wb)
-            elif k.endswith("_signs"):
-                setattr(self, k, v[i])
+            if v is None or k == "sparse" or np.ndim(v) == 0:
+                setattr(self, k, v)
             elif k.endswith("_sizes") or k.endswith("_quantiles"):
                 setattr(self, k, v[:, i])
             else:
                 setattr(self, k, v[i])
+
+    def base_values(self):
+        return self.sparse.dense(0, self._i)
+
+    def res_values(self):
+        return self.sparse.dense(1, self._i)
 
 
 def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
@@ -154,17 +185,20 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     res_feasible = bool(res.res_feasible)
     pure_feasible = bool(res.pure_feasible)
 
+    store_cut = int(res.store_cut)
+
     # Candidate A: base @ base_cut (+ residual @ res_cut unless skipped).
-    base_payload, base_top, base_kept = _layer_payload(
-        res.base_planes, res.base_signs, base_cut, cfg.BASE_NUM_PLANES)
+    base_v = res.base_values()
+    base_payload, base_top, base_kept = build_layer_payload(
+        base_v, store_cut, base_cut, cfg.BASE_NUM_PLANES)
     base_comp = _entropy_encode(base_payload, backend, level)
 
     use_residual = (not skip_residual) and res_feasible
     res_comp = b""
     res_top = 0
     if use_residual:
-        res_payload, res_top, res_kept = _layer_payload(
-            res.res_planes, res.res_signs, res_cut, cfg.RES_NUM_PLANES)
+        res_payload, res_top, res_kept = build_layer_payload(
+            res.res_values(), res_cut, res_cut, cfg.RES_NUM_PLANES)
         res_comp = _entropy_encode(res_payload, backend, level)
         if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
             res_comp = b""
@@ -182,8 +216,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
                 "shipping best effort (finest cut).", float(res.target_abs))
         choose_pure = True
     elif use_residual and not opts.disable_pure_base_fallback:
-        pure_payload, pure_top, _ = _layer_payload(
-            res.base_planes, res.base_signs, pure_cut, cfg.BASE_NUM_PLANES)
+        pure_payload, pure_top, _ = build_layer_payload(
+            base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
         pure_comp = _entropy_encode(pure_payload, backend, level)
         if len(pure_comp) < len(base_comp) + len(res_comp):
             logger.info(
@@ -193,8 +227,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     if choose_pure:
         if pure_comp is None:
-            pure_payload, pure_top, _ = _layer_payload(
-                res.base_planes, res.base_signs, pure_cut, cfg.BASE_NUM_PLANES)
+            pure_payload, pure_top, _ = build_layer_payload(
+                base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
             pure_comp = _entropy_encode(pure_payload, backend, level)
         base_comp, base_cut, base_top = pure_comp, pure_cut, pure_top
         use_residual = False
@@ -259,11 +293,13 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     cut = int(np.argmax(est <= budget)) if (est <= budget).any() \
         else cfg.BASE_NUM_PLANES
 
+    base_v = res.base_values()
+
     def payload_at(c):
         if c >= cfg.BASE_NUM_PLANES:
             return b"", 0
-        pl, top, kept = _layer_payload(
-            res.base_planes, res.base_signs, c, cfg.BASE_NUM_PLANES)
+        pl, top, kept = build_layer_payload(
+            base_v, 0, c, cfg.BASE_NUM_PLANES)
         return _entropy_encode(pl, backend, level), top
 
     comp, top = payload_at(cut)
@@ -290,71 +326,32 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, comp, b"")
 
 
-def _bucket4(k: int, cap: int) -> int:
-    """Round a plane count up to a multiple of 4 (bounded by cap) so the
-    device-side slice shapes reuse a small set of compiled programs."""
-    return min(cap, -(-k // 4) * 4)
-
-
 def _fetch_encode_outputs(out, error_mode: bool):
-    """Transfer device encode outputs to host.
-
-    The scalar/metadata outputs come first (one small fetch, including the
-    per-plane support extents), then the plane data crosses the link as ONE
-    packed buffer holding only each needed plane's nonzero rectangle
-    (core.transfer pyramid compaction) — typically ~3-5 bits per grid point
-    instead of the dense stack's 14+.
-    """
+    """Transfer device encode outputs to host via the sparse coefficient
+    exchange (core.transfer): one small fetch (scalars + packed significance
+    bitmap), one index upload, one compacted-values fetch.  Link traffic
+    scales with the number of significant coefficients (1-3 bits per grid
+    point at typical bounds), not with the grid."""
     import jax
 
     with stage("enc: small fetch (+compute)"):
-        small = {k: v for k, v in out.items() if k != "planes_comb"}
+        small = {k: v for k, v in out.items() if k != "vals_comb"}
         small = jax.device_get(small)
 
-    pb, pr = cfg.BASE_NUM_PLANES, cfg.RES_NUM_PLANES
-    comb = out["planes_comb"]
-    n_comb, b, d0, hp, wb = comb.shape
-    rate_only = n_comb == pb + 1
+    sig = small.pop("sig_comb")  # (L, B, D0, Hp, Wp//8) uint8, L in {1, 2}
+    nl, b, d0, hp, wb = sig.shape
+    wp = wb * 8
 
-    if error_mode and not rate_only:
-        min_base_cut = int(min(small["base_cut"].min(),
-                               small["pure_cut"].min()))
-        kb = pb - min_base_cut
-        kr = pr - int(small["res_cut"].min())
-    else:
-        kb = pb
-        kr = 0
+    with stage("enc: bitmap -> positions"):
+        idx = transfer.host_bitmap_positions(sig)
+    as16 = int(small["max_kept"]) < (1 << 15)
+    cap = transfer.bucket_count(max(1, idx.size))
+    with stage(f"enc: gather+fetch {idx.size} vals"):
+        idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
+        vals = np.asarray(jax.device_get(transfer.gather_values(
+            out["vals_comb"], idx_dev, cap=cap, as_int16=as16)))[: idx.size]
 
-    sign_base_row = pb
-    rows_needed = list(range(kb)) + [sign_base_row]
-    if kr > 0 and not rate_only:
-        res0 = pb + 1
-        rows_needed += list(range(res0, res0 + kr)) + [pb + 1 + pr]
-
-    ext_r = small.pop("ext_rows")
-    plane_rows = [r for r in rows_needed if ext_r[r] > 0]
-    extents = [int(ext_r[r]) for r in plane_rows]
-
-    full = np.zeros((n_comb, b, d0, hp, wb), np.uint8)
-    if plane_rows:
-        row_idx = transfer.build_row_index(plane_rows, extents, b, d0, hp)
-        cap_rows = transfer.bucket_rows(row_idx.size)
-        with stage("enc: idx upload + pack"):
-            idx_dev = jax.device_put(transfer.pad_index(row_idx, cap_rows, 0))
-            buf_dev = transfer.pack_rows(comb, idx_dev, cap_rows=cap_rows)
-        with stage(f"enc: row fetch {cap_rows}x{wb}B"):
-            buf = np.asarray(jax.device_get(buf_dev))
-        with stage("enc: rows_to_dense"):
-            full = transfer.rows_to_dense(buf, row_idx, full.shape)
-
-    small["base_planes"] = full[:pb]
-    small["base_signs"] = full[pb]
-    if rate_only:
-        small["res_planes"] = None
-        small["res_signs"] = None
-    else:
-        small["res_planes"] = full[pb + 1:pb + 1 + pr]
-        small["res_signs"] = full[pb + 1 + pr]
+    small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
     return small
 
 
@@ -431,17 +428,20 @@ def encode(data: np.ndarray, config: CodecConfig,
     return _encode_chunk_batch(x, config, opts)[0]
 
 
-def _unpack_layer_into(header, payload: bytes, num_planes, cut, top,
-                       planes_out, signs_out):
-    """Entropy-decode one layer payload into bottom-aligned rows of a
-    K-row plane stack (K = planes_out.shape[0]; see decode_batch_cuts row
-    alignment contract: row i holds bit cut + K-1-i)."""
+def _payload_to_values(header, payload: bytes, which: str, d0, hp, wp):
+    """Entropy-decode one layer payload -> dense (D0, Hp, Wp) int32 signed
+    kept-values (= sign * (|q| >> cut)).  Returns None when the layer is
+    empty."""
+    if which == "base":
+        num_planes, cut, top = (header.base_nplanes, header.base_cut,
+                                header.base_top)
+    else:
+        num_planes, cut, top = (header.res_nplanes, header.res_cut,
+                                header.res_top)
     kept = num_planes - cut - top
     if kept <= 0 or not payload:
-        return
-    k, d0, hp, wb = planes_out.shape
-    if kept > k:
-        raise stream.StreamError("plane stack smaller than kept planes")
+        return None
+    wb = wp // 8
     plane_bytes = d0 * hp * wb
     raw_size = (kept + 1) * plane_bytes
     raw = entropy.decompress(payload, header.entropy, raw_size)
@@ -449,28 +449,23 @@ def _unpack_layer_into(header, payload: bytes, num_planes, cut, top,
         raise stream.StreamError(
             f"decompressed payload size {len(raw)} != expected {raw_size}")
     body = np.frombuffer(raw, np.uint8)
-    planes_out[k - kept:] = body[:kept * plane_bytes].reshape(
-        kept, d0, hp, wb)
-    signs_out[:] = body[kept * plane_bytes:].reshape(d0, hp, wb)
+    rows = body[: kept * plane_bytes].reshape(kept, d0, hp, wb)
+    signs = body[kept * plane_bytes:].reshape(d0, hp, wb)
+    bits = np.unpackbits(rows, axis=-1)
+    mag = np.zeros((d0, hp, wp), np.int32)
+    for i in range(kept):
+        mag = (mag << 1) | bits[i]
+    sbits = np.unpackbits(signs, axis=-1).astype(bool)
+    return np.where(sbits, -mag, mag)
 
 
-def _decode_streams_device(streams: List[bytes], sharding=None):
-    """Decode a list of ETPU streams (must share shape) into a DEVICE array
-    ``(N, d0, h, w)`` plus host-side (const_mask, minval).
-
-    Only the kept plane rows cross the host->device link (bottom-aligned
-    K-row stacks; see decode_batch_cuts).  When ``sharding`` is given, the
-    batched arrays are laid out over the mesh so the program runs SPMD."""
-    import jax
-    from concurrent.futures import ThreadPoolExecutor
-
+def _parse_streams(streams):
     headers = []
     payloads = []
     for s in streams:
         hd, basep, resp = stream.split_frame_stream(s)
         headers.append(hd)
         payloads.append((basep, resp))
-
     h0 = headers[0]
     key = (h0.n_frames, h0.height, h0.width, h0.base_levels, h0.res_levels,
            h0.base_nplanes, h0.res_nplanes)
@@ -479,27 +474,29 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
              hd.base_nplanes, hd.res_nplanes)
         if k != key:
             raise stream.StreamError("inconsistent chunk stream shapes")
+    return headers, payloads
 
+
+def _decode_streams_device(streams: List[bytes], sharding=None):
+    """Decode a list of ETPU streams (must share shape) into a DEVICE array
+    ``(N, d0, h, w)`` plus host-side (const_mask, minval).
+
+    Single-device path: the sparse coefficient exchange (core.transfer) —
+    host entropy-decodes the payloads, extracts (indices, signed
+    kept-values), uploads both, and ONE device scatter + inverse transforms
+    produce the batch.  With ``sharding`` the batched sparse arrays are laid
+    out over the mesh so the program runs SPMD.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    headers, payloads = _parse_streams(streams)
+    h0 = headers[0]
     n = len(headers)
     d0, h, w = h0.n_frames, h0.height, h0.width
     hp, wp = _padded_hw(h, w, max(h0.base_levels, h0.res_levels))
-    wb = wp // 8
+    sc = d0 * hp * wp
 
-    def kept_of(hd):
-        kb = 0 if hd.const_field else max(
-            0, hd.base_nplanes - hd.base_cut - hd.base_top)
-        kr = max(0, hd.res_nplanes - hd.res_cut - hd.res_top) \
-            if (hd.has_residual and not hd.const_field) else 0
-        return kb, kr
-
-    kepts = [kept_of(hd) for hd in headers]
-    kb = _bucket4(max(1, max(k[0] for k in kepts)), h0.base_nplanes)
-    kr = _bucket4(max(1, max(k[1] for k in kepts)), h0.res_nplanes)
-
-    base_planes = np.zeros((kb, n, d0, hp, wb), np.uint8)
-    base_signs = np.zeros((n, d0, hp, wb), np.uint8)
-    res_planes = np.zeros((kr, n, d0, hp, wb), np.uint8)
-    res_signs = np.zeros((n, d0, hp, wb), np.uint8)
     minval = np.zeros(n, np.float32)
     maxval = np.zeros(n, np.float32)
     rmin = np.zeros(n, np.float32)
@@ -509,6 +506,9 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     const_mask = np.zeros(n, bool)
     any_residual = any(hd.has_residual for hd in headers)
 
+    idx_parts: List = [None] * (2 * n)
+    val_parts: List = [None] * (2 * n)
+
     def unpack_one(i):
         hd = headers[i]
         basep, resp = payloads[i]
@@ -517,15 +517,23 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         base_cut[i] = hd.base_cut
         if hd.const_field:
             return
-        _unpack_layer_into(hd, basep, hd.base_nplanes, hd.base_cut,
-                           hd.base_top, base_planes[:, i], base_signs[i])
+        v = _payload_to_values(hd, basep, "base", d0, hp, wp)
+        if v is not None:
+            flat = v.reshape(-1)
+            pos = np.flatnonzero(flat).astype(np.int64)
+            idx_parts[i] = pos + i * sc
+            val_parts[i] = flat[pos]
         if hd.has_residual:
             rmin[i], rmax[i] = hd.rmin, hd.rmax
             res_cut[i] = hd.res_cut
-            _unpack_layer_into(hd, resp, hd.res_nplanes, hd.res_cut,
-                               hd.res_top, res_planes[:, i], res_signs[i])
+            v = _payload_to_values(hd, resp, "res", d0, hp, wp)
+            if v is not None:
+                flat = v.reshape(-1)
+                pos = np.flatnonzero(flat).astype(np.int64)
+                idx_parts[n + i] = pos + (n + i) * sc
+                val_parts[n + i] = flat[pos]
 
-    with stage("dec: entropy decode+unpack"):
+    with stage("dec: parse+unpack payloads"):
         if n <= 1:
             for i in range(n):
                 unpack_one(i)
@@ -533,44 +541,34 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             with ThreadPoolExecutor(max_workers=min(4, n)) as pool:
                 list(pool.map(unpack_one, range(n)))
 
-    if sharding is not None:
-        import jax.sharding as jsh
-        args = [base_planes, base_signs, base_cut,
-                res_planes, res_signs, res_cut,
-                minval, maxval, rmin, rmax]
-        batch_axis = sharding.spec
-        mesh = sharding.mesh
-        scalar_sh = jsh.NamedSharding(mesh, jsh.PartitionSpec(*batch_axis))
-        plane_sh = jsh.NamedSharding(
-            mesh, jsh.PartitionSpec(None, *batch_axis))
-        placed = []
-        for a in args:
-            sh = plane_sh if a.ndim == 5 else scalar_sh
-            placed.append(jax.device_put(a, sh))
-        args = placed
-    else:
-        # Single-device path: only the nonzero plane rows cross the
-        # host->device link (one packed row buffer; core.transfer).
-        comb_host = np.concatenate(
-            [base_planes, base_signs[None], res_planes, res_signs[None]],
-            axis=0)
-        with stage("dec: dense_to_rows"):
-            row_idx, buf = transfer.dense_to_rows(comb_host)
-        cap_rows = transfer.bucket_rows(max(1, row_idx.size))
-        with stage(f"dec: upload {cap_rows} rows + scatter"):
-            buf_padded = np.zeros((cap_rows, wb), np.uint8)
-            buf_padded[: buf.shape[0]] = buf
-            comb_dev = transfer.scatter_rows(
-                jax.device_put(buf_padded),
-                jax.device_put(transfer.pad_index(row_idx, cap_rows, -1)),
-                cap_rows=cap_rows, shape=comb_host.shape)
-        args = [comb_dev[:kb], comb_dev[kb], base_cut,
-                comb_dev[kb + 1:kb + 1 + kr], comb_dev[kb + 1 + kr],
-                res_cut, minval, maxval, rmin, rmax]
-    out = kernels.decode_batch_cuts(
-        *args,
-        base_levels=h0.base_levels, res_levels=h0.res_levels,
-        out_hw=(h, w), has_residual=any_residual)
+    idx = np.concatenate([p for p in idx_parts if p is not None]) \
+        if any(p is not None for p in idx_parts) else np.zeros(0, np.int64)
+    vals = np.concatenate([p for p in val_parts if p is not None]) \
+        if idx.size else np.zeros(0, np.int32)
+    cap = transfer.bucket_count(max(1, idx.size))
+    as16 = bool(np.abs(vals).max() < (1 << 15)) if vals.size else True
+    idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
+    vals_up = np.zeros(cap, np.int16 if as16 else np.int32)
+    vals_up[: vals.size] = vals.astype(vals_up.dtype)
+
+    with stage("dec: upload sparse + decode"):
+        args = [jax.device_put(idx_up), jax.device_put(vals_up),
+                jax.device_put(base_cut), jax.device_put(res_cut),
+                jax.device_put(minval), jax.device_put(maxval),
+                jax.device_put(rmin), jax.device_put(rmax)]
+        if sharding is not None:
+            # SPMD layout: scalars shard on the chunk axis; the sparse
+            # vectors are replicated (their scatter targets span chunks).
+            import jax.sharding as jsh
+            mesh = sharding.mesh
+            repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+            args = ([jax.device_put(a, repl) for a in args[:2]]
+                    + [jax.device_put(a, sharding) for a in args[2:]])
+        out = kernels.decode_batch_sparse(
+            *args,
+            base_levels=h0.base_levels, res_levels=h0.res_levels,
+            out_hw=(h, w), has_residual=any_residual,
+            grid_shape=(n, d0, hp, wp))
     return out, const_mask, minval
 
 

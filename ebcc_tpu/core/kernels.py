@@ -147,7 +147,6 @@ def encode_batch(
     pure_cut = _last_true_index(maxe_p <= target[None, :], jnp.int32(0))
     pure_feasible = (maxe_p <= target[None, :]).any(axis=0)
 
-    base_planes, base_signs = bitplane.extract_planes(qbase, BASE_NUM_PLANES)
     base_sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
 
@@ -186,7 +185,6 @@ def encode_batch(
     res_cut = _last_true_index(res_feas_p, jnp.int32(0))
     res_feasible = res_feas_p.any(axis=0)  # else pure-base required (ref c:755-758)
 
-    res_planes, res_signs = bitplane.extract_planes(qres, RES_NUM_PLANES)
     res_sizes = bitplane.estimated_code_bytes(
         qres.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]), RES_NUM_PLANES)
 
@@ -197,19 +195,36 @@ def encode_batch(
         (jnp.abs(qbase).max(axis=(1, 2, 3)) >= (1 << BASE_NUM_PLANES))
         | (jnp.abs(qres).max(axis=(1, 2, 3)) >= (1 << RES_NUM_PLANES)))
 
-    # Combined plane stack + per-plane support extents: the host fetches
-    # only each plane's nonzero top-left rectangle in one packed transfer
-    # (see core.transfer).
-    planes_comb = jnp.concatenate(
-        [base_planes, base_signs[None], res_planes, res_signs[None]], axis=0)
-    ext_rows = transfer.plane_row_extents(planes_comb)
+    # ---- sparse exchange rep (see core.transfer) ----
+    # Base kept-values at the deepest cut any stream candidate can need
+    # (pure_cut can be COARSER than base_cut: the quantile criterion is
+    # uncentered while the pure-base criterion is centered, so neither
+    # dominates); residual kept-values at res_cut, zeroed for chunks that
+    # will not carry a residual layer.
+    store_cut = jnp.minimum(pure_cut, base_cut)
+    pc = store_cut[:, None, None, None]
+    magb = jnp.abs(qbase)
+    vb = jnp.where(qbase < 0, -(magb >> pc), magb >> pc)
+    rc = res_cut[:, None, None, None]
+    res_active = ((~skip_residual) & res_feasible)[:, None, None, None]
+    magr = jnp.abs(qres)
+    vr = jnp.where(qres < 0, -(magr >> rc), magr >> rc)
+    vr = jnp.where(res_active, vr, 0)
+    vals_comb = jnp.concatenate([vb.reshape(-1), vr.reshape(-1)])
+    sig_comb = jnp.stack([
+        transfer.pack_bitmap((vb != 0).reshape(*vb.shape[:-1], -1)),
+        transfer.pack_bitmap((vr != 0).reshape(*vr.shape[:-1], -1)),
+    ])
+    max_kept = jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max())
 
     return {
         "minval": minval, "maxval": maxval, "const": const,
         "overflow": overflow,
         "target_abs": target,
-        "planes_comb": planes_comb,
-        "ext_rows": ext_rows,
+        "vals_comb": vals_comb,
+        "sig_comb": sig_comb,
+        "max_kept": max_kept,
+        "store_cut": store_cut,
         "base_cut": base_cut, "pure_cut": pure_cut,
         "pure_feasible": pure_feasible,
         "base_est_sizes": base_sizes,
@@ -247,15 +262,65 @@ def encode_batch_rate_only(
     up, _ = _pad2d(u, mult)
     ybase = dwt.dwt2d(up, base_levels)
     qbase = bitplane.quantize_floor(ybase)
-    planes, signs = bitplane.extract_planes(qbase, BASE_NUM_PLANES)
     sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
-    planes_comb = jnp.concatenate([planes, signs[None]], axis=0)
-    ext_rows = transfer.plane_row_extents(planes_comb)
+    # Sparse exchange at cut 0 (the host rate search may pick any cut).
+    vals_comb = qbase.reshape(-1)
+    sig_comb = transfer.pack_bitmap(
+        (qbase != 0).reshape(*qbase.shape[:-1], -1))[None]
     return {"minval": minval, "maxval": maxval, "const": const,
-            "planes_comb": planes_comb,
-            "ext_rows": ext_rows,
+            "vals_comb": vals_comb,
+            "sig_comb": sig_comb,
+            "max_kept": jnp.abs(qbase).max(),
             "base_est_sizes": sizes}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
+                     "grid_shape"),
+)
+def decode_batch_sparse(
+    idx,            # (cap,) int32 flat positions into the (2, B, D0, Hp, Wp)
+                    # coefficient space (base layer first); padding = -1
+    vals,           # (cap,) int16/int32 signed kept-values at the chunk cut
+    base_cut, res_cut,       # (B,) int32
+    minval, maxval, rmin, rmax,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+):
+    """Batched decode from the sparse exchange rep (see core.transfer).
+
+    ONE scatter rebuilds the coefficient field — no bitplane stack crosses
+    the link and no per-plane unpacking runs on device.  Reconstruction
+    arithmetic (``reconstruct_at_cut`` at the header cut) is identical to
+    the encoder's feasibility scan, which is what makes the error bound
+    exact at decode time.
+    """
+    h, w = out_hw
+    b, d0, hp, wp = grid_shape
+    s = b * d0 * hp * wp
+    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(
+        vals.astype(jnp.int32), mode="drop")
+
+    def layer(qkept, cut, levels, scale, lo, hi):
+        cut4 = cut[:, None, None, None]
+        q = jnp.where(qkept < 0, -((-qkept) << cut4), qkept << cut4)
+        rec = bitplane.reconstruct_at_cut(q, cut4)
+        spatial = dwt.idwt2d(rec, levels)[..., :h, :w]
+        rng = jnp.where(hi > lo, hi - lo, 1.0)
+        return spatial * (rng[:, None, None, None] / scale) + lo[:, None, None, None]
+
+    out = layer(qflat[:s].reshape(b, d0, hp, wp), base_cut,
+                base_levels, BASE_SCALE, minval, maxval)
+    if has_residual:
+        out = out + layer(qflat[s:].reshape(b, d0, hp, wp), res_cut,
+                          res_levels, RES_SCALE, rmin, rmax)
+    return out
 
 
 @functools.partial(
