@@ -1,0 +1,152 @@
+"""Native (C++) ETPU codec bindings.
+
+Role parity: the reference's Python layer discovers the built plugin lib
+next to the package and exposes ``EBCC_FILTER_PATH``/``EBCC_FILTER_DIR``
+for HDF5_PLUGIN_PATH consumers (reference ebcc/__init__.py:1-30), and
+reaches the codec through ctypes for Zarr (zarr_filter.py).  This module
+does the same for ``libh5z_etpu.so``: `build()` compiles it on demand with
+CMake+Ninja, `load()` binds the C API with ctypes, and ``FILTER_PATH`` /
+``FILTER_DIR`` point h5py/netCDF/CDO at the plugin.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+NATIVE_DIR = Path(__file__).resolve().parent
+BUILD_DIR = NATIVE_DIR / "build"
+LIB_NAME = "libh5z_etpu.so"
+
+FILTER_DIR: Optional[str] = None
+FILTER_PATH: Optional[str] = None
+
+
+class _ConfigStruct(ctypes.Structure):
+    """ctypes mirror of etpu_config_t (etpu_codec.h)."""
+
+    _fields_ = [
+        ("dims", ctypes.c_uint64 * 3),
+        ("base_cr", ctypes.c_float),
+        ("residual_mode", ctypes.c_int32),
+        ("error", ctypes.c_float),
+        ("chunk_dims", ctypes.c_uint64 * 3),
+        ("zstd_level", ctypes.c_int32),
+    ]
+
+
+def lib_path() -> Optional[Path]:
+    p = BUILD_DIR / LIB_NAME
+    return p if p.exists() else None
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library (CMake + Ninja).  Idempotent."""
+    if not force and lib_path():
+        return BUILD_DIR / LIB_NAME
+    BUILD_DIR.mkdir(exist_ok=True)
+    subprocess.run(
+        ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
+        cwd=BUILD_DIR, check=True, capture_output=True)
+    subprocess.run(["ninja"], cwd=BUILD_DIR, check=True, capture_output=True)
+    p = BUILD_DIR / LIB_NAME
+    if not p.exists():
+        raise RuntimeError("native build produced no library")
+    return p
+
+
+_lib = None
+
+
+def load(auto_build: bool = True):
+    """Load (building if needed) and return the ctypes-bound library."""
+    global _lib, FILTER_DIR, FILTER_PATH
+    if _lib is not None:
+        return _lib
+    p = lib_path()
+    if p is None:
+        if not auto_build:
+            raise FileNotFoundError(f"{LIB_NAME} not built")
+        p = build()
+    lib = ctypes.CDLL(str(p))
+    lib.etpu_decode.restype = ctypes.c_size_t
+    lib.etpu_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+    lib.etpu_decode_chunked.restype = ctypes.c_size_t
+    lib.etpu_decode_chunked.argtypes = lib.etpu_decode.argtypes
+    lib.etpu_encode.restype = ctypes.c_size_t
+    lib.etpu_encode.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_float, flags="C_CONTIGUOUS"),
+        ctypes.POINTER(_ConfigStruct),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    lib.etpu_encode_chunked.restype = ctypes.c_size_t
+    lib.etpu_encode_chunked.argtypes = lib.etpu_encode.argtypes
+    lib.etpu_free.argtypes = [ctypes.c_void_p]
+    lib.etpu_version.restype = ctypes.c_char_p
+    _lib = lib
+    FILTER_DIR = str(BUILD_DIR)
+    FILTER_PATH = str(p)
+    return lib
+
+
+def _make_config(config) -> _ConfigStruct:
+    c = _ConfigStruct()
+    for i in range(3):
+        c.dims[i] = config.dims[i]
+        c.chunk_dims[i] = config.chunk_dims[i]
+    c.base_cr = config.base_cr
+    c.residual_mode = config.residual_mode
+    c.error = config.error
+    c.zstd_level = config.zstd_level
+    return c
+
+
+def native_encode(data: np.ndarray, config) -> bytes:
+    """Encode through the native codec (single chunk)."""
+    lib = load()
+    data = np.ascontiguousarray(data, dtype=np.float32).ravel()
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.etpu_encode(data, ctypes.byref(_make_config(config)),
+                        ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("native encode failed")
+    try:
+        return bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n))
+                     .contents)
+    finally:
+        lib.etpu_free(out)
+
+
+def native_encode_chunked(data: np.ndarray, config) -> bytes:
+    lib = load()
+    data = np.ascontiguousarray(data, dtype=np.float32).ravel()
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.etpu_encode_chunked(data, ctypes.byref(_make_config(config)),
+                                ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("native chunked encode failed")
+    try:
+        return bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n))
+                     .contents)
+    finally:
+        lib.etpu_free(out)
+
+
+def native_decode(blob: bytes) -> np.ndarray:
+    """Decode an ETPU or ETPK payload through the native codec."""
+    lib = load()
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = lib.etpu_decode(blob, len(blob), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("native decode failed")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.etpu_free(out)
+    return arr

@@ -1,0 +1,974 @@
+/* Portable C++ ETPU/ETPK codec — see etpu_codec.h for the role statement.
+ *
+ * Algorithm parity with the JAX encoder (ebcc_tpu/core/kernels.py), itself
+ * a re-expression of the reference pipeline (reference src/ebcc_codec.c:
+ * ebcc_encode 607-918): two-layer base+residual coding with monotone
+ * cut scans instead of re-encode bisections, quantile-relaxed base layer,
+ * centered (post-mean-adjustment) feasibility, pure-base fallback
+ * comparison, const-field shortcut, residual drop rule.
+ * This implementation is serial per chunk, like the reference codec.
+ */
+
+#include "etpu_codec.h"
+
+#include <zstd.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int kBaseNumPlanes = 22;
+constexpr int kResNumPlanes = 12;
+constexpr int kBaseLevels = 5;
+constexpr int kResLevels = 3;
+constexpr float kBaseScale = 65535.0f;
+constexpr float kResScale = 255.0f;
+constexpr int kMinDim = 32;
+constexpr int kMaxDim = 2047;
+constexpr size_t kHeaderSize = 72;
+constexpr uint8_t kFlagConst = 0x01;
+constexpr uint8_t kFlagResidual = 0x02;
+constexpr uint8_t kFlagMeanAdjusted = 0x04;
+constexpr int kBackendStore = 0;
+constexpr int kBackendZstd = 1;
+constexpr size_t kResidualDropBytes = 16;
+
+/* CDF 9/7 lifting constants (shared with ebcc_tpu/ops/dwt.py). */
+constexpr float kAlpha = -1.586134342f;
+constexpr float kBeta = -0.05298011854f;
+constexpr float kGamma = 0.8829110762f;
+constexpr float kDelta = 0.44355068522f;
+constexpr float kXi = 1.149604398f;
+
+void log_err(const char *msg) { std::fprintf(stderr, "[etpu] %s\n", msg); }
+
+/* ------------------------------------------------------------------ */
+/* 1-D lifting along a strided axis, matching ops/dwt.py exactly:     */
+/*   predict: o[i] += c*(e[i] + e[i+1])   (e end-replicated)          */
+/*   update:  e[i] += c*(o[i-1] + o[i])   (o front-replicated)        */
+/* forward output layout: [lowpass*XI | highpass/XI] halves.          */
+/* ------------------------------------------------------------------ */
+
+void dwt1d(float *x, int n, int stride, float *tmp) {
+  const int h = n / 2;
+  for (int i = 0; i < h; ++i) {
+    tmp[i] = x[(2 * i) * stride];      /* even */
+    tmp[h + i] = x[(2 * i + 1) * stride]; /* odd */
+  }
+  float *e = tmp, *o = tmp + h;
+  for (int i = 0; i < h; ++i) {
+    const float en = e[std::min(i + 1, h - 1)];
+    o[i] += kAlpha * (e[i] + en);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float op = o[std::max(i - 1, 0)];
+    e[i] += kBeta * (op + o[i]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float en = e[std::min(i + 1, h - 1)];
+    o[i] += kGamma * (e[i] + en);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float op = o[std::max(i - 1, 0)];
+    e[i] += kDelta * (op + o[i]);
+  }
+  for (int i = 0; i < h; ++i) x[i * stride] = e[i] * kXi;
+  for (int i = 0; i < h; ++i) x[(h + i) * stride] = o[i] * (1.0f / kXi);
+}
+
+void idwt1d(float *x, int n, int stride, float *tmp) {
+  const int h = n / 2;
+  float *e = tmp, *o = tmp + h;
+  for (int i = 0; i < h; ++i) e[i] = x[i * stride] * (1.0f / kXi);
+  for (int i = 0; i < h; ++i) o[i] = x[(h + i) * stride] * kXi;
+  for (int i = 0; i < h; ++i) {
+    const float op = o[std::max(i - 1, 0)];
+    e[i] += -kDelta * (op + o[i]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float en = e[std::min(i + 1, h - 1)];
+    o[i] += -kGamma * (e[i] + en);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float op = o[std::max(i - 1, 0)];
+    e[i] += -kBeta * (op + o[i]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float en = e[std::min(i + 1, h - 1)];
+    o[i] += -kAlpha * (e[i] + en);
+  }
+  for (int i = 0; i < h; ++i) {
+    x[(2 * i) * stride] = e[i];
+    x[(2 * i + 1) * stride] = o[i];
+  }
+}
+
+/* In-place Mallat pyramid on a (hp x wp) row-major buffer.  Matches
+ * dwt2d/idwt2d in ops/dwt.py: forward does rows then cols per level. */
+void dwt2d(float *a, int hp, int wp, int levels) {
+  std::vector<float> tmp(std::max(hp, wp));
+  for (int l = 0; l < levels; ++l) {
+    const int hl = hp >> l, wl = wp >> l;
+    for (int r = 0; r < hl; ++r) dwt1d(a + (size_t)r * wp, wl, 1, tmp.data());
+    for (int c = 0; c < wl; ++c) dwt1d(a + c, hl, wp, tmp.data());
+  }
+}
+
+void idwt2d(float *a, int hp, int wp, int levels) {
+  std::vector<float> tmp(std::max(hp, wp));
+  for (int l = levels - 1; l >= 0; --l) {
+    const int hl = hp >> l, wl = wp >> l;
+    for (int c = 0; c < wl; ++c) idwt1d(a + c, hl, wp, tmp.data());
+    for (int r = 0; r < hl; ++r) idwt1d(a + (size_t)r * wp, wl, 1, tmp.data());
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* little-endian header IO (layout: ebcc_tpu/core/stream.py)           */
+/* ------------------------------------------------------------------ */
+
+struct FrameHeader {
+  uint8_t flags = 0, entropy = kBackendZstd;
+  uint32_t n_frames = 1, height = 0, width = 0;
+  float minval = 0, maxval = 0, rmin = 0, rmax = 0;
+  uint8_t base_levels = kBaseLevels, res_levels = kResLevels;
+  uint8_t base_nplanes = kBaseNumPlanes, base_cut = 0, base_top = 0;
+  uint8_t res_nplanes = kResNumPlanes, res_cut = 0, res_top = 0;
+  uint64_t base_comp = 0, res_comp = 0;
+};
+
+template <typename T>
+void put(std::vector<uint8_t> &b, T v) {
+  const size_t n = b.size();
+  b.resize(n + sizeof(T));
+  std::memcpy(b.data() + n, &v, sizeof(T));
+}
+
+template <typename T>
+bool get(const uint8_t *&p, const uint8_t *end, T *v) {
+  if ((size_t)(end - p) < sizeof(T)) return false;
+  std::memcpy(v, p, sizeof(T));
+  p += sizeof(T);
+  return true;
+}
+
+void pack_header(const FrameHeader &h, std::vector<uint8_t> &out) {
+  out.reserve(out.size() + kHeaderSize);
+  out.insert(out.end(), {'E', 'T', 'P', 'U'});
+  put<uint8_t>(out, 1);  /* version */
+  put<uint8_t>(out, h.flags);
+  put<uint8_t>(out, h.entropy);
+  put<uint8_t>(out, 0);
+  put<uint32_t>(out, h.n_frames);
+  put<uint32_t>(out, h.height);
+  put<uint32_t>(out, h.width);
+  put<uint32_t>(out, 0);
+  put<float>(out, h.minval);
+  put<float>(out, h.maxval);
+  put<float>(out, h.rmin);
+  put<float>(out, h.rmax);
+  put<uint8_t>(out, h.base_levels);
+  put<uint8_t>(out, h.res_levels);
+  put<uint8_t>(out, h.base_nplanes);
+  put<uint8_t>(out, h.base_cut);
+  put<uint8_t>(out, h.base_top);
+  put<uint8_t>(out, h.res_nplanes);
+  put<uint8_t>(out, h.res_cut);
+  put<uint8_t>(out, h.res_top);
+  put<uint64_t>(out, h.base_comp);
+  put<uint64_t>(out, h.res_comp);
+  put<uint64_t>(out, 0);
+}
+
+bool parse_header(const uint8_t *data, size_t size, FrameHeader *h) {
+  if (size < kHeaderSize || std::memcmp(data, "ETPU", 4) != 0) return false;
+  const uint8_t *p = data + 4;
+  const uint8_t *end = data + kHeaderSize;
+  uint8_t version, r0;
+  uint32_t r1;
+  uint64_t r2;
+  if (!get(p, end, &version) || version != 1) return false;
+  get(p, end, &h->flags);
+  get(p, end, &h->entropy);
+  get(p, end, &r0);
+  get(p, end, &h->n_frames);
+  get(p, end, &h->height);
+  get(p, end, &h->width);
+  get(p, end, &r1);
+  get(p, end, &h->minval);
+  get(p, end, &h->maxval);
+  get(p, end, &h->rmin);
+  get(p, end, &h->rmax);
+  get(p, end, &h->base_levels);
+  get(p, end, &h->res_levels);
+  get(p, end, &h->base_nplanes);
+  get(p, end, &h->base_cut);
+  get(p, end, &h->base_top);
+  get(p, end, &h->res_nplanes);
+  get(p, end, &h->res_cut);
+  get(p, end, &h->res_top);
+  get(p, end, &h->base_comp);
+  get(p, end, &h->res_comp);
+  if (!get(p, end, &r2)) return false;
+  return h->n_frames > 0 && h->height > 0 && h->width > 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* zstd backend (entropy id 1; id 0 = store)                           */
+/* ------------------------------------------------------------------ */
+
+bool zstd_pack(const uint8_t *src, size_t n, int level,
+               std::vector<uint8_t> *out) {
+  ZSTD_CCtx *c = ZSTD_createCCtx();
+  ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, level);
+  ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
+  out->resize(ZSTD_compressBound(n));
+  const size_t r = ZSTD_compress2(c, out->data(), out->size(), src, n);
+  ZSTD_freeCCtx(c);
+  if (ZSTD_isError(r)) return false;
+  out->resize(r);
+  return true;
+}
+
+bool zstd_unpack(const uint8_t *src, size_t n, uint8_t *dst, size_t dst_n) {
+  const size_t r = ZSTD_decompress(dst, dst_n, src, n);
+  return !ZSTD_isError(r) && r == dst_n;
+}
+
+/* ------------------------------------------------------------------ */
+/* shared helpers                                                      */
+/* ------------------------------------------------------------------ */
+
+int padded(int v, int mult) { return (v + mult - 1) / mult * mult; }
+
+/* Symmetric (edge-inclusive mirror) pad of (d0, h, w) frames into
+ * (d0, hp, wp); matches jnp.pad mode='symmetric'. */
+void pad_frames(const float *x, int d0, int h, int w, int hp, int wp,
+                float *out) {
+  for (int f = 0; f < d0; ++f) {
+    const float *src = x + (size_t)f * h * w;
+    float *dst = out + (size_t)f * hp * wp;
+    for (int r = 0; r < hp; ++r) {
+      const int sr = r < h ? r : (2 * h - 1 - r);
+      const float *row = src + (size_t)std::max(0, sr) * w;
+      float *drow = dst + (size_t)r * wp;
+      std::memcpy(drow, row, sizeof(float) * w);
+      for (int c = w; c < wp; ++c) drow[c] = row[2 * w - 1 - c < 0 ? 0 : 2 * w - 1 - c];
+    }
+  }
+}
+
+struct Layer {
+  /* quantized coefficients, (d0, hp, wp) row-major */
+  std::vector<int32_t> q;
+  int d0 = 1, hp = 0, wp = 0;
+};
+
+float recon_mag(int32_t mag_kept, int cut) {
+  if (mag_kept == 0) return 0.0f;
+  if (cut == 0) return (float)mag_kept + 0.5f;
+  return (float)(((int64_t)mag_kept << cut) + ((int64_t)1 << (cut - 1)));
+}
+
+/* Dequantize |q|>>cut values at a cut and inverse-transform; spatial is
+ * (d0, hp, wp).  q holds FULL quantized coefficients. */
+void reconstruct(const Layer &L, int cut, int levels, float *spatial) {
+  const size_t n = (size_t)L.d0 * L.hp * L.wp;
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t qv = L.q[i];
+    const int32_t mag = (std::abs(qv)) >> cut;
+    const float m = recon_mag(mag, cut);
+    spatial[i] = qv < 0 ? -m : m;
+  }
+  for (int f = 0; f < L.d0; ++f)
+    idwt2d(spatial + (size_t)f * L.hp * L.wp, L.hp, L.wp, levels);
+}
+
+struct Metrics {
+  float max_centered = 0;
+  float max_raw = 0;
+  double mean = 0;
+  size_t over_target = 0;
+};
+
+/* err = x - recon over the valid (h, w) region; recon = base + opt_extra. */
+Metrics error_metrics(const float *x, const float *recon_padded,
+                      const float *extra_padded, int d0, int h, int w,
+                      int hp, int wp, float scale, float off, float escale,
+                      float eoff, float target) {
+  Metrics m;
+  double sum = 0;
+  const size_t nvalid = (size_t)d0 * h * w;
+  std::vector<float> err((size_t)d0 * h * w);
+  size_t k = 0;
+  for (int f = 0; f < d0; ++f) {
+    const float *rp = recon_padded + (size_t)f * hp * wp;
+    const float *ep = extra_padded ? extra_padded + (size_t)f * hp * wp : nullptr;
+    const float *xp = x + (size_t)f * h * w;
+    for (int r = 0; r < h; ++r) {
+      for (int c = 0; c < w; ++c) {
+        float rec = rp[(size_t)r * wp + c] * scale + off;
+        if (ep) rec += ep[(size_t)r * wp + c] * escale + eoff;
+        const float e = xp[(size_t)r * w + c] - rec;
+        err[k++] = e;
+        sum += e;
+      }
+    }
+  }
+  m.mean = sum / (double)nvalid;
+  for (size_t i = 0; i < nvalid; ++i) {
+    const float ae = std::fabs(err[i]);
+    const float ac = std::fabs(err[i] - (float)m.mean);
+    if (ae > m.max_raw) m.max_raw = ae;
+    if (ac > m.max_centered) m.max_centered = ac;
+    if (ae > target) m.over_target++;
+  }
+  return m;
+}
+
+/* Dense bitplane payload (magnitude rows MSB-first + masked sign plane),
+ * matching build_layer_payload in core/codec.py. */
+void build_payload(const Layer &L, int cut, int num_planes,
+                   std::vector<uint8_t> *payload, int *top, int *kept) {
+  const size_t n = (size_t)L.d0 * L.hp * L.wp;
+  int32_t mx = 0;
+  for (size_t i = 0; i < n; ++i)
+    mx = std::max(mx, std::abs(L.q[i]) >> cut);
+  if (mx == 0) {
+    payload->clear();
+    *top = std::min(num_planes - cut, 255);
+    *kept = 0;
+    return;
+  }
+  int msb = 0;
+  while ((1 << msb) <= mx) msb++;
+  *kept = msb;
+  *top = num_planes - cut - msb;
+  const size_t wb = (size_t)L.wp / 8;
+  const size_t plane_bytes = (size_t)L.d0 * L.hp * wb;
+  payload->assign(plane_bytes * (msb + 1), 0);
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t qv = L.q[i];
+    const int32_t mag = std::abs(qv) >> cut;
+    if (mag == 0 && qv >= 0) continue;
+    const size_t byte = i / 8;
+    const uint8_t bit = (uint8_t)(1u << (7 - (i % 8)));
+    for (int s = 0; s < msb; ++s) {
+      if ((mag >> (msb - 1 - s)) & 1)
+        (*payload)[(size_t)s * plane_bytes + byte] |= bit;
+    }
+    if (qv < 0 && mag > 0)
+      (*payload)[(size_t)msb * plane_bytes + byte] |= bit;
+  }
+}
+
+bool entropy_encode(const std::vector<uint8_t> &payload, int level,
+                    std::vector<uint8_t> *out) {
+  if (payload.empty()) {
+    out->clear();
+    return true;
+  }
+  return zstd_pack(payload.data(), payload.size(),
+                   level > 0 ? level : 9, out);
+}
+
+struct EncodeEnv {
+  double quantile = 1e-6;
+  bool no_fallback = false;
+  bool no_mean_adjust = false;
+};
+
+EncodeEnv read_env() {
+  EncodeEnv e;
+  if (const char *q = std::getenv("EBCC_INIT_BASE_ERROR_QUANTILE"))
+    e.quantile = std::atof(q);
+  if (std::getenv("EBCC_DISABLE_PURE_BASE_COMPRESSION_FALLBACK"))
+    e.no_fallback = true;
+  if (std::getenv("EBCC_DISABLE_MEAN_ADJUSTMENT"))
+    e.no_mean_adjust = true;
+  return e;
+}
+
+}  // namespace
+
+/* ------------------------------------------------------------------ */
+/* decode                                                              */
+/* ------------------------------------------------------------------ */
+
+namespace {
+
+bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
+                         size_t comp_size, bool base, int d0, int hp, int wp,
+                         Layer *L) {
+  const int num_planes = base ? h.base_nplanes : h.res_nplanes;
+  const int cut = base ? h.base_cut : h.res_cut;
+  const int top = base ? h.base_top : h.res_top;
+  const int kept = num_planes - cut - top;
+  L->d0 = d0;
+  L->hp = hp;
+  L->wp = wp;
+  L->q.assign((size_t)d0 * hp * wp, 0);
+  if (kept <= 0 || comp_size == 0) return true;
+  const size_t wb = (size_t)wp / 8;
+  const size_t plane_bytes = (size_t)d0 * hp * wb;
+  const size_t raw_size = plane_bytes * (kept + 1);
+  std::vector<uint8_t> raw(raw_size);
+  if (h.entropy == kBackendZstd) {
+    if (!zstd_unpack(payload, comp_size, raw.data(), raw_size)) {
+      log_err("corrupt entropy payload");
+      return false;
+    }
+  } else if (h.entropy == kBackendStore) {
+    if (comp_size != raw_size) return false;
+    std::memcpy(raw.data(), payload, raw_size);
+  } else {
+    log_err("unknown entropy backend");
+    return false;
+  }
+  const size_t n = (size_t)d0 * hp * wp;
+  for (size_t i = 0; i < n; ++i) {
+    const size_t byte = i / 8;
+    const uint8_t bit = (uint8_t)(1u << (7 - (i % 8)));
+    int32_t mag = 0;
+    for (int s = 0; s < kept; ++s)
+      mag = (mag << 1) | ((raw[(size_t)s * plane_bytes + byte] & bit) ? 1 : 0);
+    if (raw[(size_t)kept * plane_bytes + byte] & bit) mag = -mag;
+    /* store FULL-scale q (kept values << cut) */
+    L->q[i] = mag < 0 ? -((-mag) << cut) : (mag << cut);
+  }
+  return true;
+}
+
+size_t decode_frame(const uint8_t *data, size_t size, float **out) {
+  FrameHeader h;
+  if (!parse_header(data, size, &h)) {
+    log_err("invalid ETPU stream");
+    return 0;
+  }
+  const size_t tot = (size_t)h.n_frames * h.height * h.width;
+  if (kHeaderSize + h.base_comp + h.res_comp != size) {
+    log_err("payload size mismatch");
+    return 0;
+  }
+  *out = (float *)std::malloc(tot * sizeof(float));
+  if (!*out) return 0;
+  if (h.flags & kFlagConst) {
+    for (size_t i = 0; i < tot; ++i) (*out)[i] = h.minval;
+    return tot;
+  }
+  const int mult = 1 << std::max(h.base_levels, h.res_levels);
+  const int hp = padded(h.height, mult), wp = padded(h.width, mult);
+  const int d0 = h.n_frames, hh = h.height, ww = h.width;
+
+  Layer base;
+  if (!decode_layer_values(h, data + kHeaderSize, h.base_comp, true, d0, hp,
+                           wp, &base)) {
+    std::free(*out);
+    *out = nullptr;
+    return 0;
+  }
+  std::vector<float> spatial((size_t)d0 * hp * wp);
+  reconstruct(base, h.base_cut, h.base_levels, spatial.data());
+  const float rng = h.maxval > h.minval ? h.maxval - h.minval : 1.0f;
+  for (int f = 0; f < d0; ++f)
+    for (int r = 0; r < hh; ++r)
+      for (int c = 0; c < ww; ++c)
+        (*out)[((size_t)f * hh + r) * ww + c] =
+            spatial[((size_t)f * hp + r) * wp + c] * (rng / kBaseScale) +
+            h.minval;
+
+  if (h.flags & kFlagResidual) {
+    Layer res;
+    if (!decode_layer_values(h, data + kHeaderSize + h.base_comp, h.res_comp,
+                             false, d0, hp, wp, &res)) {
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
+    std::vector<float> rsp((size_t)d0 * hp * wp);
+    reconstruct(res, h.res_cut, h.res_levels, rsp.data());
+    const float rrng = h.rmax > h.rmin ? h.rmax - h.rmin : 1.0f;
+    for (int f = 0; f < d0; ++f)
+      for (int r = 0; r < hh; ++r)
+        for (int c = 0; c < ww; ++c)
+          (*out)[((size_t)f * hh + r) * ww + c] +=
+              rsp[((size_t)f * hp + r) * wp + c] * (rrng / kResScale) +
+              h.rmin;
+  }
+  return tot;
+}
+
+}  // namespace
+
+size_t etpu_decode(const uint8_t *data, size_t size, float **out) {
+  if (size >= 4 && std::memcmp(data, "ETPK", 4) == 0)
+    return etpu_decode_chunked(data, size, out);
+  return decode_frame(data, size, out);
+}
+
+/* ------------------------------------------------------------------ */
+/* encode                                                              */
+/* ------------------------------------------------------------------ */
+
+namespace {
+
+size_t encode_frame(const float *x, int d0, int hh, int ww,
+                    const etpu_config_t *config, uint8_t **out) {
+  const EncodeEnv env = read_env();
+  const double quantile_target = 1.0 - env.quantile;
+  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  const size_t tot = (size_t)d0 * hh * ww;
+
+  float minv = x[0], maxv = x[0];
+  for (size_t i = 0; i < tot; ++i) {
+    if (std::isnan(x[i]) || std::isinf(x[i])) {
+      log_err("NaN or Inf found in data");
+      return 0;
+    }
+    minv = std::min(minv, x[i]);
+    maxv = std::max(maxv, x[i]);
+  }
+  FrameHeader h;
+  h.n_frames = d0;
+  h.height = hh;
+  h.width = ww;
+  h.minval = minv;
+  h.maxval = maxv;
+
+  std::vector<uint8_t> blob;
+  if (minv == maxv) { /* const field shortcut */
+    h.flags = kFlagConst;
+    pack_header(h, blob);
+    *out = (uint8_t *)std::malloc(blob.size());
+    std::memcpy(*out, blob.data(), blob.size());
+    return blob.size();
+  }
+
+  const int mult = 1 << std::max(kBaseLevels, kResLevels);
+  const int hp = padded(hh, mult), wp = padded(ww, mult);
+  const float rng = maxv - minv;
+
+  /* base layer transform + quantize */
+  std::vector<float> u(tot);
+  for (size_t i = 0; i < tot; ++i)
+    u[i] = (x[i] - minv) / rng * kBaseScale;
+  std::vector<float> up((size_t)d0 * hp * wp);
+  pad_frames(u.data(), d0, hh, ww, hp, wp, up.data());
+  for (int f = 0; f < d0; ++f)
+    dwt2d(up.data() + (size_t)f * hp * wp, hp, wp, kBaseLevels);
+  Layer base;
+  base.d0 = d0;
+  base.hp = hp;
+  base.wp = wp;
+  base.q.resize(up.size());
+  for (size_t i = 0; i < up.size(); ++i)
+    base.q[i] = (int32_t)std::trunc(up[i]);
+
+  const float bscale = rng / kBaseScale;
+  const bool rate_mode = config->residual_mode == 0;
+  std::vector<float> spatial(up.size());
+
+  if (rate_mode) {
+    /* host-style rate search: finest cut whose ACTUAL compressed size fits
+     * the base_cr byte budget (monotone in cut). */
+    const size_t budget =
+        (size_t)std::max<int64_t>(0, (int64_t)(tot * 4 / config->base_cr) -
+                                          (int64_t)kHeaderSize);
+    int cut = kBaseNumPlanes;
+    std::vector<uint8_t> comp, payload;
+    int top = 0, kept = 0;
+    for (int c = kBaseNumPlanes - 1; c >= 0; --c) {
+      std::vector<uint8_t> trial_payload, trial_comp;
+      int t_top, t_kept;
+      build_payload(base, c, kBaseNumPlanes, &trial_payload, &t_top, &t_kept);
+      if (!entropy_encode(trial_payload, level, &trial_comp)) return 0;
+      if (trial_comp.size() <= budget) {
+        cut = c;
+        comp = std::move(trial_comp);
+        top = t_top;
+        kept = t_kept;
+      } else {
+        break;
+      }
+    }
+    if (cut == kBaseNumPlanes) { /* nothing fits: ship empty base */
+      comp.clear();
+      top = 0;
+      cut = kBaseNumPlanes - 1;
+      top = kBaseNumPlanes - cut;
+    }
+    h.base_cut = (uint8_t)cut;
+    h.base_top = (uint8_t)top;
+    h.base_comp = comp.size();
+    pack_header(h, blob);
+    blob.insert(blob.end(), comp.begin(), comp.end());
+    *out = (uint8_t *)std::malloc(blob.size());
+    std::memcpy(*out, blob.data(), blob.size());
+    return blob.size();
+  }
+
+  /* error-bounded modes */
+  float target = config->error;
+  if (config->residual_mode == 2) target *= rng; /* REL -> ABS */
+  const bool centered = !env.no_mean_adjust;
+
+  int base_cut = 0, pure_cut = 0;
+  bool base_found = false, pure_found = false, pure_feasible = false;
+  Metrics base_m, pure_m;
+  for (int c = kBaseNumPlanes - 1; c >= 0; --c) {
+    reconstruct(base, c, kBaseLevels, spatial.data());
+    Metrics m = error_metrics(x, spatial.data(), nullptr, d0, hh, ww, hp, wp,
+                              bscale, minv, 0, 0, target);
+    const double q = 1.0 - (double)m.over_target / (double)tot;
+    const float crit = centered ? m.max_centered : m.max_raw;
+    if (!base_found && q >= quantile_target) {
+      base_cut = c;
+      base_found = true;
+      base_m = m;
+    }
+    if (!pure_found && crit <= target) {
+      pure_cut = c;
+      pure_found = true;
+      pure_feasible = true;
+      pure_m = m;
+    }
+    if (base_found && pure_found) break;
+    if (c == 0) {
+      if (!base_found) base_m = m;
+      if (!pure_found) pure_m = m;
+    }
+  }
+
+  /* base reconstruction at base_cut + residual layer */
+  reconstruct(base, base_cut, kBaseLevels, spatial.data());
+  const bool skip_residual = base_m.max_raw <= target && base_found;
+
+  /* residual on r = x - base_recon */
+  std::vector<float> resid(tot);
+  float rminv = 0, rmaxv = 0;
+  {
+    size_t k = 0;
+    for (int f = 0; f < d0; ++f)
+      for (int r = 0; r < hh; ++r)
+        for (int c = 0; c < ww; ++c) {
+          const float rec =
+              spatial[((size_t)f * hp + r) * wp + c] * bscale + minv;
+          resid[k] = x[((size_t)f * hh + r) * ww + c] - rec;
+          ++k;
+        }
+    rminv = rmaxv = resid[0];
+    for (size_t i = 0; i < tot; ++i) {
+      rminv = std::min(rminv, resid[i]);
+      rmaxv = std::max(rmaxv, resid[i]);
+    }
+  }
+  const float rrng = rmaxv > rminv ? rmaxv - rminv : 1.0f;
+  std::vector<float> rn(tot);
+  for (size_t i = 0; i < tot; ++i)
+    rn[i] = (resid[i] - rminv) / rrng * kResScale;
+  std::vector<float> rnp((size_t)d0 * hp * wp);
+  pad_frames(rn.data(), d0, hh, ww, hp, wp, rnp.data());
+  for (int f = 0; f < d0; ++f)
+    dwt2d(rnp.data() + (size_t)f * hp * wp, hp, wp, kResLevels);
+  Layer res;
+  res.d0 = d0;
+  res.hp = hp;
+  res.wp = wp;
+  res.q.resize(rnp.size());
+  for (size_t i = 0; i < rnp.size(); ++i)
+    res.q[i] = (int32_t)std::trunc(rnp[i]);
+
+  int res_cut = 0;
+  bool res_feasible = false;
+  Metrics res_m;
+  std::vector<float> rsp(rnp.size());
+  for (int c = kResNumPlanes - 1; c >= 0; --c) {
+    reconstruct(res, c, kResLevels, rsp.data());
+    Metrics m = error_metrics(x, spatial.data(), rsp.data(), d0, hh, ww, hp,
+                              wp, bscale, minv, rrng / kResScale, rminv,
+                              target);
+    const float crit = centered ? m.max_centered : m.max_raw;
+    if (crit <= target) {
+      res_cut = c;
+      res_feasible = true;
+      res_m = m;
+      break;
+    }
+  }
+
+  /* candidate assembly + selection (mirror of _assemble_error_mode_stream) */
+  std::vector<uint8_t> base_payload, base_comp;
+  int base_top, base_kept;
+  build_payload(base, base_cut, kBaseNumPlanes, &base_payload, &base_top,
+                &base_kept);
+  if (!entropy_encode(base_payload, level, &base_comp)) return 0;
+
+  bool use_residual = !skip_residual && res_feasible;
+  std::vector<uint8_t> res_comp;
+  int res_top = 0, res_kept = 0;
+  if (use_residual) {
+    std::vector<uint8_t> res_payload;
+    build_payload(res, res_cut, kResNumPlanes, &res_payload, &res_top,
+                  &res_kept);
+    if (!entropy_encode(res_payload, level, &res_comp)) return 0;
+    if (res_comp.size() <= kResidualDropBytes) {
+      res_comp.clear();
+      use_residual = false;
+    }
+  }
+
+  bool choose_pure = false;
+  std::vector<uint8_t> pure_comp;
+  int pure_top = 0;
+  if (!skip_residual && !res_feasible) {
+    if (!pure_feasible)
+      log_err("could not reach error target; shipping best effort");
+    choose_pure = true;
+  } else if (use_residual && !env.no_fallback) {
+    std::vector<uint8_t> pure_payload;
+    int k;
+    build_payload(base, pure_cut, kBaseNumPlanes, &pure_payload, &pure_top,
+                  &k);
+    if (!entropy_encode(pure_payload, level, &pure_comp)) return 0;
+    if (pure_comp.size() < base_comp.size() + res_comp.size())
+      choose_pure = true;
+  }
+
+  double mean;
+  if (choose_pure) {
+    if (pure_comp.empty()) {
+      std::vector<uint8_t> pure_payload;
+      int k;
+      build_payload(base, pure_cut, kBaseNumPlanes, &pure_payload, &pure_top,
+                    &k);
+      if (!entropy_encode(pure_payload, level, &pure_comp)) return 0;
+    }
+    base_comp = std::move(pure_comp);
+    base_cut = pure_cut;
+    base_top = pure_top;
+    use_residual = false;
+    res_comp.clear();
+    mean = pure_m.mean;
+  } else if (use_residual) {
+    mean = res_m.mean;
+  } else {
+    mean = base_m.mean;
+  }
+
+  h.flags = 0;
+  if (use_residual) h.flags |= kFlagResidual;
+  if (!env.no_mean_adjust && std::fabs(mean) > 1e-18) {
+    h.minval += (float)mean;
+    h.maxval += (float)mean;
+    h.flags |= kFlagMeanAdjusted;
+  }
+  h.base_cut = (uint8_t)base_cut;
+  h.base_top = (uint8_t)std::max(0, base_top);
+  h.base_comp = base_comp.size();
+  if (use_residual) {
+    h.rmin = rminv;
+    h.rmax = rmaxv;
+    h.res_cut = (uint8_t)res_cut;
+    h.res_top = (uint8_t)std::max(0, res_top);
+    h.res_comp = res_comp.size();
+  }
+  pack_header(h, blob);
+  blob.insert(blob.end(), base_comp.begin(), base_comp.end());
+  blob.insert(blob.end(), res_comp.begin(), res_comp.end());
+  *out = (uint8_t *)std::malloc(blob.size());
+  std::memcpy(*out, blob.data(), blob.size());
+  return blob.size();
+}
+
+bool layout(const uint64_t dims[3], int *d0, int *hh, int *ww) {
+  const int64_t a = (int64_t)dims[0], b = (int64_t)dims[1],
+                c = (int64_t)dims[2];
+  if (c < kMinDim || c > kMaxDim) return false;
+  if (b >= kMinDim && b <= kMaxDim) {
+    *d0 = (int)a;
+    *hh = (int)b;
+    *ww = (int)c;
+    return true;
+  }
+  const int64_t flat = a * b;
+  if (flat < kMinDim || flat > kMaxDim) return false;
+  *d0 = 1;
+  *hh = (int)flat;
+  *ww = (int)c;
+  return true;
+}
+
+}  // namespace
+
+size_t etpu_encode(const float *data, const etpu_config_t *config,
+                   uint8_t **out) {
+  int d0, hh, ww;
+  if (!layout(config->dims, &d0, &hh, &ww)) {
+    log_err("invalid dims");
+    return 0;
+  }
+  return encode_frame(data, d0, hh, ww, config, out);
+}
+
+/* ------------------------------------------------------------------ */
+/* chunked container (parity: ebcc_encode_chunking / decode_chunking)  */
+/* ------------------------------------------------------------------ */
+
+size_t etpu_encode_chunked(const float *data, const etpu_config_t *config,
+                           uint8_t **out) {
+  uint64_t cd[3];
+  bool all_zero = true;
+  for (int i = 0; i < 3; ++i) {
+    cd[i] = config->chunk_dims[i];
+    if (cd[i]) all_zero = false;
+  }
+  if (all_zero)
+    for (int i = 0; i < 3; ++i) cd[i] = config->dims[i];
+  int td0, thh, tww;
+  if (!layout(cd, &td0, &thh, &tww)) {
+    log_err("invalid chunk dims");
+    return 0;
+  }
+  uint64_t counts[3];
+  for (int i = 0; i < 3; ++i) {
+    if (!config->dims[i] || !cd[i]) {
+      log_err("dims and chunk_dims must be non-zero");
+      return 0;
+    }
+    counts[i] = (config->dims[i] + cd[i] - 1) / cd[i];
+  }
+  const uint64_t num_chunks = counts[0] * counts[1] * counts[2];
+  const uint64_t chunk_size = cd[0] * cd[1] * cd[2];
+
+  std::vector<uint8_t> blob;
+  blob.insert(blob.end(), {'E', 'T', 'P', 'K'});
+  put<uint32_t>(blob, 1);
+  put<uint32_t>(blob, 3);
+  put<uint32_t>(blob, 0);
+  for (int i = 0; i < 3; ++i) put<uint64_t>(blob, config->dims[i]);
+  for (int i = 0; i < 3; ++i) put<uint64_t>(blob, cd[i]);
+  put<uint64_t>(blob, num_chunks);
+  put<uint64_t>(blob, chunk_size);
+
+  etpu_config_t chunk_cfg = *config;
+  for (int i = 0; i < 3; ++i) {
+    chunk_cfg.dims[i] = cd[i];
+    chunk_cfg.chunk_dims[i] = 0;
+  }
+  std::vector<float> buf(chunk_size);
+  for (uint64_t lin = 0; lin < num_chunks; ++lin) {
+    uint64_t origin[3], rem = lin;
+    for (int d = 2; d >= 0; --d) {
+      origin[d] = (rem % counts[d]) * cd[d];
+      rem /= counts[d];
+    }
+    /* gather with edge replication (parity: copy_chunk_from_data_padded) */
+    size_t k = 0;
+    for (uint64_t i0 = 0; i0 < cd[0]; ++i0)
+      for (uint64_t i1 = 0; i1 < cd[1]; ++i1)
+        for (uint64_t i2 = 0; i2 < cd[2]; ++i2) {
+          const uint64_t a =
+              std::min(origin[0] + i0, config->dims[0] - 1);
+          const uint64_t b =
+              std::min(origin[1] + i1, config->dims[1] - 1);
+          const uint64_t c =
+              std::min(origin[2] + i2, config->dims[2] - 1);
+          buf[k++] = data[(a * config->dims[1] + b) * config->dims[2] + c];
+        }
+    uint8_t *cstream = nullptr;
+    const size_t csize = etpu_encode(buf.data(), &chunk_cfg, &cstream);
+    if (!csize) {
+      etpu_free(cstream);
+      return 0;
+    }
+    put<uint64_t>(blob, csize);
+    blob.insert(blob.end(), cstream, cstream + csize);
+    etpu_free(cstream);
+  }
+  *out = (uint8_t *)std::malloc(blob.size());
+  std::memcpy(*out, blob.data(), blob.size());
+  return blob.size();
+}
+
+size_t etpu_decode_chunked(const uint8_t *data, size_t size, float **out) {
+  if (size < 80 || std::memcmp(data, "ETPK", 4) != 0)
+    return decode_frame(data, size, out);
+  const uint8_t *p = data + 4;
+  const uint8_t *end = data + size;
+  uint32_t version, ndims, res;
+  uint64_t dims[3], cd[3], num_chunks, chunk_size;
+  if (!get(p, end, &version) || version != 1) return 0;
+  if (!get(p, end, &ndims) || ndims != 3) return 0;
+  get(p, end, &res);
+  for (int i = 0; i < 3; ++i) get(p, end, &dims[i]);
+  for (int i = 0; i < 3; ++i) get(p, end, &cd[i]);
+  get(p, end, &num_chunks);
+  if (!get(p, end, &chunk_size)) return 0;
+  uint64_t counts[3];
+  for (int i = 0; i < 3; ++i) {
+    if (!dims[i] || !cd[i]) return 0;
+    counts[i] = (dims[i] + cd[i] - 1) / cd[i];
+  }
+  if (counts[0] * counts[1] * counts[2] != num_chunks) {
+    log_err("inconsistent chunk metadata");
+    return 0;
+  }
+  const uint64_t total = dims[0] * dims[1] * dims[2];
+  *out = (float *)std::malloc(total * sizeof(float));
+  if (!*out) return 0;
+
+  for (uint64_t lin = 0; lin < num_chunks; ++lin) {
+    uint64_t csize_u;
+    if (!get(p, end, &csize_u) || (size_t)(end - p) < csize_u) {
+      log_err("truncated chunk payload");
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
+    float *chunk = nullptr;
+    const size_t got = decode_frame(p, (size_t)csize_u, &chunk);
+    p += csize_u;
+    if (got != cd[0] * cd[1] * cd[2]) {
+      log_err("decoded chunk size mismatch");
+      etpu_free(chunk);
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
+    uint64_t origin[3], rem = lin;
+    for (int d = 2; d >= 0; --d) {
+      origin[d] = (rem % counts[d]) * cd[d];
+      rem /= counts[d];
+    }
+    size_t k = 0;
+    for (uint64_t i0 = 0; i0 < cd[0]; ++i0)
+      for (uint64_t i1 = 0; i1 < cd[1]; ++i1)
+        for (uint64_t i2 = 0; i2 < cd[2]; ++i2) {
+          const uint64_t a = origin[0] + i0, b = origin[1] + i1,
+                         c = origin[2] + i2;
+          if (a < dims[0] && b < dims[1] && c < dims[2])
+            (*out)[(a * dims[1] + b) * dims[2] + c] = chunk[k];
+          ++k;
+        }
+    etpu_free(chunk);
+  }
+  if (p != end) {
+    log_err("trailing payload bytes");
+    std::free(*out);
+    *out = nullptr;
+    return 0;
+  }
+  return total;
+}
+
+void etpu_free(void *ptr) {
+  if (ptr) std::free(ptr);
+}
+
+const char *etpu_version(void) { return "ebcc-tpu-native 0.1.0"; }

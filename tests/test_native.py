@@ -1,0 +1,132 @@
+"""Native (C++) codec tests: cross-implementation equivalence with the JAX
+codec and the HDF5 filter-plugin integration (parity role: reference
+tests/test_c_api.py via ctypes + tests/test_netcdf.py via the plugin)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR, RESIDUAL_NONE, decode, encode
+from ebcc_tpu import native as native_mod
+
+# Decoder-parity tolerance: both decoders run the same float32 op sequence
+# but compilers may round differently at the ulp level (documented in
+# etpu_codec.h).
+DECODER_PARITY_ATOL = 1e-3
+
+
+@pytest.fixture(scope="module")
+def native():
+    try:
+        native_mod.load()
+    except (RuntimeError, FileNotFoundError, subprocess.CalledProcessError):
+        pytest.skip("native toolchain unavailable")
+    return native_mod
+
+
+class TestCrossCodec:
+    def test_jax_encode_native_decode(self, native, medium_frame):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = encode(data, config)
+        nat = native.native_decode(blob).reshape(data.shape)
+        jx = decode(blob).reshape(data.shape)
+        assert np.abs(nat - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(nat - jx).max() <= DECODER_PARITY_ATOL
+
+    def test_native_encode_jax_decode(self, native, medium_frame):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = native.native_encode(data, config)
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
+    def test_native_roundtrip_bound(self, native, medium_frame):
+        data = medium_frame[None]
+        for target in (0.5, 0.05):
+            config = CodecConfig(dims=data.shape, base_cr=30,
+                                 residual_mode=RESIDUAL_MAX_ERROR,
+                                 error=target)
+            blob = native.native_encode(data, config)
+            out = native.native_decode(blob).reshape(data.shape)
+            assert np.abs(out - data).max() <= target
+
+    def test_native_rate_mode(self, native, medium_frame):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=40,
+                             residual_mode=RESIDUAL_NONE)
+        blob = native.native_encode(data, config)
+        assert data.nbytes / len(blob) >= 40 * 0.95
+        out = native.native_decode(blob)
+        assert out.size == data.size
+
+    def test_native_const_field(self, native, constant_frame):
+        config = CodecConfig(dims=constant_frame.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.01)
+        blob = native.native_encode(constant_frame, config)
+        out = native.native_decode(blob).reshape(constant_frame.shape)
+        assert np.abs(out - constant_frame).max() <= 1e-6
+        # ... and the JAX decoder agrees on the const stream
+        assert np.abs(decode(blob).reshape(constant_frame.shape)
+                      - constant_frame).max() <= 1e-6
+
+    def test_native_chunked_container(self, native, base_test_data):
+        data = np.ascontiguousarray(base_test_data[:100, :150])[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        blob = native.native_encode_chunked(data, config)
+        out = native.native_decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1
+        # JAX chunked decoder accepts the native container
+        from ebcc_tpu import decode_chunked
+        out2 = decode_chunked(blob)
+        assert np.abs(out2 - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
+    def test_corrupt_stream_fails(self, native, small_frame):
+        config = CodecConfig(dims=(1, 64, 64), base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = bytearray(native.native_encode(small_frame[None], config))
+        blob[100] ^= 0xFF
+        with pytest.raises(RuntimeError):
+            native.native_decode(bytes(blob))
+
+
+class TestHDF5Plugin:
+    def test_h5py_filter_roundtrip(self, native, tmp_path):
+        """Full h5py pipeline through the plugin (filter id 33030), parity
+        with the reference's netCDF/HDF5 integration tests."""
+        pytest.importorskip("h5py")
+        script = textwrap.dedent("""
+            import numpy as np, h5py, sys
+            from ebcc_tpu.api.filter_wrapper import EBCC_Filter
+            path = sys.argv[1]
+            rng = np.random.default_rng(0)
+            yy, xx = np.mgrid[0:128, 0:128].astype(np.float32)
+            x = (270 + 10*np.sin(yy/9) * np.cos(xx/7)).astype(np.float32)
+            filt = EBCC_Filter(base_cr=20, height=128, width=128,
+                               residual_opt=("max_error_target", 0.05),
+                               data_dim=3)
+            with h5py.File(path, "w") as f:
+                d = f.create_dataset("v", shape=(2, 128, 128), **filt)
+                d[...] = np.stack([x, x + 1.0])
+            with h5py.File(path, "r") as f:
+                out = f["v"][...]
+            err = float(np.abs(out - np.stack([x, x + 1.0])).max())
+            assert err <= 0.05, err
+            print("PLUGIN_OK", err)
+        """)
+        env = dict(os.environ)
+        env["HDF5_PLUGIN_PATH"] = str(native_mod.BUILD_DIR)
+        proc = subprocess.run(
+            [sys.executable, "-c", script, str(tmp_path / "t.h5")],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr
+        assert "PLUGIN_OK" in proc.stdout
