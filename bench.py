@@ -115,9 +115,12 @@ def main():
 
     maxerr_fn = jax.jit(lambda a, b: jnp.abs(a - b).max())
 
+    sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "8"))
+
     def device_roundtrip():
-        streams = codec_mod.encode_frames_device(x_dev, config, opts)
-        dec = codec_mod.decode_frames_device(streams)
+        streams = codec_mod.encode_frames_device(x_dev, config, opts,
+                                                 max_batch=sub)
+        dec = codec_mod.decode_frames_device(streams, max_batch=sub)
         err = maxerr_fn(x_dev, dec)
         return streams, float(err)
 
@@ -147,6 +150,25 @@ def main():
     cr = data.nbytes / len(blob)
     up, down = measure_link()
 
+    # Serial native C++ codec on one frame: a MEASURED on-this-machine
+    # stand-in for the reference's serial C codec (same algorithm family,
+    # same serial per-chunk shape; the reference itself cannot be built
+    # here — its openjpeg/zstd submodules are not vendored).
+    native_pts = None
+    try:
+        from ebcc_tpu import native as native_mod
+        native_mod.load()
+        one = np.ascontiguousarray(data[:1])
+        ncfg = CodecConfig(dims=one.shape, base_cr=30,
+                           residual_mode=RESIDUAL_MAX_ERROR,
+                           error=ERROR_TARGET)
+        t0 = time.perf_counter()
+        nb = native_mod.native_encode(one, ncfg)
+        _ = native_mod.native_decode(nb)
+        native_pts = one.size / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "device-resident encode+decode throughput @ max_error bound",
         "value": round(dev_pts_per_s, 1),
@@ -162,6 +184,7 @@ def main():
         "host_decode_pts_per_s": round(n_points / (t2 - t1), 1),
         "link_up_mbps": round(up, 1),
         "link_down_mbps": round(down, 1),
+        "native_serial_pts_per_s": round(native_pts, 1) if native_pts else None,
         "frames": N_FRAMES,
         "device": str(jax.devices()[0]),
     }))

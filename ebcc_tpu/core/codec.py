@@ -413,6 +413,33 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
                            error_mode, b)
 
 
+def _pipeline_encode_slices(slices, counts, config: CodecConfig,
+                            opts: EncodeOptions, n_frames, h, w) -> List[bytes]:
+    """Encode a sequence of equally-typed batch slices with a 2-stage
+    pipeline: a worker thread runs (device dispatch + link-bound fetch) for
+    slice k+1 while the main thread entropy-codes slice k."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    error_mode = config.residual_mode != cfg.RESIDUAL_NONE
+    backend = entropy.default_backend()
+
+    def run_batch(sl):
+        return _fetch_encode_outputs(
+            encode_batch_device(sl, config, opts), error_mode)
+
+    streams_out: List[bytes] = []
+    with ThreadPoolExecutor(max_workers=1) as fetcher:
+        fut = fetcher.submit(run_batch, slices[0])
+        for i, b in enumerate(counts):
+            out_np = fut.result()
+            if i + 1 < len(slices):
+                fut = fetcher.submit(run_batch, slices[i + 1])
+            streams_out.extend(
+                _assemble_batch(out_np, config, opts, n_frames, h, w,
+                                backend, error_mode, b))
+    return streams_out
+
+
 def encode(data: np.ndarray, config: CodecConfig,
            opts: Optional[EncodeOptions] = None) -> bytes:
     """Encode one logical array (= one chunk) -> ETPU stream bytes.
@@ -584,23 +611,52 @@ def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
 
 
 def encode_frames_device(x_dev, config: CodecConfig,
-                         opts: Optional[EncodeOptions] = None) -> List[bytes]:
+                         opts: Optional[EncodeOptions] = None,
+                         max_batch: Optional[int] = None) -> List[bytes]:
     """Device-resident encode: ``x_dev`` is a ``(B, n_frames, h, w)`` jax
     array already living in HBM (the TPU-pipeline case, e.g. compressing
     model/simulation output or re-compressing an archive that is consumed on
     device).  Only compressed-domain data crosses the host link.  Returns
-    one ETPU stream per batch entry."""
+    one ETPU stream per batch entry.
+
+    ``max_batch`` splits the batch into sub-batches run through the 2-stage
+    pipeline (device+link work for slice k+1 overlaps host entropy coding
+    of slice k)."""
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
-    return _encode_chunk_batch(x_dev, config, opts)
+    if max_batch is None or b <= max_batch:
+        return _encode_chunk_batch(x_dev, config, opts)
+    slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
+    counts = [s.shape[0] for s in slices]
+    return _pipeline_encode_slices(slices, counts, config, opts,
+                                   n_frames, h, w)
 
 
-def decode_frames_device(streams: List[bytes]):
+def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
     """Device-resident decode: returns a ``(B, n_frames, h, w)`` jax array
     still in HBM (feed it straight into a TPU consumer).  Only the
-    compressed-domain payloads cross the host link."""
-    out, const_mask, minval = _decode_streams_device(streams)
-    return out
+    compressed-domain payloads cross the host link.
+
+    ``max_batch`` pipelines host-side parsing/entropy decode of sub-batch
+    k+1 under the device work of sub-batch k."""
+    import jax.numpy as jnp
+
+    if max_batch is None or len(streams) <= max_batch:
+        out, const_mask, minval = _decode_streams_device(streams)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    batches = [streams[s:s + max_batch]
+               for s in range(0, len(streams), max_batch)]
+    outs = []
+    with ThreadPoolExecutor(max_workers=1) as worker:
+        fut = worker.submit(_decode_streams_device, batches[0])
+        for i in range(len(batches)):
+            out, _, _ = fut.result()
+            if i + 1 < len(batches):
+                fut = worker.submit(_decode_streams_device, batches[i + 1])
+            outs.append(out)
+    return jnp.concatenate(outs, axis=0)
 
 
 def decode(buf: bytes) -> np.ndarray:
@@ -695,15 +751,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
     if not np.isfinite(chunks).all():
         raise ValueError("NaN or Inf found in data")
 
-    # Pipeline: a worker thread runs the (link-bound) device dispatch +
-    # sliced fetch of batch k+1 while the main thread entropy-codes and
-    # assembles batch k.
-    from concurrent.futures import ThreadPoolExecutor
-
-    error_mode = chunk_cfg.residual_mode != cfg.RESIDUAL_NONE
-    backend = entropy.default_backend()
-
-    slices = []
+    slices, counts_per = [], []
     for start in range(0, num_chunks, max_batch):
         sl = chunks[start:start + max_batch]
         b = sl.shape[0]
@@ -711,22 +759,11 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
             # pad to the bucket size to reuse the compiled program
             sl = np.concatenate(
                 [sl, np.repeat(sl[-1:], max_batch - b, axis=0)], axis=0)
-        slices.append((sl, b))
+        slices.append(sl)
+        counts_per.append(b)
 
-    def run_batch(sl):
-        return _fetch_encode_outputs(
-            encode_batch_device(sl, chunk_cfg, opts), error_mode)
-
-    streams_out: List[bytes] = []
-    with ThreadPoolExecutor(max_workers=1) as fetcher:
-        fut = fetcher.submit(run_batch, slices[0][0])
-        for i, (_, b) in enumerate(slices):
-            out_np = fut.result()
-            if i + 1 < len(slices):
-                fut = fetcher.submit(run_batch, slices[i + 1][0])
-            streams_out.extend(
-                _assemble_batch(out_np, chunk_cfg, opts, n_frames, h, w,
-                                backend, error_mode, b))
+    streams_out = _pipeline_encode_slices(slices, counts_per, chunk_cfg,
+                                          opts, n_frames, h, w)
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,
@@ -772,10 +809,25 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
     if int(np.prod(header.chunk_dims)) != header.chunk_size:
         raise stream.StreamError("inconsistent chunk metadata")
 
+    # Pipeline: parse/entropy-decode/upload of batch k+1 overlaps the
+    # device work and output fetch of batch k.
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    batches = [chunk_streams[s:s + max_batch]
+               for s in range(0, len(chunk_streams), max_batch)]
     decoded = []
-    for start in range(0, len(chunk_streams), max_batch):
-        batch = chunk_streams[start:start + max_batch]
-        decoded.append(_decode_streams(batch))
+    with ThreadPoolExecutor(max_workers=1) as worker:
+        fut = worker.submit(_decode_streams_device, batches[0])
+        for i in range(len(batches)):
+            out, const_mask, minval = fut.result()
+            if i + 1 < len(batches):
+                fut = worker.submit(_decode_streams_device, batches[i + 1])
+            arr = np.array(jax.device_get(out))
+            if const_mask.any():
+                arr[const_mask] = minval[const_mask, None, None, None]
+            decoded.append(arr)
     chunks = np.concatenate(decoded, axis=0)
     chunks = chunks.reshape(header.num_chunks, *header.chunk_dims)
     return _scatter_chunks(chunks, header.dims, header.chunk_dims, counts)
