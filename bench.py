@@ -162,10 +162,10 @@ def main():
         ncfg = CodecConfig(dims=one.shape, base_cr=30,
                            residual_mode=RESIDUAL_MAX_ERROR,
                            error=ERROR_TARGET)
-        t0 = time.perf_counter()
+        tn = time.perf_counter()
         nb = native_mod.native_encode(one, ncfg)
         _ = native_mod.native_decode(nb)
-        native_pts = one.size / (time.perf_counter() - t0)
+        native_pts = one.size / (time.perf_counter() - tn)
     except Exception:
         pass
 

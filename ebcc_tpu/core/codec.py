@@ -415,9 +415,11 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
 
 def _pipeline_encode_slices(slices, counts, config: CodecConfig,
                             opts: EncodeOptions, n_frames, h, w) -> List[bytes]:
-    """Encode a sequence of equally-typed batch slices with a 2-stage
-    pipeline: a worker thread runs (device dispatch + link-bound fetch) for
-    slice k+1 while the main thread entropy-codes slice k."""
+    """Encode a sequence of equally-typed batch slices with a pipelined
+    schedule: two fetch workers keep the (latency-bound) device round-trips
+    of slices k+1/k+2 in flight while the main thread entropy-codes slice
+    k.  The per-slice fetch is a chain of small link round-trips, so depth-2
+    prefetch roughly doubles link utilization."""
     from concurrent.futures import ThreadPoolExecutor
 
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
@@ -427,13 +429,14 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
         return _fetch_encode_outputs(
             encode_batch_device(sl, config, opts), error_mode)
 
+    depth = 2 if len(slices) > 2 else 1
     streams_out: List[bytes] = []
-    with ThreadPoolExecutor(max_workers=1) as fetcher:
-        fut = fetcher.submit(run_batch, slices[0])
+    with ThreadPoolExecutor(max_workers=depth) as fetcher:
+        futs = [fetcher.submit(run_batch, s) for s in slices[:depth]]
         for i, b in enumerate(counts):
-            out_np = fut.result()
-            if i + 1 < len(slices):
-                fut = fetcher.submit(run_batch, slices[i + 1])
+            out_np = futs[i].result()
+            if i + depth < len(slices):
+                futs.append(fetcher.submit(run_batch, slices[i + depth]))
             streams_out.extend(
                 _assemble_batch(out_np, config, opts, n_frames, h, w,
                                 backend, error_mode, b))

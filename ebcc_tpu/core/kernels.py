@@ -216,6 +216,7 @@ def encode_batch(
         transfer.pack_bitmap((vr != 0).reshape(*vr.shape[:-1], -1)),
     ])
     max_kept = jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max())
+    res_any = res_active.any()
 
     return {
         "minval": minval, "maxval": maxval, "const": const,
@@ -224,6 +225,7 @@ def encode_batch(
         "vals_comb": vals_comb,
         "sig_comb": sig_comb,
         "max_kept": max_kept,
+        "res_any": res_any,
         "store_cut": store_cut,
         "base_cut": base_cut, "pure_cut": pure_cut,
         "pure_feasible": pure_feasible,

@@ -75,9 +75,18 @@ def pack_bitmap(bits):
 
 def host_bitmap_positions(bitmap_bytes: np.ndarray) -> np.ndarray:
     """Host-side: packed uint8 bitmap -> int32 indices of set bits (in
-    MSB-first order, matching :func:`pack_bitmap`)."""
-    bits = np.unpackbits(bitmap_bytes.reshape(-1))
-    return np.flatnonzero(bits).astype(np.int32)
+    MSB-first order, matching :func:`pack_bitmap`).
+
+    Two-level: locate nonzero BYTES first (typical density well under
+    30%), then expand bits only for those — several times faster than
+    unpacking the whole bitmap."""
+    flat = bitmap_bytes.reshape(-1)
+    nzb = np.flatnonzero(flat)
+    if nzb.size == 0:
+        return np.zeros(0, np.int32)
+    bits = np.unpackbits(flat[nzb]).reshape(-1, 8).astype(bool)
+    base = (nzb.astype(np.int64) * 8)[:, None] + np.arange(8)
+    return base[bits].astype(np.int32)
 
 
 def pad_index(idx: np.ndarray, cap: int, fill: int) -> np.ndarray:
