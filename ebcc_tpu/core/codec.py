@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import config as cfg
 from ..config import CodecConfig, EncodeOptions
-from ..utils.logging import logger, set_level_from_env
+from ..utils.logging import TRACE, logger, set_level_from_env, trace
 from ..utils.timing import stage
 from . import entropy, kernels, stream, transfer
 
@@ -250,6 +250,23 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
         maxval += mean
         flags |= stream.FLAG_MEAN_ADJUSTED
         logger.info("Mean of compression error: %e; adjusting min/max", mean)
+
+    # Observability parity: the reference logs per-trial search state at
+    # TRACE (ebcc_codec.c:554-803) and a per-encode summary at INFO
+    # (c:877).  The scan's whole quantile curve is the trial log here.
+    if logger.isEnabledFor(TRACE):
+        trace("chunk %d: quantile curve (cut 0..%d): %s", res._i,
+              cfg.BASE_NUM_PLANES - 1,
+              np.array2string(1.0 - res.base_quantiles, precision=2))
+        trace("chunk %d: base_cut=%d pure_cut=%d res_cut=%d skip=%s "
+              "res_feasible=%s pure=%s", res._i, base_cut, pure_cut,
+              res_cut, skip_residual, res_feasible, choose_pure)
+    raw_bytes = n_frames * h * w * 4
+    logger.info(
+        "chunk %d: base_size=%d res_size=%d compression ratio: %.2f",
+        res._i, len(base_comp), len(res_comp),
+        raw_bytes / (stream.FRAME_HEADER_SIZE + len(base_comp)
+                     + len(res_comp)))
 
     header = stream.FrameHeader(
         flags=flags, entropy=backend,
