@@ -44,13 +44,6 @@ from ..config import BASE_NUM_PLANES, RES_NUM_PLANES
 from ..ops import bitplane, dwt
 from . import transfer
 
-# Row layout of the combined plane stack shipped to the host: base magnitude
-# planes, base sign plane, residual magnitude planes, residual sign plane.
-COMB_SIGN_BASE_ROW = BASE_NUM_PLANES
-COMB_RES0_ROW = BASE_NUM_PLANES + 1
-COMB_SIGN_RES_ROW = BASE_NUM_PLANES + 1 + RES_NUM_PLANES
-COMB_ROWS = BASE_NUM_PLANES + RES_NUM_PLANES + 2
-
 BASE_SCALE = 65535.0
 RES_SCALE = 255.0
 
@@ -321,53 +314,5 @@ def decode_batch_sparse(
                 base_levels, BASE_SCALE, minval, maxval)
     if has_residual:
         out = out + layer(qflat[s:].reshape(b, d0, hp, wp), res_cut,
-                          res_levels, RES_SCALE, rmin, rmax)
-    return out
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual"),
-)
-def decode_batch_cuts(
-    base_planes, base_signs, base_cut,
-    res_planes, res_signs, res_cut,
-    minval, maxval, rmin, rmax,
-    *,
-    base_levels: int = 5,
-    res_levels: int = 3,
-    out_hw=(721, 1440),
-    has_residual: bool = True,
-):
-    """Batched decode with explicit per-chunk cuts (from the stream header).
-
-    Plane arrays carry only K <= NUM_PLANES rows (host↔device transfer
-    minimization: untransmitted planes never cross the link).  Row alignment
-    contract with the host: chunk b's kept planes occupy the BOTTOM
-    ``kept_b`` rows of the K-row stack, so row i holds bit ``cut_b + K-1-i``
-    and the assembled K-bit magnitude is left-shifted by ``cut_b``.
-
-    The dequantization midpoint offset is a function of (magnitude, cut), so
-    reconstruction = ``reconstruct_at_cut(q, cut)`` on the truncated
-    magnitudes — identical arithmetic to the encoder's feasibility scan,
-    which is what makes the error bound exact at decode time.
-    """
-    h, w = out_hw
-
-    def layer(planes, signs, cut, levels, scale, lo, hi):
-        k = planes.shape[0]
-        mag_k = bitplane.assemble_magnitude(planes, k)
-        mag = mag_k << cut[:, None, None, None]
-        sbits = bitplane.unpack_bits_last_axis(signs)
-        q = jnp.where(sbits.astype(bool), -mag, mag)
-        rec = bitplane.reconstruct_at_cut(q, cut[:, None, None, None])
-        spatial = dwt.idwt2d(rec, levels)[..., :h, :w]
-        rng = jnp.where(hi > lo, hi - lo, 1.0)
-        return spatial * (rng[:, None, None, None] / scale) + lo[:, None, None, None]
-
-    out = layer(base_planes, base_signs, base_cut,
-                base_levels, BASE_SCALE, minval, maxval)
-    if has_residual:
-        out = out + layer(res_planes, res_signs, res_cut,
                           res_levels, RES_SCALE, rmin, rmax)
     return out

@@ -11,16 +11,14 @@ RELATIVE->MAX conversion, mirroring reference ebcc_codec.c:1078-1087) is a
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..config import CodecConfig, EncodeOptions
 from ..core import codec as _codec
-from ..core import kernels
 from . import mesh as mesh_lib
 
 
