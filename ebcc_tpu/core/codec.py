@@ -99,10 +99,11 @@ def build_layer_payload(v, stored_cut: int, cut: int, num_planes: int):
     return b"".join(parts) + signs.tobytes(), top, kept
 
 
-def _entropy_encode(payload: bytes, backend: int, level: int) -> bytes:
+def _entropy_encode(payload: bytes, backend: int, level: int,
+                    meta=None) -> bytes:
     if not payload:
         return b""
-    return entropy.compress(payload, backend, level)
+    return entropy.compress(payload, backend, level, meta=meta)
 
 
 class _SparseBatch:
@@ -189,9 +190,13 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     # Candidate A: base @ base_cut (+ residual @ res_cut unless skipped).
     base_v = res.base_values()
+    d0v, hpv, wpv = base_v.shape
+    base_meta = lambda kept: (kept, d0v, hpv, wpv, config.base_levels)
+    res_meta = lambda kept: (kept, d0v, hpv, wpv, config.residual_levels)
     base_payload, base_top, base_kept = build_layer_payload(
         base_v, store_cut, base_cut, cfg.BASE_NUM_PLANES)
-    base_comp = _entropy_encode(base_payload, backend, level)
+    base_comp = _entropy_encode(base_payload, backend, level,
+                                base_meta(base_kept))
 
     use_residual = (not skip_residual) and res_feasible
     res_comp = b""
@@ -199,7 +204,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     if use_residual:
         res_payload, res_top, res_kept = build_layer_payload(
             res.res_values(), res_cut, res_cut, cfg.RES_NUM_PLANES)
-        res_comp = _entropy_encode(res_payload, backend, level)
+        res_comp = _entropy_encode(res_payload, backend, level,
+                                   res_meta(res_kept))
         if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
             res_comp = b""
             use_residual = False
@@ -216,9 +222,10 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
                 "shipping best effort (finest cut).", float(res.target_abs))
         choose_pure = True
     elif use_residual and not opts.disable_pure_base_fallback:
-        pure_payload, pure_top, _ = build_layer_payload(
+        pure_payload, pure_top, pure_kept = build_layer_payload(
             base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
-        pure_comp = _entropy_encode(pure_payload, backend, level)
+        pure_comp = _entropy_encode(pure_payload, backend, level,
+                                    base_meta(pure_kept))
         if len(pure_comp) < len(base_comp) + len(res_comp):
             logger.info(
                 "Pure base compression (%d) is better than base (%d) + "
@@ -227,9 +234,10 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     if choose_pure:
         if pure_comp is None:
-            pure_payload, pure_top, _ = build_layer_payload(
+            pure_payload, pure_top, pure_kept = build_layer_payload(
                 base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
-            pure_comp = _entropy_encode(pure_payload, backend, level)
+            pure_comp = _entropy_encode(pure_payload, backend, level,
+                                        base_meta(pure_kept))
         base_comp, base_cut, base_top = pure_comp, pure_cut, pure_top
         use_residual = False
         res_comp = b""
@@ -311,13 +319,16 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
         else cfg.BASE_NUM_PLANES
 
     base_v = res.base_values()
+    d0v, hpv, wpv = base_v.shape
 
     def payload_at(c):
         if c >= cfg.BASE_NUM_PLANES:
             return b"", 0
         pl, top, kept = build_layer_payload(
             base_v, 0, c, cfg.BASE_NUM_PLANES)
-        return _entropy_encode(pl, backend, level), top
+        return _entropy_encode(
+            pl, backend, level,
+            (kept, d0v, hpv, wpv, config.base_levels)), top
 
     comp, top = payload_at(cut)
     while len(comp) > budget and cut < cfg.BASE_NUM_PLANES:
@@ -420,7 +431,7 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
         raise ValueError("NaN or Inf found in data")
 
     b, n_frames, h, w = x_batch.shape
-    backend = entropy.default_backend()
+    backend = entropy.backend_id(config)
     xb = np.ascontiguousarray(x_batch, dtype=np.float32) if is_np else x_batch
 
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
@@ -440,7 +451,7 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
     from concurrent.futures import ThreadPoolExecutor
 
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
-    backend = entropy.default_backend()
+    backend = entropy.backend_id(config)
 
     def run_batch(sl):
         return _fetch_encode_outputs(
@@ -491,7 +502,9 @@ def _payload_to_values(header, payload: bytes, which: str, d0, hp, wp):
     wb = wp // 8
     plane_bytes = d0 * hp * wb
     raw_size = (kept + 1) * plane_bytes
-    raw = entropy.decompress(payload, header.entropy, raw_size)
+    levels = header.base_levels if which == "base" else header.res_levels
+    raw = entropy.decompress(payload, header.entropy, raw_size,
+                             meta=(kept, d0, hp, wp, levels))
     if len(raw) != raw_size:
         raise stream.StreamError(
             f"decompressed payload size {len(raw)} != expected {raw_size}")

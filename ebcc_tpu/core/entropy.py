@@ -24,12 +24,14 @@ except ImportError:  # pragma: no cover - zstd is expected in the image
 
 BACKEND_STORE = 0
 BACKEND_ZSTD = 1
-BACKEND_NATIVE_CAB = 2  # reserved: native context-adaptive binary coder
+BACKEND_NATIVE_CAB = 2  # native context-adaptive binary coder (cab_coder.cc)
 
 
 def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
-             threads: int = 0) -> bytes:
-    if backend == BACKEND_STORE or _zstd is None:
+             threads: int = 0, meta=None) -> bytes:
+    """``meta`` = (kept, d0, hp, wp, levels), required by the CAB backend
+    (its context model walks the payload's plane structure)."""
+    if backend == BACKEND_STORE or (backend == BACKEND_ZSTD and _zstd is None):
         if backend != BACKEND_STORE and _zstd is None:
             logger.warning("zstandard unavailable; storing uncompressed")
         return bytes(data)
@@ -39,10 +41,14 @@ def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
         cctx = _zstd.ZstdCompressor(level=level, threads=threads,
                                     write_checksum=True)
         return cctx.compress(data)
+    if backend == BACKEND_NATIVE_CAB:
+        from .. import native
+
+        return native.cab_compress(data, *meta)
     raise ValueError(f"unknown entropy backend {backend}")
 
 
-def decompress(data: bytes, backend: int, orig_size: int) -> bytes:
+def decompress(data: bytes, backend: int, orig_size: int, meta=None) -> bytes:
     if backend == BACKEND_STORE:
         return bytes(data)
     if backend == BACKEND_ZSTD:
@@ -53,8 +59,19 @@ def decompress(data: bytes, backend: int, orig_size: int) -> bytes:
             return dctx.decompress(data, max_output_size=orig_size)
         except _zstd.ZstdError as e:
             raise ValueError(f"corrupt entropy payload: {e}") from e
+    if backend == BACKEND_NATIVE_CAB:
+        from .. import native
+
+        return native.cab_decompress(data, *meta)
     raise ValueError(f"unknown entropy backend {backend}")
 
 
 def default_backend() -> int:
     return BACKEND_ZSTD if _zstd is not None else BACKEND_STORE
+
+
+def backend_id(config) -> int:
+    """Resolve a CodecConfig's entropy backend to its stream id."""
+    if getattr(config, "entropy_backend", "zstd") == "cab":
+        return BACKEND_NATIVE_CAB
+    return default_backend()

@@ -89,6 +89,17 @@ def load(auto_build: bool = True):
     lib.etpu_encode_chunked.argtypes = lib.etpu_encode.argtypes
     lib.etpu_free.argtypes = [ctypes.c_void_p]
     lib.etpu_version.restype = ctypes.c_char_p
+    lib.etpu_cab_compress.restype = ctypes.c_size_t
+    lib.etpu_cab_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    lib.etpu_cab_decompress.restype = ctypes.c_size_t
+    lib.etpu_cab_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(ctypes.c_ubyte, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t]
     _lib = lib
     FILTER_DIR = str(BUILD_DIR)
     FILTER_PATH = str(p)
@@ -150,3 +161,32 @@ def native_decode(blob: bytes) -> np.ndarray:
     finally:
         lib.etpu_free(out)
     return arr
+
+
+def cab_compress(payload: bytes, kept: int, d0: int, hp: int, wp: int,
+                 levels: int) -> bytes:
+    """Context-adaptive arithmetic compression of a raw layer payload
+    (entropy backend id 2; see native/cab_coder.cc)."""
+    lib = load()
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.etpu_cab_compress(payload, len(payload), kept, d0, hp, wp,
+                              levels, ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("CAB compress failed")
+    try:
+        return bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n))
+                     .contents)
+    finally:
+        lib.etpu_free(out)
+
+
+def cab_decompress(comp: bytes, kept: int, d0: int, hp: int, wp: int,
+                   levels: int) -> bytes:
+    lib = load()
+    size = (kept + 1) * d0 * hp * (wp // 8)
+    buf = np.zeros(size, np.uint8)
+    n = lib.etpu_cab_decompress(comp, len(comp), kept, d0, hp, wp, levels,
+                                buf, size)
+    if n != size:
+        raise ValueError("corrupt CAB payload")
+    return buf.tobytes()

@@ -1,0 +1,294 @@
+/* Context-adaptive binary arithmetic coder for ETPU bitplane payloads
+ * (entropy backend id 2).
+ *
+ * Role parity: the reference's compression ratio rests on two strong
+ * entropy coders — OpenJPEG's EBCOT/MQ coder inside the J2K base layer and
+ * SPIHT's zerotree structure + zstd-22 for the residual.  The TPU build's
+ * dense-bitplane payloads compress well under zstd but leave the
+ * neighbor correlation of wavelet significance on the table (the CR risk
+ * called out in the survey).  This coder recovers it with the textbook
+ * EBCOT-family model:
+ *
+ *   - running significance state per coefficient, planes MSB->LSB;
+ *   - significance bits coded with a context from the 8-neighbor
+ *     significance count and the subband orientation class;
+ *   - sign bits coded with a left/up-neighbor sign context;
+ *   - refinement bits coded with first/later contexts;
+ *   - an adaptive binary range coder (32-bit window, in-buffer carry
+ *     propagation, 12-bit probabilities with shift-5 adaptation).
+ *
+ * Host-side C++ only (the accelerator never runs entropy code); the
+ * payload structure stays "dense planes + sign plane", so backend 2 is a
+ * drop-in replacement for the zstd wrap.  It trades speed for ratio — the
+ * same trade the reference makes with zstd level 22 — and ships as the
+ * opt-in max-compression backend.
+ */
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BinProb {
+  uint16_t p0 = 1 << 11; /* P(bit == 0), 12-bit fixed point */
+  inline void update(int bit) {
+    if (bit)
+      p0 -= p0 >> 5;
+    else
+      p0 += (4096 - p0) >> 5;
+  }
+};
+
+class RangeEncoder {
+ public:
+  void encode(int bit, BinProb *ctx) {
+    uint32_t split = (uint32_t)(((uint64_t)range_ * ctx->p0) >> 12);
+    if (split == 0) split = 1;
+    if (split >= range_) split = range_ - 1;
+    if (!bit) {
+      range_ = split;
+    } else {
+      low_ += split;
+      if (low_ >> 32) { /* carry: ripple into emitted bytes */
+        for (size_t i = out_.size(); i-- > 0;) {
+          if (++out_[i] != 0) break;
+        }
+        low_ &= 0xFFFFFFFFull;
+      }
+      range_ -= split;
+    }
+    ctx->update(bit);
+    while (range_ < (1u << 24)) {
+      out_.push_back((uint8_t)(low_ >> 24));
+      low_ = (low_ << 8) & 0xFFFFFFFFull;
+      range_ <<= 8;
+    }
+  }
+
+  void finish() {
+    for (int i = 0; i < 4; ++i) {
+      out_.push_back((uint8_t)(low_ >> 24));
+      low_ = (low_ << 8) & 0xFFFFFFFFull;
+    }
+  }
+
+  std::vector<uint8_t> out_;
+
+ private:
+  uint64_t low_ = 0;
+  uint32_t range_ = 0xFFFFFFFFu;
+};
+
+class RangeDecoder {
+ public:
+  RangeDecoder(const uint8_t *data, size_t n) : data_(data), n_(n) {
+    for (int i = 0; i < 4; ++i) code_ = (code_ << 8) | next();
+  }
+
+  int decode(BinProb *ctx) {
+    uint32_t split = (uint32_t)(((uint64_t)range_ * ctx->p0) >> 12);
+    if (split == 0) split = 1;
+    if (split >= range_) split = range_ - 1;
+    int bit;
+    if (code_ < split) {
+      bit = 0;
+      range_ = split;
+    } else {
+      bit = 1;
+      code_ -= split;
+      range_ -= split;
+    }
+    ctx->update(bit);
+    while (range_ < (1u << 24)) {
+      code_ = ((code_ << 8) | next()) & 0xFFFFFFFFull;
+      range_ <<= 8;
+    }
+    return bit;
+  }
+
+ private:
+  uint8_t next() { return pos_ < n_ ? data_[pos_++] : 0; }
+  const uint8_t *data_;
+  size_t n_;
+  size_t pos_ = 0;
+  uint64_t code_ = 0;
+  uint32_t range_ = 0xFFFFFFFFu;
+};
+
+/* Subband orientation class per (row, col) of the padded Mallat layout:
+ * 0 = deepest LL, 1 = HL, 2 = LH, 3 = HH (orientation of the band the
+ * coefficient belongs to, any level). */
+void build_class_map(int hp, int wp, int levels, std::vector<uint8_t> *cls) {
+  cls->assign((size_t)hp * wp, 3);
+  for (int r = 0; r < hp; ++r) {
+    for (int c = 0; c < wp; ++c) {
+      uint8_t v = 3;
+      if (r < (hp >> levels) && c < (wp >> levels)) {
+        v = 0; /* deepest LL */
+      } else {
+        for (int l = levels; l >= 1; --l) {
+          /* inside the level-(l-1) LL block => belongs to a level-l band */
+          if (r < (hp >> (l - 1)) && c < (wp >> (l - 1))) {
+            const int hl = hp >> l, wl = wp >> l;
+            v = (r < hl) ? 1 : (c < wl ? 2 : 3);
+            break;
+          }
+        }
+      }
+      (*cls)[(size_t)r * wp + c] = v;
+    }
+  }
+}
+
+constexpr int kSigCtx = 4 * 9 * 2; /* orientation x neighbors x parent-sig */
+constexpr int kSignCtx = 9;
+constexpr int kRefCtx = 2;
+
+struct Contexts {
+  BinProb sig[kSigCtx];
+  BinProb sign[kSignCtx];
+  BinProb ref[kRefCtx];
+};
+
+inline int neighbor_sig_count(const uint8_t *sig, int r, int c, int hp,
+                              int wp, size_t base) {
+  int n = 0;
+  for (int dr = -1; dr <= 1; ++dr) {
+    const int rr = r + dr;
+    if (rr < 0 || rr >= hp) continue;
+    for (int dc = -1; dc <= 1; ++dc) {
+      if (!dr && !dc) continue;
+      const int cc = c + dc;
+      if (cc < 0 || cc >= wp) continue;
+      n += sig[base + (size_t)rr * wp + cc];
+    }
+  }
+  return n > 8 ? 8 : n;
+}
+
+inline int sign_context(const uint8_t *sig, const uint8_t *neg, int r, int c,
+                        int hp, int wp, size_t base) {
+  /* left/up contributions in {-1, 0, +1} -> 9 contexts */
+  auto contrib = [&](int rr, int cc) -> int {
+    if (rr < 0 || cc < 0 || rr >= hp || cc >= wp) return 0;
+    const size_t i = base + (size_t)rr * wp + cc;
+    if (!sig[i]) return 0;
+    return neg[i] ? -1 : 1;
+  };
+  const int h = contrib(r, c - 1);
+  const int v = contrib(r - 1, c);
+  return (h + 1) * 3 + (v + 1);
+}
+
+/* Walk the payload (kept magnitude planes + sign plane, MSB-first packing
+ * along width) coding or decoding every bit with the shared model. */
+template <bool kEncode>
+void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
+          RangeEncoder *enc, RangeDecoder *dec) {
+  const int wb = wp / 8;
+  const size_t plane_bytes = (size_t)d0 * hp * wb;
+  const size_t n = (size_t)d0 * hp * wp;
+  std::vector<uint8_t> cls;
+  build_class_map(hp, wp, levels, &cls);
+  std::vector<uint8_t> sig(n, 0), neg(n, 0), refined(n, 0);
+  Contexts ctx;
+
+  uint8_t *signs = payload + (size_t)kept * plane_bytes;
+  for (int s = 0; s < kept; ++s) {
+    uint8_t *plane = payload + (size_t)s * plane_bytes;
+    for (int f = 0; f < d0; ++f) {
+      const size_t base = (size_t)f * hp * wp;
+      const size_t bbase = (size_t)f * hp * wb;
+      for (int r = 0; r < hp; ++r) {
+        for (int c = 0; c < wp; ++c) {
+          const size_t i = base + (size_t)r * wp + c;
+          const size_t byte = bbase + (size_t)r * wb + c / 8;
+          const uint8_t mask = (uint8_t)(1u << (7 - (c % 8)));
+          if (!sig[i]) {
+            /* zerotree-style parent context: in the in-place Mallat layout
+             * the same-orientation parent of any detail coefficient sits at
+             * (r>>1, c>>1). */
+            const int psig =
+                sig[base + (size_t)(r >> 1) * wp + (c >> 1)] ? 1 : 0;
+            const int sc =
+                (cls[(size_t)r * wp + c] * 9 +
+                 neighbor_sig_count(sig.data(), r, c, hp, wp, base)) * 2 +
+                psig;
+            int bit;
+            if (kEncode) {
+              bit = (plane[byte] & mask) ? 1 : 0;
+              enc->encode(bit, &ctx.sig[sc]);
+            } else {
+              bit = dec->decode(&ctx.sig[sc]);
+              if (bit) plane[byte] |= mask;
+            }
+            if (bit) {
+              const int xc =
+                  sign_context(sig.data(), neg.data(), r, c, hp, wp, base);
+              int sbit;
+              if (kEncode) {
+                sbit = (signs[byte] & mask) ? 1 : 0;
+                enc->encode(sbit, &ctx.sign[xc]);
+              } else {
+                sbit = dec->decode(&ctx.sign[xc]);
+                if (sbit) signs[byte] |= mask;
+              }
+              sig[i] = 1;
+              neg[i] = (uint8_t)sbit;
+            }
+          } else {
+            const int rc = refined[i] ? 1 : 0;
+            if (kEncode) {
+              const int bit = (plane[byte] & mask) ? 1 : 0;
+              enc->encode(bit, &ctx.ref[rc]);
+            } else {
+              if (dec->decode(&ctx.ref[rc])) plane[byte] |= mask;
+            }
+            refined[i] = 1;
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+/* payload: kept magnitude planes + sign plane (raw ETPU layout).
+ * Returns malloc'd compressed bytes via *out, or 0 on error. */
+size_t etpu_cab_compress(const uint8_t *payload, size_t payload_size,
+                         int kept, int d0, int hp, int wp, int levels,
+                         uint8_t **out) {
+  if (kept <= 0 || wp % 8 != 0) return 0;
+  const size_t expect = (size_t)(kept + 1) * d0 * hp * (wp / 8);
+  if (payload_size != expect) return 0;
+  RangeEncoder enc;
+  /* walk reads the payload; const_cast is safe for the encode path */
+  walk<true>(const_cast<uint8_t *>(payload), kept, d0, hp, wp, levels, &enc,
+             nullptr);
+  enc.finish();
+  *out = (uint8_t *)std::malloc(enc.out_.size());
+  if (!*out) return 0;
+  std::memcpy(*out, enc.out_.data(), enc.out_.size());
+  return enc.out_.size();
+}
+
+/* Decompress into caller-provided payload buffer (zero-initialized here).
+ * Returns payload_size on success, 0 on error. */
+size_t etpu_cab_decompress(const uint8_t *comp, size_t comp_size, int kept,
+                           int d0, int hp, int wp, int levels,
+                           uint8_t *out_payload, size_t payload_size) {
+  if (kept <= 0 || wp % 8 != 0) return 0;
+  const size_t expect = (size_t)(kept + 1) * d0 * hp * (wp / 8);
+  if (payload_size != expect) return 0;
+  std::memset(out_payload, 0, payload_size);
+  RangeDecoder dec(comp, comp_size);
+  walk<false>(out_payload, kept, d0, hp, wp, levels, nullptr, &dec);
+  return payload_size;
+}
+
+}  /* extern "C" */

@@ -13,6 +13,11 @@
 
 #include <zstd.h>
 
+extern "C" size_t etpu_cab_compress(const uint8_t *, size_t, int, int, int,
+                                    int, int, uint8_t **);
+extern "C" size_t etpu_cab_decompress(const uint8_t *, size_t, int, int, int,
+                                      int, int, uint8_t *, size_t);
+
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
@@ -37,6 +42,7 @@ constexpr uint8_t kFlagResidual = 0x02;
 constexpr uint8_t kFlagMeanAdjusted = 0x04;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
+constexpr int kBackendCab = 2;
 constexpr size_t kResidualDropBytes = 16;
 
 /* CDF 9/7 lifting constants (shared with ebcc_tpu/ops/dwt.py). */
@@ -422,6 +428,13 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   if (h.entropy == kBackendZstd) {
     if (!zstd_unpack(payload, comp_size, raw.data(), raw_size)) {
       log_err("corrupt entropy payload");
+      return false;
+    }
+  } else if (h.entropy == kBackendCab) {
+    const int levels = base ? h.base_levels : h.res_levels;
+    if (!etpu_cab_decompress(payload, comp_size, kept, d0, hp, wp, levels,
+                             raw.data(), raw_size)) {
+      log_err("corrupt CAB payload");
       return false;
     }
   } else if (h.entropy == kBackendStore) {

@@ -79,7 +79,7 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     from ..config import RESIDUAL_NONE
     from ..core import entropy, stream
 
-    backend = entropy.default_backend()
+    backend = entropy.backend_id(chunk_cfg)
     error_mode = config.residual_mode != RESIDUAL_NONE
     out = _codec.encode_batch_device(xb, chunk_cfg, opts)
     out_np = _codec._fetch_encode_outputs(out, error_mode)

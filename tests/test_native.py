@@ -130,3 +130,50 @@ class TestHDF5Plugin:
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         assert proc.returncode == 0, proc.stderr
         assert "PLUGIN_OK" in proc.stdout
+
+
+class TestCABBackend:
+    """Entropy backend 2 (native context-adaptive arithmetic coder)."""
+
+    def test_cab_payload_roundtrip_random(self, native):
+        """Random magnitudes with a contract-respecting sign plane (signs
+        are defined only where some magnitude bit is set — exactly how
+        build_layer_payload masks them)."""
+        rng = np.random.default_rng(0)
+        d0, hp, wp, kept, levels = 1, 64, 64, 5, 3
+        plane_bytes = d0 * hp * (wp // 8)
+        planes = rng.integers(0, 256, (kept, plane_bytes), dtype=np.uint8)
+        sig_mask = np.bitwise_or.reduce(planes, axis=0)
+        signs = rng.integers(0, 256, plane_bytes, dtype=np.uint8) & sig_mask
+        payload = planes.tobytes() + signs.tobytes()
+        comp = native.cab_compress(payload, kept, d0, hp, wp, levels)
+        assert native.cab_decompress(comp, kept, d0, hp, wp, levels) == payload
+
+    def test_cab_stream_roundtrip_and_smaller(self, native, medium_frame):
+        data = medium_frame[None]
+        blob_z = encode(data, CodecConfig(
+            dims=data.shape, base_cr=30, residual_mode=RESIDUAL_MAX_ERROR,
+            error=0.1))
+        cfg_cab = CodecConfig(dims=data.shape, base_cr=30,
+                              residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                              entropy_backend="cab")
+        blob_c = encode(data, cfg_cab)
+        assert len(blob_c) < len(blob_z)  # CAB beats zstd on these payloads
+        out = decode(blob_c).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1
+        # native decoder reads CAB streams too
+        nat = native.native_decode(blob_c).reshape(data.shape)
+        assert np.abs(nat - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
+    def test_cab_corruption_detected_or_bounded(self, native, small_frame):
+        """Arithmetic streams have no checksum; corruption must at worst
+        produce a parse failure, never a crash."""
+        cfg_cab = CodecConfig(dims=(1, 64, 64), base_cr=30,
+                              residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                              entropy_backend="cab")
+        blob = bytearray(encode(small_frame[None], cfg_cab))
+        blob[100] ^= 0xFF
+        try:
+            decode(bytes(blob))
+        except Exception:
+            pass  # acceptable: loud failure
