@@ -402,9 +402,11 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
             return list(pool.map(fn, range(n_chunks)))
 
 
-def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions):
+def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
+                        use_pallas: bool = True):
     """Dispatch the device encode program on an already-device-resident
-    (or host numpy) batch.  Returns the device output dict (async)."""
+    (or host numpy) batch.  Returns the device output dict (async).
+    ``use_pallas=False`` for mesh-sharded operands (see ops/dwt_pallas)."""
     if config.residual_mode == cfg.RESIDUAL_NONE:
         return kernels.encode_batch_rate_only(
             xb, base_levels=config.base_levels,
@@ -414,7 +416,8 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions):
         xb, np.float32(config.error), np.float32(opts.base_quantile_target),
         base_levels=config.base_levels, res_levels=config.residual_levels,
         relative_mode=relative,
-        use_centered=not opts.disable_mean_adjustment)
+        use_centered=not opts.disable_mean_adjustment,
+        use_pallas=use_pallas)
 
 
 def _encode_chunk_batch(x_batch, config: CodecConfig,
@@ -628,7 +631,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             *args,
             base_levels=h0.base_levels, res_levels=h0.res_levels,
             out_hw=(h, w), has_residual=any_residual,
-            grid_shape=(n, d0, hp, wp))
+            grid_shape=(n, d0, hp, wp), use_pallas=sharding is None)
     return out, const_mask, minval
 
 

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BASE_NUM_PLANES, RES_NUM_PLANES
-from ..ops import bitplane, dwt
+from ..ops import bitplane, dwt, dwt_pallas
 from . import transfer
 
 BASE_SCALE = 65535.0
@@ -52,20 +52,21 @@ def _pad2d(x, multiple):
     return dwt.pad_to_multiple(x, multiple)
 
 
-def _scan_cuts(q, num_planes, levels, eval_fn):
-    """Evaluate ``eval_fn(recon_coeffs, cut)`` for every cut in [0, P).
+def _scan_cuts(q, num_planes, levels, eval_fn, use_pallas=True):
+    """Evaluate ``eval_fn(recon_spatial, cut)`` for every cut in [0, P).
 
     Returns a pytree stacked along a leading cut axis, computed with
-    ``lax.map`` (sequential, memory-bounded; each step is a full batched
-    inverse DWT on the VPU).
+    ``lax.map`` (sequential, memory-bounded).  Each step is a fused
+    dequantize + multi-level inverse DWT: a Pallas kernel keeping each
+    frame VMEM-resident on TPU (bit-exact with the XLA fallback), see
+    ops/dwt_pallas.py.
     """
 
     def body(cut):
-        rec = bitplane.reconstruct_at_cut(q, cut)
-        return eval_fn(idwt(rec, levels), cut)
-
-    def idwt(rec, levels):
-        return dwt.idwt2d(rec, levels)
+        spatial = dwt_pallas.idwt2d_dequant(
+            q, jnp.broadcast_to(cut, (q.shape[0],)), levels,
+            use_pallas=use_pallas)
+        return eval_fn(spatial, cut)
 
     return jax.lax.map(body, jnp.arange(num_planes, dtype=jnp.int32))
 
@@ -83,7 +84,8 @@ def _last_true_index(mask_p_b, default):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_levels", "res_levels", "relative_mode", "use_centered"),
+    static_argnames=("base_levels", "res_levels", "relative_mode",
+                     "use_centered", "use_pallas"),
 )
 def encode_batch(
     x,                       # (B, D0, H, W) float32
@@ -94,6 +96,7 @@ def encode_batch(
     res_levels: int = 3,
     relative_mode: bool = False,
     use_centered: bool = True,
+    use_pallas: bool = True,
 ):
     """Full batched encode program.  Returns a dict of device arrays; all
     stream assembly happens on host (``ebcc_tpu.core.codec``).
@@ -131,7 +134,7 @@ def encode_batch(
         return maxe, q, m
 
     maxe_p, quant_p, mean_p = _scan_cuts(qbase, BASE_NUM_PLANES, base_levels,
-                                         base_metrics)
+                                         base_metrics, use_pallas)
 
     # Coarsest cut meeting the quantile target (ref HOT LOOP 1 semantics).
     base_cut = _last_true_index(quant_p >= base_quantile_target,
@@ -144,8 +147,10 @@ def encode_batch(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
 
     # ---- base reconstruction at the chosen cut ----
-    rec_b = bitplane.reconstruct_at_cut(qbase, base_cut[:, None, None, None])
-    base_recon = dwt.unpad(dwt.idwt2d(rec_b, base_levels), orig_hw) * scale_back + off
+    base_recon = dwt.unpad(
+        dwt_pallas.idwt2d_dequant(qbase, base_cut, base_levels,
+                                  use_pallas=use_pallas),
+        orig_hw) * scale_back + off
     base_err = x - base_recon
     base_maxerr = jnp.abs(base_err).max(axis=(1, 2, 3))
     skip_residual = base_maxerr <= target  # ref c:737
@@ -173,7 +178,7 @@ def encode_batch(
         return maxe, m
 
     res_maxe_p, res_mean_p = _scan_cuts(qres, RES_NUM_PLANES, res_levels,
-                                        res_metrics)
+                                        res_metrics, use_pallas)
     res_feas_p = res_maxe_p <= target[None, :]
     res_cut = _last_true_index(res_feas_p, jnp.int32(0))
     res_feasible = res_feas_p.any(axis=0)  # else pure-base required (ref c:755-758)
@@ -273,7 +278,7 @@ def encode_batch_rate_only(
 @functools.partial(
     jax.jit,
     static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
-                     "grid_shape"),
+                     "grid_shape", "use_pallas"),
 )
 def decode_batch_sparse(
     idx,            # (cap,) int32 flat positions into the (2, B, D0, Hp, Wp)
@@ -287,6 +292,7 @@ def decode_batch_sparse(
     out_hw=(721, 1440),
     has_residual: bool = True,
     grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
 ):
     """Batched decode from the sparse exchange rep (see core.transfer).
 
@@ -305,8 +311,8 @@ def decode_batch_sparse(
     def layer(qkept, cut, levels, scale, lo, hi):
         cut4 = cut[:, None, None, None]
         q = jnp.where(qkept < 0, -((-qkept) << cut4), qkept << cut4)
-        rec = bitplane.reconstruct_at_cut(q, cut4)
-        spatial = dwt.idwt2d(rec, levels)[..., :h, :w]
+        spatial = dwt_pallas.idwt2d_dequant(
+            q, cut, levels, use_pallas=use_pallas)[..., :h, :w]
         rng = jnp.where(hi > lo, hi - lo, 1.0)
         return spatial * (rng[:, None, None, None] / scale) + lo[:, None, None, None]
 

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused dequantize + multi-level inverse DWT.
+
+The encode-side cut scans run ~34 (dequantize -> inverse DWT -> reduce)
+passes per batch; under XLA each lifting step streams the frame through
+HBM.  This kernel keeps ONE frame resident in VMEM (a padded ERA5 frame is
+~4.2 MB f32, well inside the ~16 MB budget) and performs the dequantization
+and every lifting step of every level on-chip, writing spatial output once.
+
+Formulation notes (Mosaic-friendly):
+  * lifting runs along the SUBLANE (row) axis only; the row-direction pass
+    is handled by transposing the block, running the same sublane pass, and
+    transposing back — 2-D f32 transposes are natively supported, unlike
+    lane-strided accesses;
+  * the even/odd interleave is a sublane-axis ``stack + reshape``
+    (``(h/2, 2, w) -> (h, w)``), again avoiding lane shuffles;
+  * per-level blocks use static shapes (Python loop over levels), updated
+    into the carried frame value with ``dynamic_update_slice``.
+
+Falls back transparently to the XLA path (`ops.dwt.idwt2d`) when Pallas is
+unavailable (CPU tests) — see :func:`idwt2d_dequant`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import dwt as dwt_ops
+
+ALPHA = dwt_ops.ALPHA
+BETA = dwt_ops.BETA
+GAMMA = dwt_ops.GAMMA
+DELTA = dwt_ops.DELTA
+XI = dwt_ops.XI
+
+
+def _inv_lift_axis0(blk):
+    """Inverse 9/7 lifting along axis 0 of a (n, w) block (n even)."""
+    n = blk.shape[0]
+    h = n // 2
+    e = blk[:h] * (1.0 / XI)
+    o = blk[h:] * XI
+
+    def shift_prev(a):  # a[i-1] with front replication
+        return jnp.concatenate([a[:1], a[:-1]], axis=0)
+
+    def shift_next(a):  # a[i+1] with end replication
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    e = e + (-DELTA) * (shift_prev(o) + o)
+    o = o + (-GAMMA) * (e + shift_next(e))
+    e = e + (-BETA) * (shift_prev(o) + o)
+    o = o + (-ALPHA) * (e + shift_next(e))
+    # interleave along axis 0: (h, 2, w) -> (n, w)
+    return jnp.stack([e, o], axis=1).reshape(n, blk.shape[1])
+
+
+def _idwt2d_value(a, levels: int):
+    """Multi-level inverse DWT on a (Hp, Wp) value, cols pass then rows pass
+    per level (matching ops.dwt.idwt2d), rows via transpose."""
+    hp, wp = a.shape
+    for lvl in range(levels - 1, -1, -1):
+        hl, wl = hp >> lvl, wp >> lvl
+        blk = jax.lax.slice(a, (0, 0), (hl, wl))
+        blk = _inv_lift_axis0(blk)                    # columns
+        blk = _inv_lift_axis0(blk.T).T                # rows via transpose
+        if (hl, wl) == (hp, wp):
+            a = blk
+        else:
+            # static top-left block update via slices + concats (Mosaic has
+            # no dynamic_update_slice)
+            top = jnp.concatenate([blk, jax.lax.slice(
+                a, (0, wl), (hl, wp))], axis=1)
+            a = jnp.concatenate([top, jax.lax.slice(
+                a, (hl, 0), (hp, wp))], axis=0)
+    return a
+
+
+def _dequant(q, cut):
+    mag = jnp.abs(q) >> cut
+    kept = mag << cut
+    significant = kept > 0
+    offset = jnp.where(cut > 0, (1 << cut) >> 1, 0)
+    rec = kept.astype(jnp.float32) + jnp.where(
+        significant, offset, 0).astype(jnp.float32) + jnp.where(
+        significant & (cut == 0), 0.5, 0.0)
+    return jnp.where(q < 0, -rec, rec)
+
+
+def _make_kernel(levels: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(cut_ref, q_ref, out_ref):
+        cut = cut_ref[pl.program_id(0)]
+        rec = _dequant(q_ref[0], cut)
+        out_ref[0] = _idwt2d_value(rec, levels)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def idwt2d_dequant_pallas(q, cut, levels: int):
+    """(B, D0, Hp, Wp) int32 + per-chunk cut -> spatial f32, one Pallas
+    grid step per frame (frame resident in VMEM throughout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d0, hp, wp = q.shape
+    qf = q.reshape(b * d0, hp, wp)
+    cut_full = jnp.broadcast_to(cut[:, None], (b, d0)).reshape(b * d0)
+
+    out = pl.pallas_call(
+        _make_kernel(levels),
+        grid=(b * d0,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full cut vector
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * d0, hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(cut_full.astype(jnp.int32), qf)
+    return out.reshape(b, d0, hp, wp)
+
+
+def supported() -> bool:
+    """Pallas TPU lowering available on the default backend?"""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def idwt2d_dequant(q, cut, levels: int, use_pallas: bool = True):
+    """Fused dequantize+inverse-DWT with Pallas on TPU, XLA elsewhere.
+
+    q: (B, D0, Hp, Wp) int32; cut: (B,) int32 (or scalar).  The two paths
+    are bit-exact on TPU (verified), so bound semantics are unaffected by
+    the choice.  ``use_pallas=False`` forces the XLA path — required when
+    the operands are sharded over a mesh (GSPMD cannot partition custom
+    calls automatically).
+    """
+    cut = jnp.atleast_1d(jnp.asarray(cut, jnp.int32))
+    if cut.shape[0] != q.shape[0]:
+        cut = jnp.broadcast_to(cut, (q.shape[0],))
+    if use_pallas and supported():
+        return idwt2d_dequant_pallas(q, cut, levels)
+    from . import bitplane
+
+    rec = bitplane.reconstruct_at_cut(q, cut[:, None, None, None])
+    return dwt_ops.idwt2d(rec, levels)
