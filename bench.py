@@ -39,6 +39,9 @@ BASELINE_PTS_PER_S = 1.0e6
 H, W = 721, 1440
 N_FRAMES = int(os.environ.get("EBCC_BENCH_FRAMES", "32"))
 ERROR_TARGET = float(os.environ.get("EBCC_BENCH_ERROR", "0.5"))
+# "max" (default) or "rel": BASELINE configs 2 vs 3 (RELATIVE_ERROR sweep
+# exercises the vectorized search the same way with per-chunk range targets)
+ERROR_MODE = os.environ.get("EBCC_BENCH_MODE", "max")
 REPS = int(os.environ.get("EBCC_BENCH_REPS", "3"))
 
 
@@ -97,16 +100,20 @@ def main():
     import jax.numpy as jnp
 
     import ebcc_tpu
-    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+    from ebcc_tpu import (CodecConfig, RESIDUAL_MAX_ERROR,
+                          RESIDUAL_RELATIVE_ERROR)
     from ebcc_tpu.core import codec as codec_mod
 
     frames = load_frames(N_FRAMES)
     data = frames  # (N, H, W)
     n_points = data.size
+    mode = (RESIDUAL_RELATIVE_ERROR if ERROR_MODE == "rel"
+            else RESIDUAL_MAX_ERROR)
     config = CodecConfig(
-        dims=data.shape, base_cr=30, residual_mode=RESIDUAL_MAX_ERROR,
+        dims=data.shape, base_cr=30, residual_mode=mode,
         error=ERROR_TARGET, chunk_dims=(1, H, W),
-        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "9")))
+        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "9")),
+        entropy_backend=os.environ.get("EBCC_BENCH_ENTROPY", "zstd"))
     opts = ebcc_tpu.EncodeOptions.from_env()
 
     # ---- device-resident path (headline) ----
@@ -125,7 +132,9 @@ def main():
         return streams, float(err)
 
     streams, maxerr = device_roundtrip()  # warm-up/compile
-    assert maxerr <= ERROR_TARGET, (maxerr, ERROR_TARGET)
+    bound = ERROR_TARGET if ERROR_MODE == "max" else ERROR_TARGET * float(
+        data.max() - data.min())
+    assert maxerr <= bound, (maxerr, bound)
     blob_bytes = sum(len(s) for s in streams)
 
     dev_t = []
@@ -139,7 +148,7 @@ def main():
     blob = ebcc_tpu.encode_chunked(data, config)
     out = ebcc_tpu.decode_chunked(blob)
     host_maxerr = float(np.abs(out - data).max())
-    assert host_maxerr <= ERROR_TARGET, (host_maxerr, ERROR_TARGET)
+    assert host_maxerr <= bound, (host_maxerr, bound)
     t0 = time.perf_counter()
     blob = ebcc_tpu.encode_chunked(data, config)
     t1 = time.perf_counter()

@@ -37,3 +37,7 @@ from .core.codec import (  # noqa: F401
     encode_chunked,
     encode_chunked_compat,
 )
+
+# Subpackages (imported lazily by attribute access to keep import light):
+# ebcc_tpu.api, ebcc_tpu.parallel, ebcc_tpu.io, ebcc_tpu.native, ebcc_tpu.ops
+

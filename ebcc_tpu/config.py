@@ -64,9 +64,10 @@ class CodecConfig:
     base_levels: int = 5
     residual_levels: int = 3
     zstd_level: int = 9
-    # Entropy backend: "zstd" (default, fast) or "cab" (native
-    # context-adaptive arithmetic coder, ~8% smaller streams; requires the
-    # built native library).
+    # Entropy backend: "zstd" (default, fast), "cab" (native
+    # context-adaptive arithmetic coder; requires the built native
+    # library), or "auto" (compress each layer both ways, keep the
+    # smaller — max compression).
     entropy_backend: str = "zstd"
 
     def __post_init__(self):
@@ -76,7 +77,7 @@ class CodecConfig:
             raise ValueError(f"dims/chunk_dims must have {NDIMS} entries")
         if self.residual_mode not in _RESIDUAL_NAMES:
             raise ValueError(f"invalid residual mode {self.residual_mode}")
-        if self.entropy_backend not in ("zstd", "cab"):
+        if self.entropy_backend not in ("zstd", "cab", "auto"):
             raise ValueError(f"invalid entropy backend {self.entropy_backend}")
 
     @property

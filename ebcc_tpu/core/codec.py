@@ -99,11 +99,13 @@ def build_layer_payload(v, stored_cut: int, cut: int, num_planes: int):
     return b"".join(parts) + signs.tobytes(), top, kept
 
 
-def _entropy_encode(payload: bytes, backend: int, level: int,
-                    meta=None) -> bytes:
+def _entropy_encode(payload: bytes, backend: int, level: int, meta=None):
+    """-> (compressed, backend_id_used); resolves the AUTO pseudo-backend
+    by trying both real backends."""
     if not payload:
-        return b""
-    return entropy.compress(payload, backend, level, meta=meta)
+        return b"", (entropy.BACKEND_ZSTD
+                     if backend == entropy.BACKEND_AUTO else backend)
+    return entropy.compress_best(payload, backend, level, meta)
 
 
 class _SparseBatch:
@@ -165,7 +167,7 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     if bool(res.const):
         header = stream.FrameHeader(
-            flags=stream.FLAG_CONST, entropy=backend,
+            flags=stream.FLAG_CONST, entropy=entropy.BACKEND_ZSTD,
             n_frames=n_frames, height=h, width=w,
             minval=minval, maxval=maxval, rmin=0.0, rmax=0.0,
             base_levels=config.base_levels, res_levels=config.residual_levels,
@@ -195,8 +197,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     res_meta = lambda kept: (kept, d0v, hpv, wpv, config.residual_levels)
     base_payload, base_top, base_kept = build_layer_payload(
         base_v, store_cut, base_cut, cfg.BASE_NUM_PLANES)
-    base_comp = _entropy_encode(base_payload, backend, level,
-                                base_meta(base_kept))
+    base_comp, base_be = _entropy_encode(base_payload, backend, level,
+                                         base_meta(base_kept))
 
     use_residual = (not skip_residual) and res_feasible
     res_comp = b""
@@ -204,8 +206,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     if use_residual:
         res_payload, res_top, res_kept = build_layer_payload(
             res.res_values(), res_cut, res_cut, cfg.RES_NUM_PLANES)
-        res_comp = _entropy_encode(res_payload, backend, level,
-                                   res_meta(res_kept))
+        res_comp, res_be = _entropy_encode(res_payload, backend, level,
+                                           res_meta(res_kept))
         if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
             res_comp = b""
             use_residual = False
@@ -224,8 +226,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     elif use_residual and not opts.disable_pure_base_fallback:
         pure_payload, pure_top, pure_kept = build_layer_payload(
             base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
-        pure_comp = _entropy_encode(pure_payload, backend, level,
-                                    base_meta(pure_kept))
+        pure_comp, pure_be = _entropy_encode(pure_payload, backend, level,
+                                             base_meta(pure_kept))
         if len(pure_comp) < len(base_comp) + len(res_comp):
             logger.info(
                 "Pure base compression (%d) is better than base (%d) + "
@@ -236,9 +238,10 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
         if pure_comp is None:
             pure_payload, pure_top, pure_kept = build_layer_payload(
                 base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
-            pure_comp = _entropy_encode(pure_payload, backend, level,
-                                        base_meta(pure_kept))
+            pure_comp, pure_be = _entropy_encode(pure_payload, backend, level,
+                                                 base_meta(pure_kept))
         base_comp, base_cut, base_top = pure_comp, pure_cut, pure_top
+        base_be = pure_be
         use_residual = False
         res_comp = b""
         mean = float(res.pure_mean)
@@ -277,7 +280,7 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
                      + len(res_comp)))
 
     header = stream.FrameHeader(
-        flags=flags, entropy=backend,
+        flags=flags, entropy=base_be,
         n_frames=n_frames, height=h, width=w,
         minval=minval, maxval=maxval,
         rmin=float(res.rmin) if use_residual else 0.0,
@@ -287,7 +290,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
         base_top=base_top,
         res_nplanes=cfg.RES_NUM_PLANES, res_cut=res_cut if use_residual else 0,
         res_top=res_top,
-        base_comp_size=len(base_comp), res_comp_size=len(res_comp))
+        base_comp_size=len(base_comp), res_comp_size=len(res_comp),
+        res_entropy=res_be if use_residual else 0)
     return stream.pack_frame_stream(header, base_comp, res_comp)
 
 
@@ -302,7 +306,7 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     level = config.zstd_level
     if bool(res.const):
         header = stream.FrameHeader(
-            flags=stream.FLAG_CONST, entropy=backend,
+            flags=stream.FLAG_CONST, entropy=entropy.BACKEND_ZSTD,
             n_frames=n_frames, height=h, width=w,
             minval=float(res.minval), maxval=float(res.maxval),
             rmin=0.0, rmax=0.0,
@@ -323,27 +327,27 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     def payload_at(c):
         if c >= cfg.BASE_NUM_PLANES:
-            return b"", 0
+            return b"", entropy.BACKEND_ZSTD, 0
         pl, top, kept = build_layer_payload(
             base_v, 0, c, cfg.BASE_NUM_PLANES)
-        return _entropy_encode(
-            pl, backend, level,
-            (kept, d0v, hpv, wpv, config.base_levels)), top
+        comp, be = _entropy_encode(
+            pl, backend, level, (kept, d0v, hpv, wpv, config.base_levels))
+        return comp, be, top
 
-    comp, top = payload_at(cut)
+    comp, base_be, top = payload_at(cut)
     while len(comp) > budget and cut < cfg.BASE_NUM_PLANES:
         cut += 1
-        comp, top = payload_at(cut)
+        comp, base_be, top = payload_at(cut)
     while cut > 0:
-        trial, trial_top = payload_at(cut - 1)
+        trial, trial_be, trial_top = payload_at(cut - 1)
         if len(trial) <= budget:
             cut -= 1
-            comp, top = trial, trial_top
+            comp, base_be, top = trial, trial_be, trial_top
         else:
             break
 
     header = stream.FrameHeader(
-        flags=0, entropy=backend,
+        flags=0, entropy=base_be,
         n_frames=n_frames, height=h, width=w,
         minval=float(res.minval), maxval=float(res.maxval),
         rmin=0.0, rmax=0.0,
@@ -506,7 +510,9 @@ def _payload_to_values(header, payload: bytes, which: str, d0, hp, wp):
     plane_bytes = d0 * hp * wb
     raw_size = (kept + 1) * plane_bytes
     levels = header.base_levels if which == "base" else header.res_levels
-    raw = entropy.decompress(payload, header.entropy, raw_size,
+    layer_backend = (header.entropy if which == "base"
+                     else header.res_entropy_effective)
+    raw = entropy.decompress(payload, layer_backend, raw_size,
                              meta=(kept, d0, hp, wp, levels))
     if len(raw) != raw_size:
         raise stream.StreamError(

@@ -25,6 +25,8 @@ except ImportError:  # pragma: no cover - zstd is expected in the image
 BACKEND_STORE = 0
 BACKEND_ZSTD = 1
 BACKEND_NATIVE_CAB = 2  # native context-adaptive binary coder (cab_coder.cc)
+BACKEND_AUTO = 3        # pseudo-id: try zstd AND cab, keep the smaller
+                        # (never appears in streams)
 
 
 def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
@@ -71,7 +73,23 @@ def default_backend() -> int:
 
 
 def backend_id(config) -> int:
-    """Resolve a CodecConfig's entropy backend to its stream id."""
-    if getattr(config, "entropy_backend", "zstd") == "cab":
+    """Resolve a CodecConfig's entropy backend to its (pseudo-)id."""
+    name = getattr(config, "entropy_backend", "zstd")
+    if name == "cab":
         return BACKEND_NATIVE_CAB
+    if name == "auto":
+        return BACKEND_AUTO
     return default_backend()
+
+
+def compress_best(data: bytes, backend: int, level: int, meta):
+    """-> (compressed, backend_id_used).  For BACKEND_AUTO, compress with
+    both real backends and keep the smaller."""
+    if backend != BACKEND_AUTO:
+        return compress(data, backend, level, meta=meta), backend
+    z = compress(data, BACKEND_ZSTD, level)
+    try:
+        c = compress(data, BACKEND_NATIVE_CAB, level, meta=meta)
+    except Exception:
+        return z, BACKEND_ZSTD
+    return (c, BACKEND_NATIVE_CAB) if len(c) < len(z) else (z, BACKEND_ZSTD)

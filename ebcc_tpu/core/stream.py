@@ -34,7 +34,7 @@ FLAG_CONST = 0x01
 FLAG_HAS_RESIDUAL = 0x02
 FLAG_MEAN_ADJUSTED = 0x04
 
-# magic, version, flags, entropy, reserved,
+# magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,
 # minval, maxval, rmin, rmax,
 # base_levels, res_levels, base_nplanes, base_cut, base_top,
@@ -57,7 +57,7 @@ class StreamError(ValueError):
 @dataclasses.dataclass
 class FrameHeader:
     flags: int
-    entropy: int
+    entropy: int            # base-layer entropy backend id
     n_frames: int
     height: int
     width: int
@@ -75,6 +75,11 @@ class FrameHeader:
     res_top: int
     base_comp_size: int
     res_comp_size: int
+    res_entropy: int = 0    # residual backend id; 0 => same as `entropy`
+
+    @property
+    def res_entropy_effective(self) -> int:
+        return self.res_entropy if self.res_entropy else self.entropy
 
     @property
     def const_field(self) -> bool:
@@ -86,7 +91,8 @@ class FrameHeader:
 
     def pack(self) -> bytes:
         return struct.pack(
-            _FRAME_FMT, MAGIC_FRAME, FRAME_VERSION, self.flags, self.entropy, 0,
+            _FRAME_FMT, MAGIC_FRAME, FRAME_VERSION, self.flags, self.entropy,
+            self.res_entropy,
             self.n_frames, self.height, self.width, 0,
             self.minval, self.maxval, self.rmin, self.rmax,
             self.base_levels, self.res_levels, self.base_nplanes,
@@ -98,7 +104,7 @@ class FrameHeader:
     def unpack(cls, buf: bytes) -> "FrameHeader":
         if len(buf) < FRAME_HEADER_SIZE:
             raise StreamError("truncated ETPU header")
-        (magic, version, flags, entropy, _r0,
+        (magic, version, flags, entropy, res_entropy,
          n_frames, height, width, _r1,
          minval, maxval, rmin, rmax,
          base_levels, res_levels, base_nplanes, base_cut, base_top,
@@ -113,7 +119,8 @@ class FrameHeader:
         return cls(flags, entropy, n_frames, height, width,
                    minval, maxval, rmin, rmax,
                    base_levels, res_levels, base_nplanes, base_cut, base_top,
-                   res_nplanes, res_cut, res_top, base_comp, res_comp)
+                   res_nplanes, res_cut, res_top, base_comp, res_comp,
+                   res_entropy)
 
 
 def pack_frame_stream(header: FrameHeader, base_payload: bytes,

@@ -141,6 +141,7 @@ void idwt2d(float *a, int hp, int wp, int levels) {
 
 struct FrameHeader {
   uint8_t flags = 0, entropy = kBackendZstd;
+  uint8_t res_entropy = 0; /* 0 => same as entropy */
   uint32_t n_frames = 1, height = 0, width = 0;
   float minval = 0, maxval = 0, rmin = 0, rmax = 0;
   uint8_t base_levels = kBaseLevels, res_levels = kResLevels;
@@ -196,13 +197,13 @@ bool parse_header(const uint8_t *data, size_t size, FrameHeader *h) {
   if (size < kHeaderSize || std::memcmp(data, "ETPU", 4) != 0) return false;
   const uint8_t *p = data + 4;
   const uint8_t *end = data + kHeaderSize;
-  uint8_t version, r0;
+  uint8_t version;
   uint32_t r1;
   uint64_t r2;
   if (!get(p, end, &version) || version != 1) return false;
   get(p, end, &h->flags);
   get(p, end, &h->entropy);
-  get(p, end, &r0);
+  get(p, end, &h->res_entropy);
   get(p, end, &h->n_frames);
   get(p, end, &h->height);
   get(p, end, &h->width);
@@ -415,6 +416,8 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   const int num_planes = base ? h.base_nplanes : h.res_nplanes;
   const int cut = base ? h.base_cut : h.res_cut;
   const int top = base ? h.base_top : h.res_top;
+  const uint8_t backend =
+      base ? h.entropy : (h.res_entropy ? h.res_entropy : h.entropy);
   const int kept = num_planes - cut - top;
   L->d0 = d0;
   L->hp = hp;
@@ -425,19 +428,19 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   const size_t plane_bytes = (size_t)d0 * hp * wb;
   const size_t raw_size = plane_bytes * (kept + 1);
   std::vector<uint8_t> raw(raw_size);
-  if (h.entropy == kBackendZstd) {
+  if (backend == kBackendZstd) {
     if (!zstd_unpack(payload, comp_size, raw.data(), raw_size)) {
       log_err("corrupt entropy payload");
       return false;
     }
-  } else if (h.entropy == kBackendCab) {
+  } else if (backend == kBackendCab) {
     const int levels = base ? h.base_levels : h.res_levels;
     if (!etpu_cab_decompress(payload, comp_size, kept, d0, hp, wp, levels,
                              raw.data(), raw_size)) {
       log_err("corrupt CAB payload");
       return false;
     }
-  } else if (h.entropy == kBackendStore) {
+  } else if (backend == kBackendStore) {
     if (comp_size != raw_size) return false;
     std::memcpy(raw.data(), payload, raw_size);
   } else {
