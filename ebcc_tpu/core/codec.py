@@ -533,6 +533,14 @@ def _parse_streams(streams):
     payloads = []
     for s in streams:
         hd, basep, resp = stream.split_frame_stream(s)
+        # Sanity caps before any allocation sized from header fields
+        # (robust-decoder posture: a corrupt header must raise, not OOM).
+        if (hd.height > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
+                or hd.width > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
+                or hd.n_frames > 1 << 20
+                or hd.base_levels > 10 or hd.res_levels > 10
+                or hd.base_nplanes > 32 or hd.res_nplanes > 32):
+            raise stream.StreamError("implausible ETPU header dimensions")
         headers.append(hd)
         payloads.append((basep, resp))
     h0 = headers[0]

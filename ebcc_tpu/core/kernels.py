@@ -116,9 +116,8 @@ def encode_batch(
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, orig_hw = _pad2d(u, mult)
 
-    # ---- base layer transform + quantize ----
-    ybase = dwt.dwt2d(up, base_levels)
-    qbase = bitplane.quantize_floor(ybase)
+    # ---- base layer transform + quantize (fused Pallas on TPU) ----
+    qbase = dwt_pallas.dwt2d_quantize(up, base_levels, use_pallas)
 
     scale_back = rng[:, None, None, None] / BASE_SCALE
     off = minval[:, None, None, None]
@@ -162,8 +161,7 @@ def encode_batch(
     rrng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
     rn = (residual - rmin[:, None, None, None]) / rrng[:, None, None, None] * RES_SCALE
     rnp_, _ = _pad2d(rn, mult)
-    yres = dwt.dwt2d(rnp_, res_levels)
-    qres = bitplane.quantize_floor(yres)
+    qres = dwt_pallas.dwt2d_quantize(rnp_, res_levels, use_pallas)
 
     res_scale_back = rrng[:, None, None, None] / RES_SCALE
     res_off = rmin[:, None, None, None]

@@ -78,6 +78,89 @@ def _idwt2d_value(a, levels: int):
     return a
 
 
+def _fwd_lift_axis0(blk):
+    """Forward 9/7 lifting along axis 0 of a (n, w) block (n even)."""
+    n = blk.shape[0]
+    h = n // 2
+    x2 = blk.reshape(h, 2, blk.shape[1])
+    e = x2[:, 0]
+    o = x2[:, 1]
+
+    def shift_prev(a):
+        return jnp.concatenate([a[:1], a[:-1]], axis=0)
+
+    def shift_next(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    o = o + ALPHA * (e + shift_next(e))
+    e = e + BETA * (shift_prev(o) + o)
+    o = o + GAMMA * (e + shift_next(e))
+    e = e + DELTA * (shift_prev(o) + o)
+    return jnp.concatenate([e * XI, o * (1.0 / XI)], axis=0)
+
+
+def _dwt2d_value(a, levels: int):
+    """Multi-level forward DWT on a (Hp, Wp) value: rows pass (via
+    transpose) then cols pass per level, matching ops.dwt.dwt2d."""
+    hp, wp = a.shape
+    for lvl in range(levels):
+        hl, wl = hp >> lvl, wp >> lvl
+        blk = jax.lax.slice(a, (0, 0), (hl, wl))
+        blk = _fwd_lift_axis0(blk.T).T                # rows
+        blk = _fwd_lift_axis0(blk)                    # columns
+        if (hl, wl) == (hp, wp):
+            a = blk
+        else:
+            top = jnp.concatenate([blk, jax.lax.slice(
+                a, (0, wl), (hl, wp))], axis=1)
+            a = jnp.concatenate([top, jax.lax.slice(
+                a, (hl, 0), (hp, wp))], axis=0)
+    return a
+
+
+def _make_fwd_kernel(levels: int):
+    def kernel(x_ref, out_ref):
+        y = _dwt2d_value(x_ref[0], levels)
+        out_ref[0] = jnp.trunc(y).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def dwt2d_quantize_pallas(x, levels: int):
+    """(B, D0, Hp, Wp) f32 -> floor-quantized int32 coefficients, fused
+    multi-level forward DWT per VMEM-resident frame."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d0, hp, wp = x.shape
+    xf = x.reshape(b * d0, hp, wp)
+    out = pl.pallas_call(
+        _make_fwd_kernel(levels),
+        grid=(b * d0,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * d0, hp, wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(xf)
+    return out.reshape(b, d0, hp, wp)
+
+
+def dwt2d_quantize(x, levels: int, use_pallas: bool = True):
+    """Fused forward DWT + floor quantization (Pallas on TPU, XLA
+    elsewhere).  Platform streams may differ at the ulp level (quantization
+    boundaries), which is allowed: bound feasibility is always verified
+    with the producing program's own reconstruction arithmetic."""
+    if use_pallas and supported():
+        return dwt2d_quantize_pallas(x, levels)
+    from . import bitplane
+
+    return bitplane.quantize_floor(dwt_ops.dwt2d(x, levels))
+
+
 def _dequant(q, cut):
     mag = jnp.abs(q) >> cut
     kept = mag << cut
