@@ -358,6 +358,12 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, comp, b"")
 
 
+def _max_safe_batch(chunk_numel: int) -> int:
+    """Largest batch size whose sparse-exchange index space (2 layers x B x
+    chunk coefficients, padded grid) stays within int32."""
+    return max(1, (2 ** 31 - 1) // (2 * max(1, chunk_numel)))
+
+
 def _fetch_encode_outputs(out, error_mode: bool):
     """Transfer device encode outputs to host via the sparse coefficient
     exchange (core.transfer): one small fetch (scalars + packed significance
@@ -438,6 +444,11 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
         raise ValueError("NaN or Inf found in data")
 
     b, n_frames, h, w = x_batch.shape
+    hp, wp = _padded_hw(h, w, max(config.base_levels, config.residual_levels))
+    if b > _max_safe_batch(n_frames * hp * wp):
+        raise ValueError(
+            f"batch of {b} chunks x {n_frames * hp * wp} coefficients "
+            "exceeds the int32 sparse-index space; lower max_batch")
     backend = entropy.backend_id(config)
     xb = np.ascontiguousarray(x_batch, dtype=np.float32) if is_np else x_batch
 
@@ -573,6 +584,10 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     d0, h, w = h0.n_frames, h0.height, h0.width
     hp, wp = _padded_hw(h, w, max(h0.base_levels, h0.res_levels))
     sc = d0 * hp * wp
+    if n > _max_safe_batch(sc):
+        raise stream.StreamError(
+            "decode batch exceeds int32 sparse-index space; use a smaller "
+            "max_batch")
 
     minval = np.zeros(n, np.float32)
     maxval = np.zeros(n, np.float32)
@@ -791,6 +806,8 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
     chunks = _gather_chunks(data, chunk_dims, counts)
     n_frames, h, w = _layout(chunk_dims)
     chunks = chunks.reshape(num_chunks, n_frames, h, w)
+    hp, wp = _padded_hw(h, w, max(config.base_levels, config.residual_levels))
+    max_batch = min(max_batch, _max_safe_batch(n_frames * hp * wp))
 
     chunk_cfg = CodecConfig(
         dims=chunk_dims, base_cr=config.base_cr,
@@ -858,6 +875,9 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
         raise stream.StreamError("inconsistent chunk metadata")
     if int(np.prod(header.chunk_dims)) != header.chunk_size:
         raise stream.StreamError("inconsistent chunk metadata")
+    n_frames_c, h_c, w_c = _layout(header.chunk_dims)
+    hp_c, wp_c = _padded_hw(h_c, w_c, 5)
+    max_batch = min(max_batch, _max_safe_batch(n_frames_c * hp_c * wp_c))
 
     # Pipeline: parse/entropy-decode/upload of batch k+1 overlaps the
     # device work and output fetch of batch k.
@@ -874,7 +894,8 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
             out, const_mask, minval = fut.result()
             if i + 1 < len(batches):
                 fut = worker.submit(_decode_streams_device, batches[i + 1])
-            arr = np.array(jax.device_get(out))
+            with stage(f"dec: output fetch batch {i}"):
+                arr = np.array(jax.device_get(out))
             if const_mask.any():
                 arr[const_mask] = minval[const_mask, None, None, None]
             decoded.append(arr)
