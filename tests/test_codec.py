@@ -229,3 +229,22 @@ class TestEnvOptions:
         assert not (hdr.flags & stream_mod.FLAG_MEAN_ADJUSTED)
         out = decode(blob).reshape(data.shape)
         assert np.abs(out - data).max() <= 0.05
+
+
+class TestConcurrency:
+    def test_concurrent_public_encodes(self, small_frame):
+        """Two threads driving the public API concurrently (each spawns its
+        own internal pipeline pools) must not deadlock or cross streams."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(shift):
+            data = small_frame[None] + np.float32(shift)
+            config = CodecConfig(dims=data.shape, base_cr=30,
+                                 residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+            blob = encode(data, config)
+            out = decode(blob).reshape(data.shape)
+            return float(np.abs(out - data).max())
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            errs = list(pool.map(work, [0.0, 5.0]))
+        assert all(e <= 0.1 for e in errs)
