@@ -475,7 +475,7 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
         return _fetch_encode_outputs(
             encode_batch_device(sl, config, opts), error_mode)
 
-    depth = 2 if len(slices) > 2 else 1
+    depth = min(3, max(1, len(slices) - 1))
     streams_out: List[bytes] = []
     with ThreadPoolExecutor(max_workers=depth) as fetcher:
         futs = [fetcher.submit(run_batch, s) for s in slices[:depth]]
@@ -713,13 +713,16 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
 
     batches = [streams[s:s + max_batch]
                for s in range(0, len(streams), max_batch)]
+    depth = min(2, len(batches))
     outs = []
-    with ThreadPoolExecutor(max_workers=1) as worker:
-        fut = worker.submit(_decode_streams_device, batches[0])
+    with ThreadPoolExecutor(max_workers=depth) as worker:
+        futs = [worker.submit(_decode_streams_device, b)
+                for b in batches[:depth]]
         for i in range(len(batches)):
-            out, _, _ = fut.result()
-            if i + 1 < len(batches):
-                fut = worker.submit(_decode_streams_device, batches[i + 1])
+            out, _, _ = futs[i].result()
+            if i + depth < len(batches):
+                futs.append(worker.submit(_decode_streams_device,
+                                          batches[i + depth]))
             outs.append(out)
     return jnp.concatenate(outs, axis=0)
 
