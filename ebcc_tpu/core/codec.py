@@ -358,6 +358,22 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, comp, b"")
 
 
+def _rice_enabled() -> bool:
+    """Rice-coded value fetch (transfer.rice_pack + native decode): on by
+    default when the native library is available; EBCC_NO_RICE=1 disables."""
+    import os
+
+    if os.environ.get("EBCC_NO_RICE"):
+        return False
+    from .. import native
+
+    try:
+        native.load(auto_build=False)
+        return True
+    except Exception:
+        return False
+
+
 def _max_safe_batch(chunk_numel: int) -> int:
     """Largest batch size whose sparse-exchange index space (2 layers x B x
     chunk coefficients, padded grid) stays within int32."""
@@ -382,12 +398,33 @@ def _fetch_encode_outputs(out, error_mode: bool):
 
     with stage("enc: bitmap -> positions"):
         idx = transfer.host_bitmap_positions(sig)
-    as16 = int(small["max_kept"]) < (1 << 15)
     cap = transfer.bucket_count(max(1, idx.size))
-    with stage(f"enc: gather+fetch {idx.size} vals"):
-        idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
-        vals = np.asarray(jax.device_get(transfer.gather_values(
-            out["vals_comb"], idx_dev, cap=cap, as_int16=as16)))[: idx.size]
+    idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
+
+    vals = None
+    if idx.size and _rice_enabled():
+        with stage(f"enc: gather+rice fetch {idx.size} vals"):
+            from .. import native
+
+            gathered = transfer.gather_values(
+                out["vals_comb"], idx_dev, cap=cap, as_int16=False)
+            words_dev = transfer.rice_pack(
+                gathered, np.int32(idx.size), cap=cap)
+            bound = min(transfer.rice_bound_words(idx.size),
+                        int(words_dev.shape[0]))
+            head = np.asarray(jax.device_get(words_dev[:bound]))
+            need = transfer.RICE_HEADER_WORDS + (int(head[0]) + 31) // 32
+            if need > bound:  # rare: high-entropy values; fetch the tail
+                tail = np.asarray(jax.device_get(
+                    words_dev[bound:transfer.bucket_count(need)]))
+                head = np.concatenate([head, tail])
+            vals = native.rice_decode(head, idx.size)
+    if vals is None:
+        as16 = int(small["max_kept"]) < (1 << 15)
+        with stage(f"enc: gather+fetch {idx.size} vals"):
+            vals = np.asarray(jax.device_get(transfer.gather_values(
+                out["vals_comb"], idx_dev, cap=cap,
+                as_int16=as16)))[: idx.size]
 
     small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
     return small

@@ -93,3 +93,73 @@ def pad_index(idx: np.ndarray, cap: int, fill: int) -> np.ndarray:
     out = np.full(cap, fill, np.int32)
     out[: idx.size] = idx
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rice-coded value exchange (device packs, host C++ decodes)
+# ---------------------------------------------------------------------------
+
+RICE_ESC = 20          # quotients >= ESC escape to 32 raw bits
+RICE_HEADER_WORDS = 2  # words[0] = total payload bits, words[1] = k
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def rice_pack(vals, nnz, *, cap: int):
+    """Rice/Golomb-pack the first ``nnz`` signed values of a (cap,) int32
+    vector into a self-describing uint32 word buffer.
+
+    Layout: words[0] = total payload bits, words[1] = rice parameter k,
+    then LSB-first bit stream: per value, zigzag z -> min(z>>k, ESC) one
+    bits; if the quotient escaped, 32 raw bits of z follow the ESC ones,
+    else a zero terminator then k remainder bits.  Bit packing is a pure
+    cumsum + disjoint-bit scatter-add (element work scales with nnz).
+    """
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < nnz
+    v = jnp.where(valid, vals.astype(jnp.int32), 0)
+    z = ((v << 1) ^ (v >> 31)).astype(jnp.uint32)  # zigzag
+
+    # Rice parameter from the mean of valid values (standard estimate);
+    # clamped so every non-escape code fits 32 bits (q + 1 + k <= 32 with
+    # q < ESC) — the whole packer then runs in pure uint32 (jax x64 off).
+    mean = z.astype(jnp.float32).sum() / jnp.maximum(nnz, 1).astype(jnp.float32)
+    k = jnp.clip(jnp.floor(jnp.log2(mean + 1.0)), 0,
+                 31 - RICE_ESC).astype(jnp.uint32)
+
+    q = (z >> k).astype(jnp.int32)
+    esc = q >= RICE_ESC
+    lens = jnp.where(valid,
+                     jnp.where(esc, RICE_ESC + 32, q + 1 + k.astype(jnp.int32)),
+                     0)
+    off = jnp.cumsum(lens) - lens  # exclusive
+    total_bits = off[-1] + lens[-1]
+
+    one = jnp.uint32(1)
+    qq = jnp.minimum(q, RICE_ESC).astype(jnp.uint32)
+    ones = (one << qq) - one  # qq <= 20 < 32
+    rem = z & ((one << k) - one)
+    # code split into (lo: bits 0-31, hi: bits 32+); normal codes are
+    # lo-only by the k clamp; escapes put z's low 12 bits in lo.
+    lo = jnp.where(esc, ones | (z << RICE_ESC), ones | (rem << (qq + 1)))
+    hi = jnp.where(esc, z >> (32 - RICE_ESC), jnp.uint32(0))
+
+    sh = (off & 31).astype(jnp.uint32)
+    w = (off >> 5) + RICE_HEADER_WORDS
+    inv = jnp.where(sh == 0, jnp.uint32(0), jnp.uint32(32) - sh)
+    spill = lambda x: jnp.where(sh == 0, jnp.uint32(0), x >> inv)
+    upd_w = jnp.concatenate([w, w + 1, w + 1, w + 2])
+    upd_v = jnp.concatenate([
+        lo << sh, spill(lo), hi << sh, spill(hi)])
+    valid4 = jnp.concatenate([valid] * 4)
+    n_words = RICE_HEADER_WORDS + cap * 2 + 4
+    words = jnp.zeros(n_words, jnp.uint32)
+    words = words.at[jnp.where(valid4, upd_w, -1)].add(upd_v, mode="drop")
+    words = words.at[0].set(total_bits.astype(jnp.uint32))
+    words = words.at[1].set(k)
+    return words
+
+
+def rice_bound_words(nnz: int) -> int:
+    """Words to fetch so the payload fits in one transfer for typical data
+    (~<=12 bits/value); callers re-fetch the tail in the rare overflow."""
+    return RICE_HEADER_WORDS + bucket_count(max(1, (nnz * 12) // 32 + 2))

@@ -94,6 +94,11 @@ def load(auto_build: bool = True):
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    lib.etpu_rice_decode.restype = ctypes.c_size_t
+    lib.etpu_rice_decode.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_size_t,
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
     lib.etpu_cab_decompress.restype = ctypes.c_size_t
     lib.etpu_cab_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -190,3 +195,14 @@ def cab_decompress(comp: bytes, kept: int, d0: int, hp: int, wp: int,
     if n != size:
         raise ValueError("corrupt CAB payload")
     return buf.tobytes()
+
+
+def rice_decode(words: np.ndarray, nnz: int) -> np.ndarray:
+    """Decode the device-packed Rice value exchange (transfer.rice_pack)."""
+    lib = load()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    out = np.empty(nnz, np.int32)
+    n = lib.etpu_rice_decode(words, words.size, nnz, out)
+    if n != nnz:
+        raise ValueError("corrupt rice exchange payload")
+    return out

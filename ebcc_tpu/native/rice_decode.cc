@@ -1,0 +1,85 @@
+/* Host-side decoder for the device-packed Rice value exchange
+ * (ebcc_tpu/core/transfer.py::rice_pack).  Layout: words[0] = total payload
+ * bits, words[1] = rice parameter k, then an LSB-first bit stream of
+ * zigzag-coded values: min(q, ESC) one-bits, then either (q < ESC) a zero
+ * terminator + k remainder bits, or (escape) 32 raw bits of z.
+ *
+ * This runs in the encode fetch path (~0.5-2M values per batch), so it is a
+ * branch-light sequential loop reading a 64-bit window.
+ */
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+constexpr int kEsc = 20;
+constexpr int kHeaderWords = 2;
+
+struct BitReader {
+  const uint32_t *words;
+  size_t n_words;
+  size_t word_pos = kHeaderWords;
+  uint64_t window = 0;
+  int bits = 0;
+
+  void fill() {
+    while (bits <= 32 && word_pos < n_words) {
+      window |= (uint64_t)words[word_pos++] << bits;
+      bits += 32;
+    }
+  }
+  inline uint32_t take(int n) {
+    if (bits < n) fill();
+    const uint32_t v = (uint32_t)(window & ((n == 32) ? 0xFFFFFFFFull
+                                                      : ((1ull << n) - 1)));
+    window >>= n;
+    bits -= n;
+    return v;
+  }
+  inline int count_ones_then_zero(int cap) {
+    int q = 0;
+    while (q < cap) {
+      if (bits == 0) fill();
+      if (bits == 0) return -1; /* exhausted */
+      if (window & 1) {
+        window >>= 1;
+        bits -= 1;
+        ++q;
+      } else {
+        if (q < cap) { /* consume the zero terminator */
+          window >>= 1;
+          bits -= 1;
+        }
+        return q;
+      }
+    }
+    return q; /* hit cap: escape, no terminator */
+  }
+};
+}  // namespace
+
+extern "C" {
+
+/* -> nnz on success, 0 on error. out must hold nnz int32. */
+size_t etpu_rice_decode(const uint32_t *words, size_t n_words, size_t nnz,
+                        int32_t *out) {
+  if (n_words < kHeaderWords) return 0;
+  const uint32_t k = words[1];
+  if (k > 15) return 0;
+  BitReader br{words, n_words};
+  for (size_t i = 0; i < nnz; ++i) {
+    const int q = br.count_ones_then_zero(kEsc);
+    if (q < 0) return 0;
+    uint32_t z;
+    if (q >= kEsc) {
+      z = br.take(32);
+    } else {
+      const uint32_t rem = k ? br.take((int)k) : 0;
+      z = ((uint32_t)q << k) | rem;
+    }
+    out[i] = (int32_t)(z >> 1) ^ -(int32_t)(z & 1); /* un-zigzag */
+  }
+  return nnz;
+}
+
+}  /* extern "C" */
