@@ -90,3 +90,57 @@ class TestBitplane:
             for c in range(12)
         ]
         assert all(a <= b + 1e-6 for a, b in zip(errs, errs[1:]))
+
+
+class TestMathematicalProperties:
+    """Independent checks against known CDF 9/7 mathematics (not
+    self-referential golden data): vanishing moments, DC gain, and
+    near-orthogonality."""
+
+    def test_linear_ramp_annihilation(self):
+        """The 9/7 analysis highpass has 4 vanishing moments: polynomials
+        up to degree 3 must map to (near-)zero detail coefficients away
+        from boundaries."""
+        n = 256
+        t = np.arange(n, dtype=np.float32)
+        for poly in [t, t ** 2 / n, t ** 3 / n ** 2]:
+            sig = jnp.asarray(np.tile(poly, (8, 1)))
+            y = np.asarray(dwt.dwt1d(sig))
+            detail_interior = y[:, n // 2 + 4: n - 4]
+            scale = float(np.abs(poly).max())
+            assert np.abs(detail_interior).max() < 1e-3 * scale
+
+    def test_dc_gain_sqrt2(self):
+        """Scaled lifting lowpass DC gain is sqrt(2) per 1-D pass (the
+        energy-preserving normalization)."""
+        c = jnp.full((1, 128), 10.0, jnp.float32)
+        y = np.asarray(dwt.dwt1d(c))
+        lo = y[0, :64]
+        np.testing.assert_allclose(lo, 10.0 * np.sqrt(2), rtol=1e-4)
+
+    def test_near_orthogonality(self):
+        """9/7 with this normalization is near-orthogonal: energy is
+        preserved to within a few percent for white noise."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 128, 128)).astype(np.float32)
+        y = np.asarray(dwt.dwt2d(jnp.asarray(x), 3))
+        ratio = (y ** 2).sum() / (x ** 2).sum()
+        assert 0.85 < ratio < 1.15, ratio
+
+    def test_impulse_response_taps(self):
+        """The lowpass analysis taps (impulse responses) must match the
+        published CDF 9/7 filter (float32 lifting precision) after the sqrt(2) normalization."""
+        # JPEG2000 / CDF 9/7 analysis lowpass, DC-gain-1 convention.
+        h_ref = np.array([
+            0.026748757411, -0.016864118443, -0.078223266529,
+            0.266864118443, 0.602949018236, 0.266864118443,
+            -0.078223266529, -0.016864118443, 0.026748757411])
+        n = 64
+        rows = []
+        for shift in range(-4, 5):
+            e = np.zeros((1, n), np.float32)
+            e[0, n // 2 + shift] = 1.0
+            y = np.asarray(dwt.dwt1d(jnp.asarray(e)))
+            rows.append(y[0, n // 4])  # lowpass coefficient at center
+        taps = np.array(rows[::-1])
+        np.testing.assert_allclose(taps, np.sqrt(2) * h_ref, atol=1e-4)
