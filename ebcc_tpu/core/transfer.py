@@ -14,9 +14,11 @@ The exchange representation is (significance bitmap, compacted values):
     2. the host takes ``np.flatnonzero`` of the bitmap (C speed) and uploads
        the int32 index vector;
     3. one device gather compacts the signed kept-values ``sign(q) *
-       (|q| >> cut)`` at those indices; the host fetches them as int16
-       (int32 fallback when the dynamic range demands it) and rebuilds the
-       dense magnitude/sign planes with numpy for stream assembly.
+       (|q| >> cut)`` at those indices, a device-side Rice packer
+       (:func:`rice_pack`) turns them into a self-describing ~4-bit-per-
+       value stream, and the native C++ reader decodes it on the host
+       (int16 raw fetch as fallback); the host then rebuilds the dense
+       magnitude/sign planes with numpy for stream assembly.
 
   decode direction (host -> device):
     the host parses the stream, extracts (indices, values) the same way,

@@ -248,3 +248,20 @@ class TestConcurrency:
         with ThreadPoolExecutor(max_workers=2) as pool:
             errs = list(pool.map(work, [0.0, 5.0]))
         assert all(e <= 0.1 for e in errs)
+
+
+class TestDeterminism:
+    def test_encode_deterministic(self, medium_frame):
+        """Archives must be reproducible: identical inputs and config give
+        byte-identical streams (single platform)."""
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        assert encode(data, config) == encode(data, config)
+
+    def test_chunked_deterministic(self, base_test_data):
+        data = np.stack([base_test_data[:64, :64] + i for i in range(5)])
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        assert encode_chunked(data, config) == encode_chunked(data, config)
