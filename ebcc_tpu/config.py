@@ -46,8 +46,12 @@ _RESIDUAL_NAMES = {RESIDUAL_NONE: "NONE", RESIDUAL_MAX_ERROR: "MAX_ERROR",
 # coefficients live on a [0, 255] scale (parity with MAXELEM,
 # spiht_re.h:12) => |coeff| <= 255 * 2^3 < 2^12 at 3 levels.  The encoder
 # also verifies no coefficient overflows the static plane count at runtime.
+# The residual layer additionally sweeps fractional quantization scales
+# (RES_SCALE_STEPS) for sub-octave rate granularity; the largest step times
+# the 255 * 2^3 coefficient bound stays under 2^13.
 BASE_NUM_PLANES = 22
-RES_NUM_PLANES = 12
+RES_NUM_PLANES = 13
+RES_SCALE_STEPS = (1.0, 1.33, 1.78, 2.37)
 
 
 @dataclasses.dataclass

@@ -40,7 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import BASE_NUM_PLANES, RES_NUM_PLANES
+from ..config import BASE_NUM_PLANES, RES_NUM_PLANES, RES_SCALE_STEPS
 from ..ops import bitplane, dwt, dwt_pallas
 from . import transfer
 
@@ -154,35 +154,76 @@ def encode_batch(
     base_maxerr = jnp.abs(base_err).max(axis=(1, 2, 3))
     skip_residual = base_maxerr <= target  # ref c:737
 
-    # ---- residual layer (ref c:702-817) ----
+    # ---- residual layer (ref c:702-817) with a fractional-step sweep ----
+    # The cut alone only offers power-of-two rate steps; sweeping a few
+    # fractional quantization scales gives sub-octave rate-distortion
+    # granularity.  The scale folds into the STORED rmax (decode computes
+    # (rmax - rmin)/255), so the stream format is untouched; the candidate
+    # coefficients are just requantizations of one float transform.
     residual = base_err
     rmin = residual.min(axis=(1, 2, 3))
     rmax = residual.max(axis=(1, 2, 3))
     rrng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
     rn = (residual - rmin[:, None, None, None]) / rrng[:, None, None, None] * RES_SCALE
     rnp_, _ = _pad2d(rn, mult)
-    qres = dwt_pallas.dwt2d_quantize(rnp_, res_levels, use_pallas)
-
-    res_scale_back = rrng[:, None, None, None] / RES_SCALE
+    yres = dwt.dwt2d(rnp_, res_levels)  # float coefficients, quantized per f
     res_off = rmin[:, None, None, None]
 
-    def res_metrics(rec_spatial, cut):
-        res_rec = dwt.unpad(rec_spatial, orig_hw) * res_scale_back + res_off
-        recon = base_recon + res_rec
-        err = x - recon
-        m = err.mean(axis=(1, 2, 3))
-        err_c = err - m[:, None, None, None] if use_centered else err
-        maxe = jnp.abs(err_c).max(axis=(1, 2, 3))
-        return maxe, m
+    maxe_list, mean_list, cut_list, feas_list, est_list = [], [], [], [], []
+    rmax_adj_list = []
+    qres_list = []
+    for f in RES_SCALE_STEPS:
+        q_f = bitplane.quantize_floor(yres * jnp.float32(f))
+        qres_list.append(q_f)
+        # Mirror the decoder's arithmetic exactly: it will read the stored
+        # f32 rmax_adj and compute (rmax_adj - rmin)/RES_SCALE.
+        rmax_adj = (rmin + rrng / jnp.float32(f)).astype(jnp.float32)
+        sb = (rmax_adj - rmin)[:, None, None, None] / RES_SCALE
+        rmax_adj_list.append(rmax_adj)
 
-    res_maxe_p, res_mean_p = _scan_cuts(qres, RES_NUM_PLANES, res_levels,
+        def res_metrics(rec_spatial, cut, sb=sb):
+            res_rec = dwt.unpad(rec_spatial, orig_hw) * sb + res_off
+            recon = base_recon + res_rec
+            err = x - recon
+            m = err.mean(axis=(1, 2, 3))
+            err_c = err - m[:, None, None, None] if use_centered else err
+            return jnp.abs(err_c).max(axis=(1, 2, 3)), m
+
+        r_maxe_p, r_mean_p = _scan_cuts(q_f, RES_NUM_PLANES, res_levels,
                                         res_metrics, use_pallas)
-    res_feas_p = res_maxe_p <= target[None, :]
-    res_cut = _last_true_index(res_feas_p, jnp.int32(0))
-    res_feasible = res_feas_p.any(axis=0)  # else pure-base required (ref c:755-758)
+        r_feas_p = r_maxe_p <= target[None, :]
+        cut_f = _last_true_index(r_feas_p, jnp.int32(0))
+        est_f = bitplane.estimated_code_bytes(
+            q_f.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
+            RES_NUM_PLANES)
+        take_f = lambda arr, idx: jnp.take_along_axis(
+            arr, idx[None, :], axis=0)[0]
+        maxe_list.append(take_f(r_maxe_p, cut_f))
+        mean_list.append(take_f(r_mean_p, cut_f))
+        est_list.append(take_f(est_f, cut_f))
+        cut_list.append(cut_f)
+        feas_list.append(r_feas_p.any(axis=0))
 
-    res_sizes = bitplane.estimated_code_bytes(
-        qres.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]), RES_NUM_PLANES)
+    res_maxe_f = jnp.stack(maxe_list)     # (Nf, B) at each f's chosen cut
+    res_mean_f = jnp.stack(mean_list)
+    res_cut_f = jnp.stack(cut_list)
+    res_feas_f = jnp.stack(feas_list)
+    res_est_f = jnp.stack(est_list)
+    rmax_adj_f = jnp.stack(rmax_adj_list)
+    qres_f = jnp.stack(qres_list)         # (Nf, B, D0, Hp, Wp)
+
+    # Among feasible scales pick the smallest estimated coded size.
+    inf = jnp.float32(3.4e38)
+    f_idx = jnp.argmin(jnp.where(res_feas_f, res_est_f, inf), axis=0)
+    sel = lambda arr: jnp.take_along_axis(arr, f_idx[None, :], axis=0)[0]
+    res_cut = sel(res_cut_f).astype(jnp.int32)
+    res_feasible = res_feas_f.any(axis=0)  # else pure-base required (c:755-758)
+    res_maxerr_sel = sel(res_maxe_f)
+    res_mean_sel = sel(res_mean_f)
+    rmax_out = sel(rmax_adj_f)
+    res_sizes = sel(res_est_f)
+    qres = jnp.take_along_axis(
+        qres_f, f_idx[None, :, None, None, None], axis=0)[0]
 
     take = lambda arr_p_b, idx: jnp.take_along_axis(
         arr_p_b, idx[None, :], axis=0)[0]
@@ -232,11 +273,11 @@ def encode_batch(
         "skip_residual": skip_residual,
         "base_maxerr": base_maxerr,
         "base_mean": take(mean_p, base_cut),
-        "rmin": rmin, "rmax": rmax,
+        "rmin": rmin, "rmax": rmax_out,
         "res_cut": res_cut, "res_feasible": res_feasible,
-        "res_maxerr": take(res_maxe_p, res_cut),
-        "res_mean": take(res_mean_p, res_cut),
-        "res_est_sizes": res_sizes,
+        "res_maxerr": res_maxerr_sel,
+        "res_mean": res_mean_sel,
+        "res_est_size": res_sizes,  # (B,) at the selected (scale, cut)
     }
 
 
