@@ -169,61 +169,73 @@ def encode_batch(
     yres = dwt.dwt2d(rnp_, res_levels)  # float coefficients, quantized per f
     res_off = rmin[:, None, None, None]
 
-    maxe_list, mean_list, cut_list, feas_list, est_list = [], [], [], [], []
-    rmax_adj_list = []
-    qres_list = []
-    for f in RES_SCALE_STEPS:
-        q_f = bitplane.quantize_floor(yres * jnp.float32(f))
-        qres_list.append(q_f)
-        # Mirror the decoder's arithmetic exactly: it will read the stored
-        # f32 rmax_adj and compute (rmax_adj - rmin)/RES_SCALE.
-        rmax_adj = (rmin + rrng / jnp.float32(f)).astype(jnp.float32)
-        sb = (rmax_adj - rmin)[:, None, None, None] / RES_SCALE
-        rmax_adj_list.append(rmax_adj)
+    def residual_sweep(yres):
+        maxe_list, mean_list, cut_list, feas_list, est_list = [], [], [], [], []
+        rmax_adj_list = []
+        qres_list = []
+        for f in RES_SCALE_STEPS:
+            q_f = bitplane.quantize_floor(yres * jnp.float32(f))
+            qres_list.append(q_f)
+            # Mirror the decoder's arithmetic exactly: it will read the
+            # stored f32 rmax_adj and compute (rmax_adj - rmin)/RES_SCALE.
+            rmax_adj = (rmin + rrng / jnp.float32(f)).astype(jnp.float32)
+            sb = (rmax_adj - rmin)[:, None, None, None] / RES_SCALE
+            rmax_adj_list.append(rmax_adj)
 
-        def res_metrics(rec_spatial, cut, sb=sb):
-            res_rec = dwt.unpad(rec_spatial, orig_hw) * sb + res_off
-            recon = base_recon + res_rec
-            err = x - recon
-            m = err.mean(axis=(1, 2, 3))
-            err_c = err - m[:, None, None, None] if use_centered else err
-            return jnp.abs(err_c).max(axis=(1, 2, 3)), m
+            def res_metrics(rec_spatial, cut, sb=sb):
+                res_rec = dwt.unpad(rec_spatial, orig_hw) * sb + res_off
+                recon = base_recon + res_rec
+                err = x - recon
+                m = err.mean(axis=(1, 2, 3))
+                err_c = err - m[:, None, None, None] if use_centered else err
+                return jnp.abs(err_c).max(axis=(1, 2, 3)), m
 
-        r_maxe_p, r_mean_p = _scan_cuts(q_f, RES_NUM_PLANES, res_levels,
-                                        res_metrics, use_pallas)
-        r_feas_p = r_maxe_p <= target[None, :]
-        cut_f = _last_true_index(r_feas_p, jnp.int32(0))
-        est_f = bitplane.estimated_code_bytes(
-            q_f.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
-            RES_NUM_PLANES)
-        take_f = lambda arr, idx: jnp.take_along_axis(
-            arr, idx[None, :], axis=0)[0]
-        maxe_list.append(take_f(r_maxe_p, cut_f))
-        mean_list.append(take_f(r_mean_p, cut_f))
-        est_list.append(take_f(est_f, cut_f))
-        cut_list.append(cut_f)
-        feas_list.append(r_feas_p.any(axis=0))
+            r_maxe_p, r_mean_p = _scan_cuts(q_f, RES_NUM_PLANES, res_levels,
+                                            res_metrics, use_pallas)
+            r_feas_p = r_maxe_p <= target[None, :]
+            cut_f = _last_true_index(r_feas_p, jnp.int32(0))
+            est_f = bitplane.estimated_code_bytes(
+                q_f.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
+                RES_NUM_PLANES)
+            take_f = lambda arr, idx: jnp.take_along_axis(
+                arr, idx[None, :], axis=0)[0]
+            maxe_list.append(take_f(r_maxe_p, cut_f))
+            mean_list.append(take_f(r_mean_p, cut_f))
+            est_list.append(take_f(est_f, cut_f))
+            cut_list.append(cut_f)
+            feas_list.append(r_feas_p.any(axis=0))
 
-    res_maxe_f = jnp.stack(maxe_list)     # (Nf, B) at each f's chosen cut
-    res_mean_f = jnp.stack(mean_list)
-    res_cut_f = jnp.stack(cut_list)
-    res_feas_f = jnp.stack(feas_list)
-    res_est_f = jnp.stack(est_list)
-    rmax_adj_f = jnp.stack(rmax_adj_list)
-    qres_f = jnp.stack(qres_list)         # (Nf, B, D0, Hp, Wp)
+        res_maxe_f = jnp.stack(maxe_list)     # (Nf, B) at each f's cut
+        res_mean_f = jnp.stack(mean_list)
+        res_cut_f = jnp.stack(cut_list)
+        res_feas_f = jnp.stack(feas_list)
+        res_est_f = jnp.stack(est_list)
+        rmax_adj_f = jnp.stack(rmax_adj_list)
+        qres_f = jnp.stack(qres_list)         # (Nf, B, D0, Hp, Wp)
 
-    # Among feasible scales pick the smallest estimated coded size.
-    inf = jnp.float32(3.4e38)
-    f_idx = jnp.argmin(jnp.where(res_feas_f, res_est_f, inf), axis=0)
-    sel = lambda arr: jnp.take_along_axis(arr, f_idx[None, :], axis=0)[0]
-    res_cut = sel(res_cut_f).astype(jnp.int32)
-    res_feasible = res_feas_f.any(axis=0)  # else pure-base required (c:755-758)
-    res_maxerr_sel = sel(res_maxe_f)
-    res_mean_sel = sel(res_mean_f)
-    rmax_out = sel(rmax_adj_f)
-    res_sizes = sel(res_est_f)
-    qres = jnp.take_along_axis(
-        qres_f, f_idx[None, :, None, None, None], axis=0)[0]
+        # Among feasible scales pick the smallest estimated coded size.
+        inf = jnp.float32(3.4e38)
+        f_idx = jnp.argmin(jnp.where(res_feas_f, res_est_f, inf), axis=0)
+        sel = lambda arr: jnp.take_along_axis(arr, f_idx[None, :], axis=0)[0]
+        qres_sel = jnp.take_along_axis(
+            qres_f, f_idx[None, :, None, None, None], axis=0)[0]
+        return (sel(res_cut_f).astype(jnp.int32),
+                res_feas_f.any(axis=0),
+                sel(res_maxe_f), sel(res_mean_f), sel(rmax_adj_f),
+                sel(res_est_f), qres_sel)
+
+    def residual_trivial(yres):
+        zero = jnp.zeros((b,), jnp.float32)
+        return (jnp.full((b,), RES_NUM_PLANES - 1, jnp.int32),
+                jnp.ones((b,), bool), zero, zero,
+                (rmin + rrng).astype(jnp.float32), zero,
+                jnp.zeros((b, d0, rnp_.shape[-2], rnp_.shape[-1]), jnp.int32))
+
+    # When every chunk's base layer already meets the bound the whole sweep
+    # is dead work — runtime-skip it (lax.cond executes one branch).
+    (res_cut, res_feasible, res_maxerr_sel, res_mean_sel, rmax_out,
+     res_sizes, qres) = jax.lax.cond(
+        skip_residual.all(), residual_trivial, residual_sweep, yres)
 
     take = lambda arr_p_b, idx: jnp.take_along_axis(
         arr_p_b, idx[None, :], axis=0)[0]
