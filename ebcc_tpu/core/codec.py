@@ -358,6 +358,28 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, comp, b"")
 
 
+def _fetch_rice_values(words_dev, nnz: int,
+                       bound_words=None) -> np.ndarray:
+    """Fetch a device Rice word buffer (transfer.rice_pack) and decode it.
+
+    One optimistic transfer sized for typical entropy; the tail is fetched
+    only when the self-describing header says the payload overflowed the
+    initial bound."""
+    import jax
+
+    from .. import native
+
+    bound = min(bound_words or transfer.rice_bound_words(nnz),
+                int(words_dev.shape[0]))
+    head = np.asarray(jax.device_get(words_dev[:bound]))
+    need = transfer.RICE_HEADER_WORDS + (int(head[0]) + 31) // 32
+    if need > bound:  # rare: high-entropy values
+        tail = np.asarray(jax.device_get(
+            words_dev[bound:transfer.bucket_count(need)]))
+        head = np.concatenate([head, tail])
+    return native.rice_decode(head, nnz)
+
+
 def _rice_enabled() -> bool:
     """Rice-coded value fetch (transfer.rice_pack + native decode): on by
     default when the native library is available; EBCC_NO_RICE=1 disables."""
@@ -404,21 +426,11 @@ def _fetch_encode_outputs(out, error_mode: bool):
     vals = None
     if idx.size and _rice_enabled():
         with stage(f"enc: gather+rice fetch {idx.size} vals"):
-            from .. import native
-
             gathered = transfer.gather_values(
                 out["vals_comb"], idx_dev, cap=cap, as_int16=False)
             words_dev = transfer.rice_pack(
                 gathered, np.int32(idx.size), cap=cap)
-            bound = min(transfer.rice_bound_words(idx.size),
-                        int(words_dev.shape[0]))
-            head = np.asarray(jax.device_get(words_dev[:bound]))
-            need = transfer.RICE_HEADER_WORDS + (int(head[0]) + 31) // 32
-            if need > bound:  # rare: high-entropy values; fetch the tail
-                tail = np.asarray(jax.device_get(
-                    words_dev[bound:transfer.bucket_count(need)]))
-                head = np.concatenate([head, tail])
-            vals = native.rice_decode(head, idx.size)
+            vals = _fetch_rice_values(words_dev, idx.size)
     if vals is None:
         as16 = int(small["max_kept"]) < (1 << 15)
         with stage(f"enc: gather+fetch {idx.size} vals"):

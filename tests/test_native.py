@@ -177,3 +177,31 @@ class TestCABBackend:
             decode(bytes(blob))
         except Exception:
             pass  # acceptable: loud failure
+
+
+class TestRiceExchange:
+    def test_tail_refetch_path(self, native):
+        """High-entropy values overflow the optimistic first transfer; the
+        self-describing header must drive an exact tail refetch."""
+        import jax.numpy as jnp
+
+        from ebcc_tpu.core import transfer
+        from ebcc_tpu.core.codec import _fetch_rice_values
+
+        rng = np.random.default_rng(7)
+        nnz = 5000
+        cap = transfer.bucket_count(nnz)
+        vals = np.zeros(cap, np.int32)
+        vals[:nnz] = rng.laplace(scale=500000, size=nnz).astype(np.int32)
+        words = transfer.rice_pack(jnp.asarray(vals), np.int32(nnz), cap=cap)
+        # force the refetch: a bound far below the ~50 bits/value payload
+        out = _fetch_rice_values(words, nnz, bound_words=64)
+        assert np.array_equal(out, vals[:nnz])
+
+    def test_no_rice_env_fallback(self, native, small_frame, monkeypatch):
+        monkeypatch.setenv("EBCC_NO_RICE", "1")
+        config = CodecConfig(dims=(1, 64, 64), base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = encode(small_frame[None], config)
+        out = decode(blob).reshape(1, 64, 64)
+        assert np.abs(out - small_frame[None]).max() <= 0.1
