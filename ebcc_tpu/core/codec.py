@@ -266,8 +266,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     # TRACE (ebcc_codec.c:554-803) and a per-encode summary at INFO
     # (c:877).  The scan's whole quantile curve is the trial log here.
     if logger.isEnabledFor(TRACE):
-        trace("chunk %d: quantile curve (cut 0..%d): %s", res._i,
-              cfg.BASE_NUM_PLANES - 1,
+        trace("chunk %d: quantile curve (coarse cuts %d..0 step -3): %s",
+              res._i, cfg.BASE_NUM_PLANES - 1,
               np.array2string(1.0 - res.base_quantiles, precision=2))
         trace("chunk %d: base_cut=%d pure_cut=%d res_cut=%d skip=%s "
               "res_feasible=%s pure=%s", res._i, base_cut, pure_cut,

@@ -52,34 +52,60 @@ def _pad2d(x, multiple):
     return dwt.pad_to_multiple(x, multiple)
 
 
-def _scan_cuts(q, num_planes, levels, eval_fn, use_pallas=True):
-    """Evaluate ``eval_fn(recon_spatial, cut)`` for every cut in [0, P).
+def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
+                        use_pallas, step: int = 3):
+    """Coarse-to-fine cut search: evaluate a strided coarse grid of cuts
+    once, then refine ``step - 1`` candidates above each criterion's
+    coarsest feasible coarse cut.  ~half the inverse-DWT evaluations of the
+    dense scan; the chosen cut is always verified feasible by its own
+    evaluation, so a (rare) monotonicity blip can only cost rate, never the
+    bound.
 
-    Returns a pytree stacked along a leading cut axis, computed with
-    ``lax.map`` (sequential, memory-bounded).  Each step is a fused
-    dequantize + multi-level inverse DWT: a Pallas kernel keeping each
-    frame VMEM-resident on TPU (bit-exact with the XLA fallback), see
-    ops/dwt_pallas.py.
+    metrics_fn(spatial, cut_vec) -> tuple of (B,) metric arrays.
+    criteria: list of fns mapping that tuple (stacked or single) to a
+    feasibility boolean (broadcasts over a leading axis when stacked).
+    Returns ``(per_criterion, coarse, coarse_cuts)`` where per_criterion is
+    a list of (cut (B,), feasible_any (B,), metrics tuple at the chosen
+    cut), ``coarse`` the stacked (n_coarse, B) metric tuple and
+    ``coarse_cuts`` the static numpy cut grid (descending, ends at 0).
     """
+    import numpy as _np
 
-    def body(cut):
-        spatial = dwt_pallas.idwt2d_dequant(
-            q, jnp.broadcast_to(cut, (q.shape[0],)), levels,
-            use_pallas=use_pallas)
-        return eval_fn(spatial, cut)
+    b = q.shape[0]
+    cc = _np.arange(num_planes - 1, -1, -step, dtype=_np.int32)
+    if cc[-1] != 0:
+        cc = _np.append(cc, _np.int32(0))
+    cc_dev = jnp.asarray(cc)
 
-    return jax.lax.map(body, jnp.arange(num_planes, dtype=jnp.int32))
+    def eval_vec(cut_vec):
+        spatial = dwt_pallas.idwt2d_dequant(q, cut_vec, levels,
+                                            use_pallas=use_pallas)
+        return metrics_fn(spatial, cut_vec)
 
+    coarse = jax.lax.map(
+        lambda c: eval_vec(jnp.broadcast_to(c, (b,))), cc_dev)
 
-def _last_true_index(mask_p_b, default):
-    """Along leading axis P of a (P, B) boolean array, the LARGEST index that
-    is True, else ``default``.  (Cut feasibility is monotone decreasing in
-    cut, so this picks the coarsest feasible cut.)"""
-    p = mask_p_b.shape[0]
-    idx = jnp.arange(p, dtype=jnp.int32)[:, None]
-    cand = jnp.where(mask_p_b, idx, -1)
-    best = cand.max(axis=0)
-    return jnp.where(best >= 0, best, default)
+    out = []
+    for crit in criteria:
+        feas_c = crit(coarse)                      # (n_coarse, B)
+        any_f = feas_c.any(axis=0)
+        # Coarsest feasible row; when none is feasible fall back to the LAST
+        # row (cut 0), matching the dense scan's default-0 semantics for
+        # both the cut and the reported metrics.
+        first = jnp.where(any_f, jnp.argmax(feas_c, axis=0), len(cc) - 1)
+        k_c = cc_dev[first]
+        pick = lambda m: jnp.take_along_axis(m, first[None, :], axis=0)[0]
+        chosen_cut = k_c
+        chosen_m = tuple(pick(m) for m in coarse)
+        for i in range(1, step):
+            cut_i = jnp.minimum(k_c + i, num_planes - 1)
+            m_i = eval_vec(cut_i)
+            feas_i = crit(m_i) & (k_c + i <= num_planes - 1) & any_f
+            chosen_cut = jnp.where(feas_i, cut_i, chosen_cut)
+            chosen_m = tuple(jnp.where(feas_i, mi, mc)
+                             for mi, mc in zip(m_i, chosen_m))
+        out.append((chosen_cut.astype(jnp.int32), any_f, chosen_m))
+    return out, coarse, cc
 
 
 @functools.partial(
@@ -132,15 +158,18 @@ def encode_batch(
             axis=(1, 2, 3)) / (d0 * h * w)
         return maxe, q, m
 
-    maxe_p, quant_p, mean_p = _scan_cuts(qbase, BASE_NUM_PLANES, base_levels,
-                                         base_metrics, use_pallas)
-
-    # Coarsest cut meeting the quantile target (ref HOT LOOP 1 semantics).
-    base_cut = _last_true_index(quant_p >= base_quantile_target,
-                               jnp.int32(0))
-    # Coarsest cut meeting the FULL bound (quantile 1.0 analog, ref c:836).
-    pure_cut = _last_true_index(maxe_p <= target[None, :], jnp.int32(0))
-    pure_feasible = (maxe_p <= target[None, :]).any(axis=0)
+    # Coarse-to-fine search over cuts (12 iDWT evals instead of a dense 22;
+    # feasibility is monotone in the cut and cut 0 sits on the coarse grid,
+    # so feasibility-any and the none-feasible fallback match the dense
+    # scan exactly).  Two criteria share one coarse sweep:
+    #   - quantile target (ref HOT LOOP 1 semantics),
+    #   - FULL bound, i.e. quantile 1.0 analog (ref c:836).
+    [(base_cut, _, base_m), (pure_cut, pure_feasible, pure_m)], \
+        base_coarse, _cc = _coarse_fine_search(
+            qbase, BASE_NUM_PLANES, base_levels, base_metrics,
+            [lambda m: m[1] >= base_quantile_target,
+             lambda m: m[0] <= target],
+            use_pallas)
 
     base_sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
@@ -190,20 +219,19 @@ def encode_batch(
                 err_c = err - m[:, None, None, None] if use_centered else err
                 return jnp.abs(err_c).max(axis=(1, 2, 3)), m
 
-            r_maxe_p, r_mean_p = _scan_cuts(q_f, RES_NUM_PLANES, res_levels,
-                                            res_metrics, use_pallas)
-            r_feas_p = r_maxe_p <= target[None, :]
-            cut_f = _last_true_index(r_feas_p, jnp.int32(0))
+            [(cut_f, feas_f, (maxe_f, mean_f))], _, _ = _coarse_fine_search(
+                q_f, RES_NUM_PLANES, res_levels, res_metrics,
+                [lambda m: m[0] <= target], use_pallas)
             est_f = bitplane.estimated_code_bytes(
                 q_f.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
                 RES_NUM_PLANES)
             take_f = lambda arr, idx: jnp.take_along_axis(
                 arr, idx[None, :], axis=0)[0]
-            maxe_list.append(take_f(r_maxe_p, cut_f))
-            mean_list.append(take_f(r_mean_p, cut_f))
+            maxe_list.append(maxe_f)
+            mean_list.append(mean_f)
             est_list.append(take_f(est_f, cut_f))
             cut_list.append(cut_f)
-            feas_list.append(r_feas_p.any(axis=0))
+            feas_list.append(feas_f)
 
         res_maxe_f = jnp.stack(maxe_list)     # (Nf, B) at each f's cut
         res_mean_f = jnp.stack(mean_list)
@@ -236,9 +264,6 @@ def encode_batch(
     (res_cut, res_feasible, res_maxerr_sel, res_mean_sel, rmax_out,
      res_sizes, qres) = jax.lax.cond(
         skip_residual.all(), residual_trivial, residual_sweep, yres)
-
-    take = lambda arr_p_b, idx: jnp.take_along_axis(
-        arr_p_b, idx[None, :], axis=0)[0]
 
     overflow = (
         (jnp.abs(qbase).max(axis=(1, 2, 3)) >= (1 << BASE_NUM_PLANES))
@@ -279,12 +304,12 @@ def encode_batch(
         "base_cut": base_cut, "pure_cut": pure_cut,
         "pure_feasible": pure_feasible,
         "base_est_sizes": base_sizes,
-        "base_quantiles": quant_p,
-        "pure_maxerr": take(maxe_p, pure_cut),
-        "pure_mean": take(mean_p, pure_cut),
+        "base_quantiles": base_coarse[1],  # (n_coarse, B), coarse cut grid
+        "pure_maxerr": pure_m[0],
+        "pure_mean": pure_m[2],
         "skip_residual": skip_residual,
         "base_maxerr": base_maxerr,
-        "base_mean": take(mean_p, base_cut),
+        "base_mean": base_m[2],
         "rmin": rmin, "rmax": rmax_out,
         "res_cut": res_cut, "res_feasible": res_feasible,
         "res_maxerr": res_maxerr_sel,
