@@ -12,6 +12,10 @@
  *   - running significance state per coefficient, planes MSB->LSB;
  *   - significance bits coded with a context from the 8-neighbor
  *     significance count and the subband orientation class;
+ *   - a run mode (EBCOT RLC analog): a row-group of 4 insignificant
+ *     coefficients whose contexts are all zero codes ONE "any significant"
+ *     bit, plus a 2-bit break position when set — sparse planes cost a
+ *     quarter of the coder calls and fewer bits;
  *   - sign bits coded with a left/up-neighbor sign context;
  *   - refinement bits coded with first/later contexts;
  *   - an adaptive binary range coder (32-bit window, in-buffer carry
@@ -145,11 +149,14 @@ void build_class_map(int hp, int wp, int levels, std::vector<uint8_t> *cls) {
 constexpr int kSigCtx = 4 * 9 * 2; /* orientation x neighbors x parent-sig */
 constexpr int kSignCtx = 9;
 constexpr int kRefCtx = 2;
+constexpr int kRunLen = 4; /* row-group length for run mode */
 
 struct Contexts {
   BinProb sig[kSigCtx];
   BinProb sign[kSignCtx];
   BinProb ref[kRefCtx];
+  BinProb run;       /* "any of the 4 becomes significant" */
+  BinProb runpos[2]; /* 2-bit break position, MSB first */
 };
 
 inline int neighbor_sig_count(const uint8_t *sig, int r, int c, int hp,
@@ -202,7 +209,24 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
       const size_t base = (size_t)f * hp * wp;
       const size_t bbase = (size_t)f * hp * wb;
       for (int r = 0; r < hp; ++r) {
-        for (int c = 0; c < wp; ++c) {
+        /* Shared significance->sign transition for a coefficient that just
+         * became significant in this plane. */
+        auto code_newly_significant = [&](int c, size_t i, size_t byte,
+                                          uint8_t mask) {
+          const int xc =
+              sign_context(sig.data(), neg.data(), r, c, hp, wp, base);
+          int sbit;
+          if (kEncode) {
+            sbit = (signs[byte] & mask) ? 1 : 0;
+            enc->encode(sbit, &ctx.sign[xc]);
+          } else {
+            sbit = dec->decode(&ctx.sign[xc]);
+            if (sbit) signs[byte] |= mask;
+          }
+          sig[i] = 1;
+          neg[i] = (uint8_t)sbit;
+        };
+        auto code_position = [&](int c) {
           const size_t i = base + (size_t)r * wp + c;
           const size_t byte = bbase + (size_t)r * wb + c / 8;
           const uint8_t mask = (uint8_t)(1u << (7 - (c % 8)));
@@ -224,20 +248,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
               bit = dec->decode(&ctx.sig[sc]);
               if (bit) plane[byte] |= mask;
             }
-            if (bit) {
-              const int xc =
-                  sign_context(sig.data(), neg.data(), r, c, hp, wp, base);
-              int sbit;
-              if (kEncode) {
-                sbit = (signs[byte] & mask) ? 1 : 0;
-                enc->encode(sbit, &ctx.sign[xc]);
-              } else {
-                sbit = dec->decode(&ctx.sign[xc]);
-                if (sbit) signs[byte] |= mask;
-              }
-              sig[i] = 1;
-              neg[i] = (uint8_t)sbit;
-            }
+            if (bit) code_newly_significant(c, i, byte, mask);
           } else {
             const int rc = refined[i] ? 1 : 0;
             if (kEncode) {
@@ -248,6 +259,63 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             }
             refined[i] = 1;
           }
+        };
+        /* Run mode: a row-group of kRunLen coefficients, all insignificant
+         * with zero context (no significant neighbors, no significant
+         * parent), codes ONE "any" bit; on a break, a 2-bit position.
+         * Eligibility depends only on coder state already shared with the
+         * decoder, so both sides agree on when the mode engages. */
+        for (int c0 = 0; c0 < wp; c0 += kRunLen) {
+          bool elig = true;
+          for (int k = 0; k < kRunLen && elig; ++k) {
+            const int c = c0 + k;
+            const size_t i = base + (size_t)r * wp + c;
+            if (sig[i] ||
+                sig[base + (size_t)(r >> 1) * wp + (c >> 1)] ||
+                neighbor_sig_count(sig.data(), r, c, hp, wp, base) != 0)
+              elig = false;
+          }
+          int cstart = c0;
+          if (elig) {
+            int any;
+            if (kEncode) {
+              any = 0;
+              for (int k = 0; k < kRunLen && !any; ++k) {
+                const int c = c0 + k;
+                const size_t byte = bbase + (size_t)r * wb + c / 8;
+                if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) any = 1;
+              }
+              enc->encode(any, &ctx.run);
+            } else {
+              any = dec->decode(&ctx.run);
+            }
+            if (!any) continue; /* whole group stays zero this plane */
+            int first;
+            if (kEncode) {
+              first = 0;
+              for (int k = 0; k < kRunLen; ++k) {
+                const int c = c0 + k;
+                const size_t byte = bbase + (size_t)r * wb + c / 8;
+                if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) {
+                  first = k;
+                  break;
+                }
+              }
+              enc->encode((first >> 1) & 1, &ctx.runpos[0]);
+              enc->encode(first & 1, &ctx.runpos[1]);
+            } else {
+              first = (dec->decode(&ctx.runpos[0]) << 1) |
+                      dec->decode(&ctx.runpos[1]);
+            }
+            const int c = c0 + first;
+            const size_t i = base + (size_t)r * wp + c;
+            const size_t byte = bbase + (size_t)r * wb + c / 8;
+            const uint8_t mask = (uint8_t)(1u << (7 - (c % 8)));
+            if (!kEncode) plane[byte] |= mask;
+            code_newly_significant(c, i, byte, mask);
+            cstart = c + 1;
+          }
+          for (int c = cstart; c < c0 + kRunLen; ++c) code_position(c);
         }
       }
     }
