@@ -149,6 +149,46 @@ class TestCABBackend:
         comp = native.cab_compress(payload, kept, d0, hp, wp, levels)
         assert native.cab_decompress(comp, kept, d0, hp, wp, levels) == payload
 
+    def test_cab_run_mode_break_positions(self, native):
+        """Run groups of 4 must break correctly at every in-group position:
+        isolated significant coefficients placed at columns k, 4+k, ... for
+        each offset k, far enough apart that their neighborhoods stay
+        zero-context (run-mode eligible) when first coded."""
+        d0, hp, wp, kept, levels = 1, 32, 64, 3, 2
+        wb = wp // 8
+        for k in range(4):
+            mag = np.zeros((hp, wp), np.uint8)
+            for r in range(4, hp, 8):
+                for c in range(k, wp, 16):
+                    mag[r, c] = np.uint8(1 + ((r + c) % (1 << kept - 1)))
+            planes = [
+                np.packbits((mag >> s) & 1, axis=-1).reshape(-1)
+                for s in range(kept - 1, -1, -1)
+            ]
+            signs = np.packbits((mag > 0) & ((mag % 3) == 0), axis=-1)
+            payload = b"".join(p.tobytes() for p in planes) + signs.tobytes()
+            comp = native.cab_compress(payload, kept, d0, hp, wp, levels)
+            out = native.cab_decompress(comp, kept, d0, hp, wp, levels)
+            assert out == payload, f"break position {k}"
+
+    def test_cab_run_mode_wins_on_sparse(self, native):
+        """The run mode exists so CAB beats LZ on sparse planes; a mostly-
+        zero payload must compress tighter with CAB than with zstd."""
+        import zstandard
+
+        rng = np.random.default_rng(5)
+        d0, hp, wp, kept, levels = 1, 128, 128, 4, 3
+        mag = np.where(rng.random((hp, wp)) < 0.01,
+                       rng.integers(1, 1 << kept, (hp, wp)), 0).astype(np.uint8)
+        planes = [np.packbits((mag >> s) & 1, axis=-1).reshape(-1)
+                  for s in range(kept - 1, -1, -1)]
+        signs = np.packbits((mag > 0) & (rng.random((hp, wp)) < 0.5), axis=-1)
+        payload = b"".join(p.tobytes() for p in planes) + signs.tobytes()
+        comp = native.cab_compress(payload, kept, d0, hp, wp, levels)
+        zc = zstandard.ZstdCompressor(level=19).compress(payload)
+        assert len(comp) < len(zc)
+        assert native.cab_decompress(comp, kept, d0, hp, wp, levels) == payload
+
     def test_cab_stream_roundtrip_and_smaller(self, native, medium_frame):
         data = medium_frame[None]
         blob_z = encode(data, CodecConfig(
