@@ -461,6 +461,22 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
             return list(pool.map(fn, range(n_chunks)))
 
 
+# Enable the u16 upload only when the (per-chunk absolute) target is at
+# least this many times the u16 quantization slack, so the slack eats at
+# most ~3% of the error budget.
+_U16_MIN_TARGET_OVER_SLACK = 32.0
+
+
+def _u16_upload_ok(minv: np.ndarray, maxv: np.ndarray,
+                   config: CodecConfig) -> bool:
+    slack = (maxv - minv) / (2.0 * kernels.BASE_SCALE)
+    if config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR:
+        targets = config.error * (maxv - minv)
+    else:
+        targets = np.full_like(slack, config.error)
+    return bool(np.all(targets >= _U16_MIN_TARGET_OVER_SLACK * slack))
+
+
 def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
                         use_pallas: bool = True):
     """Dispatch the device encode program on an already-device-resident
@@ -471,12 +487,26 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
             xb, base_levels=config.base_levels,
             res_levels=config.residual_levels)
     relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
-    return kernels.encode_batch(
-        xb, np.float32(config.error), np.float32(opts.base_quantile_target),
+    common = dict(
         base_levels=config.base_levels, res_levels=config.residual_levels,
         relative_mode=relative,
         use_centered=not opts.disable_mean_adjustment,
         use_pallas=use_pallas)
+    if opts.u16_upload and isinstance(xb, np.ndarray):
+        minv = xb.min(axis=(1, 2, 3)).astype(np.float32)
+        maxv = xb.max(axis=(1, 2, 3)).astype(np.float32)
+        if _u16_upload_ok(minv, maxv, config):
+            rngv = np.where(minv == maxv, np.float32(1.0), maxv - minv)
+            xq = np.rint(
+                (xb - minv[:, None, None, None])
+                / rngv[:, None, None, None] * kernels.BASE_SCALE
+            ).astype(np.uint16)
+            return kernels.encode_batch_u16(
+                xq, minv, maxv, np.float32(config.error),
+                np.float32(opts.base_quantile_target), **common)
+    return kernels.encode_batch(
+        xb, np.float32(config.error), np.float32(opts.base_quantile_target),
+        **common)
 
 
 def _encode_chunk_batch(x_batch, config: CodecConfig,

@@ -127,17 +127,63 @@ def encode_batch(
     """Full batched encode program.  Returns a dict of device arrays; all
     stream assembly happens on host (``ebcc_tpu.core.codec``).
     """
+    minval = x.min(axis=(1, 2, 3))
+    maxval = x.max(axis=(1, 2, 3))
+    return _encode_core(
+        x, minval, maxval, jnp.float32(0.0), error_target,
+        base_quantile_target, base_levels=base_levels, res_levels=res_levels,
+        relative_mode=relative_mode, use_centered=use_centered,
+        use_pallas=use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "relative_mode",
+                     "use_centered", "use_pallas"),
+)
+def encode_batch_u16(
+    xq,                      # (B, D0, H, W) uint16: round((x-min)/rng*65535)
+    minval, maxval,          # (B,) f32 per-chunk true range (host-computed)
+    error_target,
+    base_quantile_target,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    relative_mode: bool = False,
+    use_centered: bool = True,
+    use_pallas: bool = True,
+):
+    """Encode from a host-prequantized u16 batch (half the upload bytes of
+    f32; see ``EBCC_U16_UPLOAD``).  The u16 grid adds at most
+    ``rng / (2 * BASE_SCALE)`` per-point error versus the true data, so
+    that slack is subtracted from the device target — the SHIPPED bound
+    (versus the original float data) stays exact.  Callers must only
+    enable this when the target comfortably exceeds the slack
+    (``codec._u16_upload_ok``)."""
+    rngv = jnp.where(minval == maxval, 1.0, maxval - minval)
+    x = (xq.astype(jnp.float32) * (rngv / BASE_SCALE)[:, None, None, None]
+         + minval[:, None, None, None])
+    return _encode_core(
+        x, minval, maxval, rngv / (2.0 * BASE_SCALE), error_target,
+        base_quantile_target, base_levels=base_levels, res_levels=res_levels,
+        relative_mode=relative_mode, use_centered=use_centered,
+        use_pallas=use_pallas)
+
+
+def _encode_core(
+    x, minval, maxval, target_slack, error_target, base_quantile_target,
+    *, base_levels, res_levels, relative_mode, use_centered, use_pallas,
+):
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
 
     # ---- per-chunk range & const detection (ref c:673-689) ----
-    minval = x.min(axis=(1, 2, 3))
-    maxval = x.max(axis=(1, 2, 3))
     const = minval == maxval
     rng = jnp.where(const, 1.0, maxval - minval)
     target = jnp.where(
         jnp.asarray(relative_mode), error_target * (maxval - minval), error_target
     )  # (B,) abs target per chunk (ref REL->ABS, c:723-726)
+    target = jnp.maximum(target - target_slack, jnp.float32(0.0))
 
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, orig_hw = _pad2d(u, mult)

@@ -231,6 +231,52 @@ class TestEnvOptions:
         assert np.abs(out - data).max() <= 0.05
 
 
+class TestU16Upload:
+    """EBCC_U16_UPLOAD=1: frames cross the link as u16 with the grid slack
+    subtracted from the device target — the shipped bound stays exact."""
+
+    def test_bound_holds_and_path_active(self, medium_frame, monkeypatch):
+        monkeypatch.setenv("EBCC_U16_UPLOAD", "1")
+        data = medium_frame[None]
+        from ebcc_tpu.core.codec import _u16_upload_ok
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        minv = np.asarray([data.min()], np.float32)
+        maxv = np.asarray([data.max()], np.float32)
+        assert _u16_upload_ok(minv, maxv, config)  # rule engages here
+        blob = encode(data, config, EncodeOptions.from_env())
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1
+
+    def test_tight_target_falls_back_to_f32(self, medium_frame, monkeypatch):
+        """A target within ~32x of the u16 grid slack must take the f32
+        path (and then match the default-path stream byte for byte)."""
+        monkeypatch.setenv("EBCC_U16_UPLOAD", "1")
+        data = medium_frame[None]
+        rng = float(data.max() - data.min())
+        tight = rng / 65535.0  # well under 32x slack
+        from ebcc_tpu.core.codec import _u16_upload_ok
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=tight)
+        minv = np.asarray([data.min()], np.float32)
+        maxv = np.asarray([data.max()], np.float32)
+        assert not _u16_upload_ok(minv, maxv, config)
+        blob = encode(data, config, EncodeOptions.from_env())
+        monkeypatch.delenv("EBCC_U16_UPLOAD")
+        assert blob == encode(data, config, EncodeOptions.from_env())
+
+    def test_relative_mode_and_chunked(self, base_test_data, monkeypatch):
+        monkeypatch.setenv("EBCC_U16_UPLOAD", "1")
+        data = np.ascontiguousarray(base_test_data[:128, :192])[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_RELATIVE_ERROR,
+                             error=1e-2, chunk_dims=(1, 64, 64))
+        blob = encode_chunked(data, config, EncodeOptions.from_env())
+        out = decode_chunked(blob)
+        bound = 1e-2 * float(data.max() - data.min())
+        assert np.abs(out - data).max() <= bound
+
+
 class TestConcurrency:
     def test_concurrent_public_encodes(self, small_frame):
         """Two threads driving the public API concurrently (each spawns its
