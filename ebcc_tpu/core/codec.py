@@ -806,6 +806,30 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
     return jnp.concatenate(outs, axis=0)
 
 
+def _native_decoder():
+    """The native C++ decoder module when ``EBCC_DECODE_BACKEND=native`` is
+    set and the library loads, else None.
+
+    Why: a host-destined decode through the accelerator pays two link
+    transfers per batch; the native decoder runs entirely on the host CPU
+    (and threads across chunks), which wins whenever the link — not
+    compute — is the bottleneck.  Native reconstruction matches the device
+    decoder to float32 rounding (see native/etpu_codec.h), so the shipped
+    bound holds up to that ulp-level noise."""
+    import os
+
+    if os.environ.get("EBCC_DECODE_BACKEND", "").lower() != "native":
+        return None
+    try:
+        from .. import native as native_mod
+        native_mod.load()
+        return native_mod
+    except Exception:
+        logger.warning("EBCC_DECODE_BACKEND=native requested but the native "
+                       "codec is unavailable; using the device decoder")
+        return None
+
+
 def decode(buf: bytes) -> np.ndarray:
     """Decode one ETPU stream -> (n_frames, h, w) float32.
 
@@ -815,6 +839,11 @@ def decode(buf: bytes) -> np.ndarray:
     """
     if buf[:4] == stream.MAGIC_CHUNKED:
         return decode_chunked(buf)
+    nm = _native_decoder()
+    if nm is not None:
+        header, _, _ = stream.split_frame_stream(buf)
+        return nm.native_decode(buf).reshape(
+            header.n_frames, header.height, header.width)
     return _decode_streams([buf])[0]
 
 
@@ -960,6 +989,21 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
     n_frames_c, h_c, w_c = _layout(header.chunk_dims)
     hp_c, wp_c = _padded_hw(h_c, w_c, 5)
     max_batch = min(max_batch, _max_safe_batch(n_frames_c * hp_c * wp_c))
+
+    nm = _native_decoder()
+    if nm is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os
+
+        workers = min(os.cpu_count() or 1, len(chunk_streams))
+        with stage("dec: native"):
+            with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+                parts = list(pool.map(nm.native_decode, chunk_streams))
+        chunks = np.stack(parts).reshape(header.num_chunks,
+                                         *header.chunk_dims)
+        return _scatter_chunks(chunks, header.dims, header.chunk_dims,
+                               counts)
 
     # Pipeline: parse/entropy-decode/upload of batch k+1 overlaps the
     # device work and output fetch of batch k.

@@ -219,6 +219,39 @@ class TestCABBackend:
             pass  # acceptable: loud failure
 
 
+class TestNativeDecodeRouting:
+    """EBCC_DECODE_BACKEND=native routes the public decode entry points
+    through the host C++ decoder (no device round-trips)."""
+
+    def test_plain_stream_routed(self, native, medium_frame, monkeypatch):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = encode(data, config)
+        ref = decode(blob)
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        out = decode(blob)
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).max() <= DECODER_PARITY_ATOL
+        assert np.abs(out.reshape(data.shape) - data).max() \
+            <= 0.1 + DECODER_PARITY_ATOL
+
+    def test_chunked_container_routed(self, native, base_test_data,
+                                      monkeypatch):
+        from ebcc_tpu import decode_chunked, encode_chunked
+        data = np.ascontiguousarray(base_test_data[:100, :150])[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        blob = encode_chunked(data, config)
+        ref = decode_chunked(blob)
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        out = decode_chunked(blob)
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).max() <= DECODER_PARITY_ATOL
+        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
+
 class TestRiceExchange:
     def test_tail_refetch_path(self, native):
         """High-entropy values overflow the optimistic first transfer; the
