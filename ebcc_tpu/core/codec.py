@@ -568,6 +568,26 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
     return streams_out
 
 
+def _native_encoder():
+    """The native C++ encoder module when ``EBCC_ENCODE_BACKEND=native`` is
+    set and the library loads, else None.  Same rationale as
+    :func:`_native_decoder`: an all-host encode (threaded across chunks)
+    beats the device path when the host-device link is the bottleneck, and
+    it makes the framework fully usable on machines with no accelerator."""
+    import os
+
+    if os.environ.get("EBCC_ENCODE_BACKEND", "").lower() != "native":
+        return None
+    try:
+        from .. import native as native_mod
+        native_mod.load()
+        return native_mod
+    except Exception:
+        logger.warning("EBCC_ENCODE_BACKEND=native requested but the native "
+                       "codec is unavailable; using the device encoder")
+        return None
+
+
 def encode(data: np.ndarray, config: CodecConfig,
            opts: Optional[EncodeOptions] = None) -> bytes:
     """Encode one logical array (= one chunk) -> ETPU stream bytes.
@@ -580,6 +600,11 @@ def encode(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _layout(config.dims)
     x = data.reshape(1, n_frames, h, w)
     logger.info("%s", config.describe())
+    nm = _native_encoder()
+    if nm is not None:
+        if not np.isfinite(x).all():
+            raise ValueError("NaN or Inf found in data")
+        return nm.native_encode(x, config)
     return _encode_chunk_batch(x, config, opts)[0]
 
 
@@ -924,10 +949,26 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
         dims=chunk_dims, base_cr=config.base_cr,
         residual_mode=config.residual_mode, error=config.error,
         chunk_dims=(0, 0, 0), base_levels=config.base_levels,
-        residual_levels=config.residual_levels, zstd_level=config.zstd_level)
+        residual_levels=config.residual_levels, zstd_level=config.zstd_level,
+        entropy_backend=config.entropy_backend)
 
     if not np.isfinite(chunks).all():
         raise ValueError("NaN or Inf found in data")
+
+    nm = _native_encoder()
+    if nm is not None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(os.cpu_count() or 1, num_chunks))
+        with stage("enc: native"):
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                streams_out = list(pool.map(
+                    lambda c: nm.native_encode(c, chunk_cfg), chunks))
+        header = stream.ChunkedHeader(
+            dims=tuple(config.dims), chunk_dims=chunk_dims,
+            num_chunks=num_chunks, chunk_size=chunk_size)
+        return stream.pack_chunked(header, streams_out)
 
     slices, counts_per = [], []
     for start in range(0, num_chunks, max_batch):

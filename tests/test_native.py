@@ -219,6 +219,53 @@ class TestCABBackend:
             pass  # acceptable: loud failure
 
 
+class TestNativeEncodeRouting:
+    """EBCC_ENCODE_BACKEND=native routes the public encode entry points
+    through the host C++ encoder (no accelerator needed at all)."""
+
+    def test_plain_encode_routed(self, native, medium_frame, monkeypatch):
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        monkeypatch.setenv("EBCC_ENCODE_BACKEND", "native")
+        blob = encode(data, config)
+        assert blob == native_mod.native_encode(data, config)
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
+    def test_chunked_encode_routed_and_threaded(self, native, base_test_data,
+                                                monkeypatch):
+        from ebcc_tpu import decode_chunked, encode_chunked
+        data = np.ascontiguousarray(base_test_data[:128, :192])[None]
+        config = CodecConfig(dims=data.shape, base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        monkeypatch.setenv("EBCC_ENCODE_BACKEND", "native")
+        blob = encode_chunked(data, config)
+        out = decode_chunked(blob)
+        assert np.abs(out - data).max() <= 0.1
+        # all-native pipeline: encode AND decode without a device
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        out2 = decode_chunked(blob)
+        assert np.abs(out2 - data).max() <= 0.1
+
+
+class TestChunkedEntropyBackend:
+    def test_chunked_respects_cab_backend(self, native, base_test_data):
+        """Regression: encode_chunked used to drop entropy_backend when
+        deriving the per-chunk config, silently re-encoding with zstd."""
+        from ebcc_tpu import decode_chunked, encode_chunked
+        data = np.ascontiguousarray(base_test_data[:128, :192])[None]
+        mk = lambda be: CodecConfig(dims=data.shape, base_cr=20,
+                                    residual_mode=RESIDUAL_MAX_ERROR,
+                                    error=0.1, chunk_dims=(1, 64, 64),
+                                    entropy_backend=be)
+        blob_z = encode_chunked(data, mk("zstd"))
+        blob_c = encode_chunked(data, mk("cab"))
+        assert len(blob_c) < len(blob_z)
+        assert np.abs(decode_chunked(blob_c) - data).max() <= 0.1
+
+
 class TestNativeDecodeRouting:
     """EBCC_DECODE_BACKEND=native routes the public decode entry points
     through the host C++ decoder (no device round-trips)."""
