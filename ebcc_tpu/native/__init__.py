@@ -37,6 +37,7 @@ class _ConfigStruct(ctypes.Structure):
         ("error", ctypes.c_float),
         ("chunk_dims", ctypes.c_uint64 * 3),
         ("zstd_level", ctypes.c_int32),
+        ("entropy_backend", ctypes.c_int32),
     ]
 
 
@@ -120,6 +121,8 @@ def _make_config(config) -> _ConfigStruct:
     c.residual_mode = config.residual_mode
     c.error = config.error
     c.zstd_level = config.zstd_level
+    c.entropy_backend = {"zstd": 1, "cab": 2, "auto": 3}.get(
+        getattr(config, "entropy_backend", "zstd"), 1)
     return c
 
 

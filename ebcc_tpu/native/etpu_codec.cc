@@ -375,14 +375,50 @@ void build_payload(const Layer &L, int cut, int num_planes,
   }
 }
 
+/* Geometry the CAB coder needs to model a layer payload. */
+struct LayerGeom {
+  int kept, d0, hp, wp, levels;
+};
+
+bool cab_pack(const std::vector<uint8_t> &payload, const LayerGeom &g,
+              std::vector<uint8_t> *out) {
+  uint8_t *buf = nullptr;
+  const size_t n = etpu_cab_compress(payload.data(), payload.size(), g.kept,
+                                     g.d0, g.hp, g.wp, g.levels, &buf);
+  if (n == 0) return false;
+  out->assign(buf, buf + n);
+  std::free(buf);
+  return true;
+}
+
+/* Compress one layer payload with the configured backend (1 zstd, 2 CAB,
+ * 3 auto = best-of, parity: core/entropy.py compress_best); *used gets the
+ * backend id that actually produced *out (written into the header so the
+ * decoder dispatches correctly). */
 bool entropy_encode(const std::vector<uint8_t> &payload, int level,
-                    std::vector<uint8_t> *out) {
+                    int backend, const LayerGeom &g,
+                    std::vector<uint8_t> *out, uint8_t *used) {
+  *used = kBackendZstd;
   if (payload.empty()) {
     out->clear();
     return true;
   }
-  return zstd_pack(payload.data(), payload.size(),
-                   level > 0 ? level : 9, out);
+  const bool want_cab = (backend == 2 || backend == 3) && g.kept > 0;
+  if (backend == 2 && want_cab) {
+    if (!cab_pack(payload, g, out)) return false;
+    *used = kBackendCab;
+    return true;
+  }
+  if (!zstd_pack(payload.data(), payload.size(), level > 0 ? level : 9, out))
+    return false;
+  if (want_cab) {
+    std::vector<uint8_t> alt;
+    if (cab_pack(payload, g, &alt) && alt.size() < out->size()) {
+      *out = std::move(alt);
+      *used = kBackendCab;
+    }
+  }
+  return true;
 }
 
 struct EncodeEnv {
@@ -539,6 +575,7 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   const EncodeEnv env = read_env();
   const double quantile_target = 1.0 - env.quantile;
   const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  const int ebackend = config->entropy_backend;
   const size_t tot = (size_t)d0 * hh * ww;
 
   float minv = x[0], maxv = x[0];
@@ -599,16 +636,22 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     int cut = kBaseNumPlanes;
     std::vector<uint8_t> comp, payload;
     int top = 0, kept = 0;
+    uint8_t used = kBackendZstd;
     for (int c = kBaseNumPlanes - 1; c >= 0; --c) {
       std::vector<uint8_t> trial_payload, trial_comp;
       int t_top, t_kept;
+      uint8_t t_used;
       build_payload(base, c, kBaseNumPlanes, &trial_payload, &t_top, &t_kept);
-      if (!entropy_encode(trial_payload, level, &trial_comp)) return 0;
+      if (!entropy_encode(trial_payload, level, ebackend,
+                          {t_kept, d0, hp, wp, kBaseLevels}, &trial_comp,
+                          &t_used))
+        return 0;
       if (trial_comp.size() <= budget) {
         cut = c;
         comp = std::move(trial_comp);
         top = t_top;
         kept = t_kept;
+        used = t_used;
       } else {
         break;
       }
@@ -622,6 +665,7 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     h.base_cut = (uint8_t)cut;
     h.base_top = (uint8_t)top;
     h.base_comp = comp.size();
+    h.entropy = used;
     pack_header(h, blob);
     blob.insert(blob.end(), comp.begin(), comp.end());
     *out = (uint8_t *)std::malloc(blob.size());
@@ -721,9 +765,14 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   /* candidate assembly + selection (mirror of _assemble_error_mode_stream) */
   std::vector<uint8_t> base_payload, base_comp;
   int base_top, base_kept;
+  uint8_t base_used = kBackendZstd, res_used = kBackendZstd;
+  uint8_t pure_used = kBackendZstd;
   build_payload(base, base_cut, kBaseNumPlanes, &base_payload, &base_top,
                 &base_kept);
-  if (!entropy_encode(base_payload, level, &base_comp)) return 0;
+  if (!entropy_encode(base_payload, level, ebackend,
+                      {base_kept, d0, hp, wp, kBaseLevels}, &base_comp,
+                      &base_used))
+    return 0;
 
   bool use_residual = !skip_residual && res_feasible;
   std::vector<uint8_t> res_comp;
@@ -732,7 +781,10 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     std::vector<uint8_t> res_payload;
     build_payload(res, res_cut, kResNumPlanes, &res_payload, &res_top,
                   &res_kept);
-    if (!entropy_encode(res_payload, level, &res_comp)) return 0;
+    if (!entropy_encode(res_payload, level, ebackend,
+                        {res_kept, d0, hp, wp, kResLevels}, &res_comp,
+                        &res_used))
+      return 0;
     if (res_comp.size() <= kResidualDropBytes) {
       res_comp.clear();
       use_residual = false;
@@ -751,7 +803,9 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     int k;
     build_payload(base, pure_cut, kBaseNumPlanes, &pure_payload, &pure_top,
                   &k);
-    if (!entropy_encode(pure_payload, level, &pure_comp)) return 0;
+    if (!entropy_encode(pure_payload, level, ebackend,
+                        {k, d0, hp, wp, kBaseLevels}, &pure_comp, &pure_used))
+      return 0;
     if (pure_comp.size() < base_comp.size() + res_comp.size())
       choose_pure = true;
   }
@@ -763,9 +817,13 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
       int k;
       build_payload(base, pure_cut, kBaseNumPlanes, &pure_payload, &pure_top,
                     &k);
-      if (!entropy_encode(pure_payload, level, &pure_comp)) return 0;
+      if (!entropy_encode(pure_payload, level, ebackend,
+                          {k, d0, hp, wp, kBaseLevels}, &pure_comp,
+                          &pure_used))
+        return 0;
     }
     base_comp = std::move(pure_comp);
+    base_used = pure_used;
     base_cut = pure_cut;
     base_top = pure_top;
     use_residual = false;
@@ -787,12 +845,14 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   h.base_cut = (uint8_t)base_cut;
   h.base_top = (uint8_t)std::max(0, base_top);
   h.base_comp = base_comp.size();
+  h.entropy = base_used;
   if (use_residual) {
     h.rmin = rminv;
     h.rmax = rmaxv;
     h.res_cut = (uint8_t)res_cut;
     h.res_top = (uint8_t)std::max(0, res_top);
     h.res_comp = res_comp.size();
+    h.res_entropy = res_used;
   }
   pack_header(h, blob);
   blob.insert(blob.end(), base_comp.begin(), base_comp.end());

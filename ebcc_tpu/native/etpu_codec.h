@@ -33,6 +33,7 @@ typedef struct {
   float error;            /* bound for modes 1/2 */
   uint64_t chunk_dims[3]; /* zeros => whole array as one chunk */
   int32_t zstd_level;     /* <=0 => default */
+  int32_t entropy_backend; /* 0/1 zstd, 2 CAB arithmetic, 3 auto (best-of) */
 } etpu_config_t;
 
 /* Decode one ETPU frame stream (or dispatch an ETPK container).

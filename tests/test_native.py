@@ -66,6 +66,24 @@ class TestCrossCodec:
         out = native.native_decode(blob)
         assert out.size == data.size
 
+    def test_native_encode_cab_backend(self, native, medium_frame):
+        """The native encoder honors entropy_backend (cab/auto) and writes
+        the chosen backend ids into the header so BOTH decoders dispatch."""
+        data = medium_frame[None]
+        mk = lambda be: CodecConfig(dims=data.shape, base_cr=30,
+                                    residual_mode=RESIDUAL_MAX_ERROR,
+                                    error=0.1, entropy_backend=be)
+        blob_z = native.native_encode(data, mk("zstd"))
+        blob_c = native.native_encode(data, mk("cab"))
+        blob_a = native.native_encode(data, mk("auto"))
+        assert len(blob_c) < len(blob_z)
+        assert len(blob_a) <= min(len(blob_c), len(blob_z))
+        for blob in (blob_c, blob_a):
+            nat = native.native_decode(blob).reshape(data.shape)
+            assert np.abs(nat - data).max() <= 0.1
+            jx = decode(blob).reshape(data.shape)
+            assert np.abs(jx - data).max() <= 0.1 + DECODER_PARITY_ATOL
+
     def test_native_const_field(self, native, constant_frame):
         config = CodecConfig(dims=constant_frame.shape, base_cr=30,
                              residual_mode=RESIDUAL_MAX_ERROR, error=0.01)
