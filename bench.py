@@ -164,6 +164,7 @@ def main():
     # same serial per-chunk shape; the reference itself cannot be built
     # here — its openjpeg/zstd submodules are not vendored).
     native_pts = None
+    native_host_pts = None
     try:
         from ebcc_tpu import native as native_mod
         native_mod.load()
@@ -175,6 +176,20 @@ def main():
         nb = native_mod.native_encode(one, ncfg)
         _ = native_mod.native_decode(nb)
         native_pts = one.size / (time.perf_counter() - tn)
+
+        # All-host threaded pipeline (EBCC_*_BACKEND=native routing): the
+        # CPU-only deployment rate, independent of any accelerator/link.
+        os.environ["EBCC_ENCODE_BACKEND"] = "native"
+        os.environ["EBCC_DECODE_BACKEND"] = "native"
+        try:
+            tn = time.perf_counter()
+            nblob = ebcc_tpu.encode_chunked(data, config)
+            nout = ebcc_tpu.decode_chunked(nblob)
+            native_host_pts = n_points / (time.perf_counter() - tn)
+            assert float(np.abs(nout - data).max()) <= bound
+        finally:
+            os.environ.pop("EBCC_ENCODE_BACKEND", None)
+            os.environ.pop("EBCC_DECODE_BACKEND", None)
     except Exception:
         pass
 
@@ -194,6 +209,8 @@ def main():
         "link_up_mbps": round(up, 1),
         "link_down_mbps": round(down, 1),
         "native_serial_pts_per_s": round(native_pts, 1) if native_pts else None,
+        "native_host_roundtrip_pts_per_s": round(native_host_pts, 1)
+        if native_host_pts else None,
         "frames": N_FRAMES,
         "device": str(jax.devices()[0]),
     }))
