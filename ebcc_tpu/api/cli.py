@@ -85,7 +85,8 @@ def _compress_main(args) -> int:
         mode, err = RESIDUAL_NONE, 0.0
     config = CodecConfig(dims=data.shape, base_cr=args.base_cr,
                          residual_mode=mode, error=err,
-                         chunk_dims=tuple(args.chunk_dims or (0, 0, 0)))
+                         chunk_dims=tuple(args.chunk_dims or (0, 0, 0)),
+                         entropy_backend=args.entropy)
     blob = encode_chunked_compat(data, config)
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -126,6 +127,10 @@ def main(argv=None) -> int:
     cp.add_argument("--max-error", type=float, default=None)
     cp.add_argument("--relative-error", type=float, default=None)
     cp.add_argument("--chunk-dims", type=int, nargs=3, default=None)
+    cp.add_argument("--entropy", choices=("zstd", "cab", "auto"),
+                    default="zstd",
+                    help="entropy backend: cab/auto trade encode time for "
+                         "a better ratio")
 
     dp = sub.add_parser("decompress", help="decompress to a .npy array file")
     dp.add_argument("input")

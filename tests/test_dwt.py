@@ -144,3 +144,82 @@ class TestMathematicalProperties:
             rows.append(y[0, n // 4])  # lowpass coefficient at center
         taps = np.array(rows[::-1])
         np.testing.assert_allclose(taps, np.sqrt(2) * h_ref, atol=1e-4)
+
+
+class TestCoarseFineSearch:
+    """The coarse-to-fine cut search must agree with a brute-force dense
+    scan whenever feasibility is monotone in the cut (always true up to
+    float rounding; the refinement logic is the risky part)."""
+
+    def _dense_reference(self, q, num_planes, levels, metrics_fn, crit):
+        import jax
+
+        from ebcc_tpu.ops import dwt_pallas
+        b = q.shape[0]
+
+        def body(cut):
+            spatial = dwt_pallas.idwt2d_dequant(
+                q, jnp.broadcast_to(cut, (b,)), levels, use_pallas=False)
+            return metrics_fn(spatial, cut)
+
+        stacked = jax.lax.map(body, jnp.arange(num_planes, dtype=jnp.int32))
+        feas = np.asarray(crit(stacked))
+        cuts = np.zeros(b, np.int32)
+        for i in range(b):
+            idx = np.flatnonzero(feas[:, i])
+            cuts[i] = int(idx.max()) if idx.size else 0
+        return cuts, feas.any(axis=0)
+
+    def test_matches_dense_scan(self):
+        from ebcc_tpu.core.kernels import _coarse_fine_search
+        from ebcc_tpu.ops import bitplane as bp
+
+        rng = np.random.default_rng(11)
+        levels, num_planes = 2, 10
+        x = (rng.normal(0, 1, (4, 1, 32, 32)) * 300).astype(np.float32)
+        q = bp.quantize_floor(dwt.dwt2d(jnp.asarray(x), levels))
+        # a spread of targets so chunks land on different cuts
+        targets = jnp.asarray([2.0, 10.0, 45.0, 500.0], jnp.float32)
+
+        def metrics(spatial, cut):
+            err = jnp.abs(jnp.asarray(x) - spatial)
+            return (err.max(axis=(1, 2, 3)),)
+
+        crit = lambda m: m[0] <= targets
+        [(cut, anyf, (maxe,))], _, _ = _coarse_fine_search(
+            q, num_planes, levels, metrics, [crit], use_pallas=False)
+        ref_cut, ref_any = self._dense_reference(
+            q, num_planes, levels, metrics, crit)
+        np.testing.assert_array_equal(np.asarray(cut), ref_cut)
+        np.testing.assert_array_equal(np.asarray(anyf), ref_any)
+        # reported metrics must be the metrics AT the chosen cut
+        feasible = np.asarray(anyf)
+        me = np.asarray(maxe)
+        tg = np.asarray(targets)
+        assert (me[feasible] <= tg[feasible]).all()
+
+    def test_none_feasible_defaults_to_cut_zero(self):
+        from ebcc_tpu.core.kernels import _coarse_fine_search
+
+        rng = np.random.default_rng(3)
+        levels, num_planes = 1, 6
+        x = (rng.normal(0, 1, (2, 1, 32, 32)) * 300).astype(np.float32)
+        from ebcc_tpu.ops import bitplane as bp
+        q = bp.quantize_floor(dwt.dwt2d(jnp.asarray(x), levels))
+
+        def metrics(spatial, cut):
+            err = jnp.abs(jnp.asarray(x) - spatial)
+            return (err.max(axis=(1, 2, 3)),)
+
+        crit = lambda m: m[0] <= jnp.float32(-1.0)  # impossible
+        [(cut, anyf, (maxe,))], _, _ = _coarse_fine_search(
+            q, num_planes, levels, metrics, [crit], use_pallas=False)
+        assert not np.asarray(anyf).any()
+        np.testing.assert_array_equal(np.asarray(cut), 0)
+        # metrics reported at cut 0 (the finest), not at a coarse row
+        spatial0 = None
+        from ebcc_tpu.ops import dwt_pallas
+        spatial0 = dwt_pallas.idwt2d_dequant(
+            q, jnp.zeros(2, jnp.int32), levels, use_pallas=False)
+        ref = np.abs(x - np.asarray(spatial0)).max(axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(maxe), ref, rtol=1e-6)
