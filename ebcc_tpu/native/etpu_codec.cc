@@ -678,32 +678,50 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   if (config->residual_mode == 2) target *= rng; /* REL -> ABS */
   const bool centered = !env.no_mean_adjust;
 
-  int base_cut = 0, pure_cut = 0;
-  bool base_found = false, pure_found = false, pure_feasible = false;
-  Metrics base_m, pure_m;
-  for (int c = kBaseNumPlanes - 1; c >= 0; --c) {
-    reconstruct(base, c, kBaseLevels, spatial.data());
-    Metrics m = error_metrics(x, spatial.data(), nullptr, d0, hh, ww, hp, wp,
-                              bscale, minv, 0, 0, target);
-    const double q = 1.0 - (double)m.over_target / (double)tot;
-    const float crit = centered ? m.max_centered : m.max_raw;
-    if (!base_found && q >= quantile_target) {
-      base_cut = c;
-      base_found = true;
-      base_m = m;
+  /* Both cut criteria are monotone in the cut (finer cut => smaller
+   * error), so binary search replaces the linear coarsest-down walk:
+   * <=2*ceil(log2 P) reconstruct+metrics evaluations instead of up to P
+   * (the worst case at tight targets).  Evaluations are cached so the two
+   * criteria share them. */
+  std::vector<char> m_have(kBaseNumPlanes, 0);
+  std::vector<Metrics> m_cache(kBaseNumPlanes);
+  auto eval_base = [&](int c) -> const Metrics & {
+    if (!m_have[c]) {
+      reconstruct(base, c, kBaseLevels, spatial.data());
+      m_cache[c] = error_metrics(x, spatial.data(), nullptr, d0, hh, ww, hp,
+                                 wp, bscale, minv, 0, 0, target);
+      m_have[c] = 1;
     }
-    if (!pure_found && crit <= target) {
-      pure_cut = c;
-      pure_found = true;
-      pure_feasible = true;
-      pure_m = m;
+    return m_cache[c];
+  };
+  /* largest c in [0, P) with feasible(metrics(c)), or -1 if none */
+  auto search_cut = [&](auto feasible) -> int {
+    if (!feasible(eval_base(0))) return -1;
+    int lo = 0, hi = kBaseNumPlanes - 1;
+    if (feasible(eval_base(hi))) return hi;
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) / 2;
+      if (feasible(eval_base(mid)))
+        lo = mid;
+      else
+        hi = mid;
     }
-    if (base_found && pure_found) break;
-    if (c == 0) {
-      if (!base_found) base_m = m;
-      if (!pure_found) pure_m = m;
-    }
-  }
+    return lo;
+  };
+  auto quant_ok = [&](const Metrics &m) {
+    return 1.0 - (double)m.over_target / (double)tot >= quantile_target;
+  };
+  auto bound_ok = [&](const Metrics &m) {
+    return (centered ? m.max_centered : m.max_raw) <= target;
+  };
+  const int bc = search_cut(quant_ok);
+  const int pc = search_cut(bound_ok);
+  const bool base_found = bc >= 0;
+  const bool pure_feasible = pc >= 0;
+  int base_cut = bc >= 0 ? bc : 0;
+  int pure_cut = pc >= 0 ? pc : 0;
+  Metrics base_m = eval_base(base_cut);
+  Metrics pure_m = eval_base(pure_cut);
 
   /* base reconstruction at base_cut + residual layer */
   reconstruct(base, base_cut, kBaseLevels, spatial.data());
@@ -744,21 +762,43 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   for (size_t i = 0; i < rnp.size(); ++i)
     res.q[i] = (int32_t)std::trunc(rnp[i]);
 
+  /* Same monotone binary search for the residual cut. */
   int res_cut = 0;
   bool res_feasible = false;
   Metrics res_m;
   std::vector<float> rsp(rnp.size());
-  for (int c = kResNumPlanes - 1; c >= 0; --c) {
-    reconstruct(res, c, kResLevels, rsp.data());
-    Metrics m = error_metrics(x, spatial.data(), rsp.data(), d0, hh, ww, hp,
-                              wp, bscale, minv, rrng / kResScale, rminv,
-                              target);
-    const float crit = centered ? m.max_centered : m.max_raw;
-    if (crit <= target) {
-      res_cut = c;
+  {
+    std::vector<char> r_have(kResNumPlanes, 0);
+    std::vector<Metrics> r_cache(kResNumPlanes);
+    auto eval_res = [&](int c) -> const Metrics & {
+      if (!r_have[c]) {
+        reconstruct(res, c, kResLevels, rsp.data());
+        r_cache[c] = error_metrics(x, spatial.data(), rsp.data(), d0, hh, ww,
+                                   hp, wp, bscale, minv, rrng / kResScale,
+                                   rminv, target);
+        r_have[c] = 1;
+      }
+      return r_cache[c];
+    };
+    auto bound_ok_r = [&](const Metrics &m) {
+      return (centered ? m.max_centered : m.max_raw) <= target;
+    };
+    if (bound_ok_r(eval_res(0))) {
+      int lo = 0, hi = kResNumPlanes - 1;
+      if (bound_ok_r(eval_res(hi))) {
+        lo = hi;
+      } else {
+        while (hi - lo > 1) {
+          const int mid = (lo + hi) / 2;
+          if (bound_ok_r(eval_res(mid)))
+            lo = mid;
+          else
+            hi = mid;
+        }
+      }
+      res_cut = lo;
       res_feasible = true;
-      res_m = m;
-      break;
+      res_m = eval_res(lo);
     }
   }
 
