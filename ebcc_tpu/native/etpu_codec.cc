@@ -115,22 +115,114 @@ void idwt1d(float *x, int n, int stride, float *tmp) {
   }
 }
 
+/* Column lifting over a block of `bw` adjacent columns with row-major
+ * walks (one strided pass per lifting step instead of one cache-hostile
+ * strided walk PER COLUMN).  The per-column operation order is identical
+ * to dwt1d/idwt1d, so results are bit-identical; columns are independent
+ * and the inner j-loops autovectorize. */
+constexpr int kColBlock = 64;
+
+void dwt1d_col_block(float *x, int n, int stride, int bw, float *tmp) {
+  const int h = n / 2;
+  float *e = tmp, *o = tmp + (size_t)h * bw;
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < bw; ++j) {
+      e[(size_t)i * bw + j] = x[(size_t)(2 * i) * stride + j];
+      o[(size_t)i * bw + j] = x[(size_t)(2 * i + 1) * stride + j];
+    }
+  for (int i = 0; i < h; ++i) {
+    const float *ei = e + (size_t)i * bw;
+    const float *en = e + (size_t)std::min(i + 1, h - 1) * bw;
+    float *oi = o + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) oi[j] += kAlpha * (ei[j] + en[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *op = o + (size_t)std::max(i - 1, 0) * bw;
+    const float *oi = o + (size_t)i * bw;
+    float *ei = e + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) ei[j] += kBeta * (op[j] + oi[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *ei = e + (size_t)i * bw;
+    const float *en = e + (size_t)std::min(i + 1, h - 1) * bw;
+    float *oi = o + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) oi[j] += kGamma * (ei[j] + en[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *op = o + (size_t)std::max(i - 1, 0) * bw;
+    const float *oi = o + (size_t)i * bw;
+    float *ei = e + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) ei[j] += kDelta * (op[j] + oi[j]);
+  }
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < bw; ++j) {
+      x[(size_t)i * stride + j] = e[(size_t)i * bw + j] * kXi;
+      x[(size_t)(h + i) * stride + j] =
+          o[(size_t)i * bw + j] * (1.0f / kXi);
+    }
+}
+
+void idwt1d_col_block(float *x, int n, int stride, int bw, float *tmp) {
+  const int h = n / 2;
+  float *e = tmp, *o = tmp + (size_t)h * bw;
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < bw; ++j) {
+      e[(size_t)i * bw + j] = x[(size_t)i * stride + j] * (1.0f / kXi);
+      o[(size_t)i * bw + j] = x[(size_t)(h + i) * stride + j] * kXi;
+    }
+  for (int i = 0; i < h; ++i) {
+    const float *op = o + (size_t)std::max(i - 1, 0) * bw;
+    const float *oi = o + (size_t)i * bw;
+    float *ei = e + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) ei[j] += -kDelta * (op[j] + oi[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *ei = e + (size_t)i * bw;
+    const float *en = e + (size_t)std::min(i + 1, h - 1) * bw;
+    float *oi = o + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) oi[j] += -kGamma * (ei[j] + en[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *op = o + (size_t)std::max(i - 1, 0) * bw;
+    const float *oi = o + (size_t)i * bw;
+    float *ei = e + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) ei[j] += -kBeta * (op[j] + oi[j]);
+  }
+  for (int i = 0; i < h; ++i) {
+    const float *ei = e + (size_t)i * bw;
+    const float *en = e + (size_t)std::min(i + 1, h - 1) * bw;
+    float *oi = o + (size_t)i * bw;
+    for (int j = 0; j < bw; ++j) oi[j] += -kAlpha * (ei[j] + en[j]);
+  }
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < bw; ++j) {
+      x[(size_t)(2 * i) * stride + j] = e[(size_t)i * bw + j];
+      x[(size_t)(2 * i + 1) * stride + j] = o[(size_t)i * bw + j];
+    }
+}
+
 /* In-place Mallat pyramid on a (hp x wp) row-major buffer.  Matches
  * dwt2d/idwt2d in ops/dwt.py: forward does rows then cols per level. */
 void dwt2d(float *a, int hp, int wp, int levels) {
-  std::vector<float> tmp(std::max(hp, wp));
+  std::vector<float> tmp(std::max<size_t>(std::max(hp, wp),
+                                          (size_t)hp * kColBlock));
   for (int l = 0; l < levels; ++l) {
     const int hl = hp >> l, wl = wp >> l;
     for (int r = 0; r < hl; ++r) dwt1d(a + (size_t)r * wp, wl, 1, tmp.data());
-    for (int c = 0; c < wl; ++c) dwt1d(a + c, hl, wp, tmp.data());
+    for (int c = 0; c < wl; c += kColBlock)
+      dwt1d_col_block(a + c, hl, wp, std::min(kColBlock, wl - c),
+                      tmp.data());
   }
 }
 
 void idwt2d(float *a, int hp, int wp, int levels) {
-  std::vector<float> tmp(std::max(hp, wp));
+  std::vector<float> tmp(std::max<size_t>(std::max(hp, wp),
+                                          (size_t)hp * kColBlock));
   for (int l = levels - 1; l >= 0; --l) {
     const int hl = hp >> l, wl = wp >> l;
-    for (int c = 0; c < wl; ++c) idwt1d(a + c, hl, wp, tmp.data());
+    for (int c = 0; c < wl; c += kColBlock)
+      idwt1d_col_block(a + c, hl, wp, std::min(kColBlock, wl - c),
+                       tmp.data());
     for (int r = 0; r < hl; ++r) idwt1d(a + (size_t)r * wp, wl, 1, tmp.data());
   }
 }
