@@ -76,3 +76,67 @@ def test_chunked_container_fuzz(base_test_data):
             decode_chunked(bytes(mutated))
         except Exception:
             pass
+
+
+class TestNativeDecoderFuzz:
+    """The C++ decoder must fail loudly (RuntimeError via a 0 return),
+    never crash the process, on corrupted or random input."""
+
+    @pytest.fixture(scope="class")
+    def native(self):
+        from ebcc_tpu import native as native_mod
+        try:
+            native_mod.load()
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        return native_mod
+
+    def test_native_truncations(self, native, valid_stream):
+        blob, _ = valid_stream
+        rng = np.random.default_rng(5)
+        cuts = set(int(c) for c in rng.integers(0, len(blob), 30)) | {0, 1, 71, 72}
+        for cut in cuts:
+            try:
+                native.native_decode(blob[:cut])
+            except Exception:
+                pass
+
+    def test_native_byte_flips(self, native, valid_stream):
+        blob, data = valid_stream
+        rng = np.random.default_rng(6)
+        for _ in range(30):
+            pos = int(rng.integers(0, len(blob)))
+            bad = bytearray(blob)
+            bad[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = native.native_decode(bytes(bad))
+                assert out.size <= 16 * data.size  # no absurd allocations
+            except Exception:
+                pass
+
+    def test_native_random_garbage(self, native):
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 72, 300, 5000):
+            buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                native.native_decode(buf)
+            except Exception:
+                pass
+
+    def test_native_cab_stream_fuzz(self, native, valid_stream):
+        """CAB payloads have no checksum; random flips inside the payload
+        must decode to garbage or raise, never crash/hang."""
+        _, data = valid_stream
+        cfg = CodecConfig(dims=data.shape, base_cr=20,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.02,
+                          entropy_backend="cab")
+        blob = native.native_encode(data, cfg)
+        rng = np.random.default_rng(8)
+        for _ in range(30):
+            pos = int(rng.integers(72, len(blob)))
+            bad = bytearray(blob)
+            bad[pos] ^= int(rng.integers(1, 256))
+            try:
+                native.native_decode(bytes(bad))
+            except Exception:
+                pass
