@@ -95,7 +95,77 @@ def measure_link():
     return 32 / (t1 - t0), 32 / (t2 - t1)
 
 
+class _DeviceUnavailable(Exception):
+    pass
+
+
+def _host_fallback_bench():
+    """All-host native pipeline measurement for when the accelerator cannot
+    be reached within the watchdog budget (dev-environment tunnel outages).
+    Clearly labeled as the fallback metric so it is never confused with the
+    device-resident headline."""
+    import ebcc_tpu
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR, RESIDUAL_RELATIVE_ERROR
+
+    data = load_frames(N_FRAMES)
+    mode = (RESIDUAL_RELATIVE_ERROR if ERROR_MODE == "rel"
+            else RESIDUAL_MAX_ERROR)
+    config = CodecConfig(dims=data.shape, base_cr=30, residual_mode=mode,
+                         error=ERROR_TARGET, chunk_dims=(1, H, W))
+    os.environ["EBCC_ENCODE_BACKEND"] = "native"
+    os.environ["EBCC_DECODE_BACKEND"] = "native"
+    blob = ebcc_tpu.encode_chunked(data, config)  # warm-up / build
+    best = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        blob = ebcc_tpu.encode_chunked(data, config)
+        out = ebcc_tpu.decode_chunked(blob)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    maxerr = float(np.abs(out - data).max())
+    bound = ERROR_TARGET if ERROR_MODE == "max" else ERROR_TARGET * float(
+        data.max() - data.min())
+    assert maxerr <= bound, (maxerr, bound)
+    pts = data.size / best
+    print(json.dumps({
+        "metric": "all-host native encode+decode throughput @ max_error "
+                  "bound (FALLBACK: device unreachable)",
+        "value": round(pts, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(pts / BASELINE_PTS_PER_S, 2),
+        "compression_ratio": round(data.nbytes / len(blob), 2),
+        "max_error": maxerr,
+        "error_target": ERROR_TARGET,
+        "frames": N_FRAMES,
+        "device": "none (host fallback)",
+    }))
+
+
 def main():
+    budget = int(os.environ.get("EBCC_BENCH_DEVICE_TIMEOUT", "1800"))
+    if budget > 0:
+        import signal
+
+        def _on_alarm(signum, frame):
+            raise _DeviceUnavailable()
+
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget)
+    try:
+        _device_main()
+        if budget > 0:
+            signal.alarm(0)
+    except (_DeviceUnavailable, RuntimeError, OSError) as e:
+        # watchdog timeout or device-init failure; bound-violation asserts
+        # propagate instead of being masked.
+        if budget > 0:
+            signal.alarm(0)
+        print("device bench unavailable (%s); falling back to the all-host "
+              "pipeline" % type(e).__name__, file=sys.stderr)
+        _host_fallback_bench()
+
+
+def _device_main():
     import jax
     import jax.numpy as jnp
 
