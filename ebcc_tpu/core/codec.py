@@ -573,7 +573,11 @@ def _native_encoder():
     set and the library loads, else None.  Same rationale as
     :func:`_native_decoder`: an all-host encode (threaded across chunks)
     beats the device path when the host-device link is the bottleneck, and
-    it makes the framework fully usable on machines with no accelerator."""
+    it makes the framework fully usable on machines with no accelerator.
+
+    Note: the C++ encoder reads the EBCC_* tuning env vars itself, so a
+    programmatically-constructed EncodeOptions is not forwarded on this
+    route — configure via the environment when routing natively."""
     import os
 
     if os.environ.get("EBCC_ENCODE_BACKEND", "").lower() != "native":
