@@ -12,7 +12,6 @@ CMake+Ninja, `load()` binds the C API with ctypes, and ``FILTER_PATH`` /
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional
