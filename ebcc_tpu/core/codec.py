@@ -209,8 +209,16 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
         res_comp, res_be = _entropy_encode(res_payload, backend, level,
                                            res_meta(res_kept))
         if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
-            res_comp = b""
-            use_residual = False
+            # The reference drops unconditionally and tolerates the
+            # resulting overshoot; we promise an exact bound, so drop only
+            # if the base layer alone still meets it in some shippable form
+            # (mean-adjusted/centered or raw — the adjustment gate below
+            # picks whichever is verified).
+            base_ok = (float(res.base_maxerr_centered) <= float(res.target_abs)
+                       or float(res.base_maxerr) <= float(res.target_abs))
+            if base_ok:
+                res_comp = b""
+                use_residual = False
 
     # Candidate B: pure base @ pure_cut (quantile-1.0 analog, ref c:819-854).
     choose_pure = False
@@ -253,10 +261,19 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     flags = 0
     if use_residual:
         flags |= stream.FLAG_HAS_RESIDUAL
-    if not opts.disable_mean_adjustment and abs(mean) > 1e-18:
-        # Fold the mean error into the stored min/max (ref c:863-868).  The
-        # feasibility scans already used the centered criterion, so the
-        # shipped bound holds post-adjustment.
+    # Mean-adjustment guard: the pure and residual candidates were verified
+    # with the CENTERED criterion, so shifting by the mean keeps the bound.
+    # The skip-residual/dropped-residual path was verified UNCENTERED (ref
+    # c:737 parity) — shifting by a mean of opposite sign to the error
+    # extreme can push past the target (the reference ships that overshoot,
+    # c:863-868; we don't).  Only adjust there when the centered error is
+    # also verified within bound.
+    adjust_ok = True
+    if not choose_pure and not use_residual:
+        adjust_ok = (float(res.base_maxerr_centered)
+                     <= float(res.target_abs))
+    if not opts.disable_mean_adjustment and abs(mean) > 1e-18 and adjust_ok:
+        # Fold the mean error into the stored min/max (ref c:863-868).
         minval += mean
         maxval += mean
         flags |= stream.FLAG_MEAN_ADJUSTED

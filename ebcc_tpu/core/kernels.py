@@ -355,6 +355,7 @@ def _encode_core(
         "pure_mean": pure_m[2],
         "skip_residual": skip_residual,
         "base_maxerr": base_maxerr,
+        "base_maxerr_centered": base_m[0],
         "base_mean": base_m[2],
         "rmin": rmin, "rmax": rmax_out,
         "res_cut": res_cut, "res_feasible": res_feasible,

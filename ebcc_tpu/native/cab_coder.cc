@@ -157,6 +157,15 @@ struct Contexts {
   BinProb ref[kRefCtx];
   BinProb run;       /* "any of the 4 becomes significant" */
   BinProb runpos[2]; /* 2-bit break position, MSB first */
+
+  /* Skewed priors: significance bits are mostly 0 (sparse planes) and run
+   * groups mostly stay zero, so starting those contexts at P(0)=0.8/0.9
+   * instead of 0.5 saves the adaptation warm-up — worth a few percent on
+   * small chunks where warm-up is a visible fraction of the stream. */
+  Contexts() {
+    for (auto &c : sig) c.p0 = (uint16_t)(4096 * 4 / 5);
+    run.p0 = (uint16_t)(4096 * 9 / 10);
+  }
 };
 
 inline int neighbor_sig_count(const uint8_t *sig, int r, int c, int hp,

@@ -918,8 +918,13 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
                         &res_used))
       return 0;
     if (res_comp.size() <= kResidualDropBytes) {
-      res_comp.clear();
-      use_residual = false;
+      /* Drop only if the base alone still meets the bound in a shippable
+       * form (centered-with-adjustment or raw); the reference drops
+       * unconditionally (c:811) and tolerates overshoot — we don't. */
+      if (base_m.max_centered <= target || base_m.max_raw <= target) {
+        res_comp.clear();
+        use_residual = false;
+      }
     }
   }
 
@@ -969,7 +974,13 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
 
   h.flags = 0;
   if (use_residual) h.flags |= kFlagResidual;
-  if (!env.no_mean_adjust && std::fabs(mean) > 1e-18) {
+  /* Pure/residual candidates were verified CENTERED, so adjustment keeps
+   * the bound; the skip/dropped-residual path was verified RAW (ref c:737)
+   * and may only be shifted when the centered error is also in bound. */
+  bool adjust_ok = true;
+  if (!choose_pure && !use_residual)
+    adjust_ok = base_m.max_centered <= target;
+  if (!env.no_mean_adjust && std::fabs(mean) > 1e-18 && adjust_ok) {
     h.minval += (float)mean;
     h.maxval += (float)mean;
     h.flags |= kFlagMeanAdjusted;

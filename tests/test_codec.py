@@ -231,6 +231,54 @@ class TestEnvOptions:
         assert np.abs(out - data).max() <= 0.05
 
 
+class TestMeanAdjustmentBoundGuard:
+    """Regression: the skip-residual path verifies the UNCENTERED error
+    (reference c:737 parity) but used to apply the mean adjustment
+    unconditionally (reference c:863-868 behavior) — when the mean has
+    opposite sign to the error extreme the SHIPPED error exceeded the
+    target.  Found on a smooth near-polar ERA5 64x64 chunk."""
+
+    def _failing_chunk(self, base_test_data):
+        x = base_test_data
+        rows = np.minimum(np.arange(11 * 64, 11 * 64 + 64), x.shape[0] - 1)
+        cols = np.arange(8 * 64, 8 * 64 + 64) % x.shape[1]
+        return np.ascontiguousarray(x[np.ix_(rows, cols)])[None]
+
+    def test_smooth_chunk_bound_exact(self, base_test_data):
+        chunk = self._failing_chunk(base_test_data)
+        config = CodecConfig(dims=chunk.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.5)
+        blob = encode(chunk, config)
+        out = decode(blob).reshape(chunk.shape)
+        assert np.abs(out - chunk).max() <= 0.5
+
+    def test_smooth_chunk_bound_exact_native(self, base_test_data):
+        from ebcc_tpu import native as native_mod
+        try:
+            native_mod.load()
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        chunk = self._failing_chunk(base_test_data)
+        config = CodecConfig(dims=chunk.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.5)
+        blob = native_mod.native_encode(chunk, config)
+        out = native_mod.native_decode(blob).reshape(chunk.shape)
+        assert np.abs(out - chunk).max() <= 0.5
+
+    def test_adverse_mean_synthetic(self):
+        """Synthetic construction with a skewed error distribution: smooth
+        low-amplitude field whose quantization errors are one-sided."""
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+        chunk = (242.0 + 0.7 * np.sin(yy / 40.0) ** 2
+                 + 0.01 * np.cos(xx / 5.0)).astype(np.float32)[None]
+        for err in (0.5, 0.3):
+            config = CodecConfig(dims=chunk.shape, base_cr=30,
+                                 residual_mode=RESIDUAL_MAX_ERROR, error=err)
+            blob = encode(chunk, config)
+            out = decode(blob).reshape(chunk.shape)
+            assert np.abs(out - chunk).max() <= err
+
+
 class TestU16Upload:
     """EBCC_U16_UPLOAD=1: frames cross the link as u16 with the grid slack
     subtracted from the device target — the shipped bound stays exact."""
