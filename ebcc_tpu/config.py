@@ -84,6 +84,16 @@ class CodecConfig:
         if self.entropy_backend not in ("zstd", "cab", "auto"):
             raise ValueError(f"invalid entropy backend {self.entropy_backend}")
 
+    def per_chunk(self, chunk_dims: Tuple[int, int, int]) -> "CodecConfig":
+        """The config for encoding ONE chunk of this dataset: same codec
+        knobs, ``dims`` = the chunk shape, no further chunking.  All chunked
+        encode paths must build their per-chunk config here so a new codec
+        field can never be silently dropped on one path (a real round-1 bug:
+        ``entropy_backend`` fell back to zstd on the sharded/multihost/
+        pipeline routes)."""
+        return dataclasses.replace(
+            self, dims=tuple(chunk_dims), chunk_dims=(0, 0, 0))
+
     @property
     def residual_mode_name(self) -> str:
         return _RESIDUAL_NAMES[self.residual_mode]

@@ -231,7 +231,11 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
                 "Could not reach error target %g in any configuration; "
                 "shipping best effort (finest cut).", float(res.target_abs))
         choose_pure = True
-    elif use_residual and not opts.disable_pure_base_fallback:
+    elif use_residual and pure_feasible and not opts.disable_pure_base_fallback:
+        # pure_feasible gate: when even cut 0 misses the centered bound,
+        # pure_cut is a best-effort fallback value — picking it on byte size
+        # alone could ship a bound-violating stream while a feasible
+        # base+residual candidate exists.
         pure_payload, pure_top, pure_kept = build_layer_payload(
             base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
         pure_comp, pure_be = _entropy_encode(pure_payload, backend, level,
@@ -809,6 +813,10 @@ def encode_frames_device(x_dev, config: CodecConfig,
     device).  Only compressed-domain data crosses the host link.  Returns
     one ETPU stream per batch entry.
 
+    Input contract: callers own the NaN/Inf check — this path takes device
+    arrays, so the host-side ``np.isfinite`` gate applied by the numpy entry
+    points cannot run here, and non-finite input yields a garbage stream.
+
     ``max_batch`` splits the batch into sub-batches run through the 2-stage
     pipeline (device+link work for slice k+1 overlaps host entropy coding
     of slice k)."""
@@ -966,12 +974,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
     hp, wp = _padded_hw(h, w, max(config.base_levels, config.residual_levels))
     max_batch = min(max_batch, _max_safe_batch(n_frames * hp * wp))
 
-    chunk_cfg = CodecConfig(
-        dims=chunk_dims, base_cr=config.base_cr,
-        residual_mode=config.residual_mode, error=config.error,
-        chunk_dims=(0, 0, 0), base_levels=config.base_levels,
-        residual_levels=config.residual_levels, zstd_level=config.zstd_level,
-        entropy_backend=config.entropy_backend)
+    chunk_cfg = config.per_chunk(chunk_dims)
 
     if not np.isfinite(chunks).all():
         raise ValueError("NaN or Inf found in data")

@@ -87,9 +87,12 @@ def compress_best(data: bytes, backend: int, level: int, meta):
     both real backends and keep the smaller."""
     if backend != BACKEND_AUTO:
         return compress(data, backend, level, meta=meta), backend
-    z = compress(data, BACKEND_ZSTD, level)
+    # Without zstandard, compress() stores raw — the stream header must then
+    # say STORE, not ZSTD, or the stream is undecodable.
+    zbk = default_backend()
+    z = compress(data, zbk, level)
     try:
         c = compress(data, BACKEND_NATIVE_CAB, level, meta=meta)
     except Exception:
-        return z, BACKEND_ZSTD
-    return (c, BACKEND_NATIVE_CAB) if len(c) < len(z) else (z, BACKEND_ZSTD)
+        return z, zbk
+    return (c, BACKEND_NATIVE_CAB) if len(c) < len(z) else (z, zbk)

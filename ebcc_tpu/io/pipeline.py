@@ -58,12 +58,7 @@ def compress_stream(data, config: CodecConfig, out: IO[bytes],
     num_chunks = int(np.prod(counts))
     n_frames, h, w = _codec._layout(chunk_dims)
 
-    chunk_cfg = CodecConfig(
-        dims=chunk_dims, base_cr=config.base_cr,
-        residual_mode=config.residual_mode, error=config.error,
-        chunk_dims=(0, 0, 0), base_levels=config.base_levels,
-        residual_levels=config.residual_levels,
-        zstd_level=config.zstd_level)
+    chunk_cfg = config.per_chunk(chunk_dims)
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,

@@ -23,6 +23,7 @@ extern "C" size_t etpu_cab_decompress(const uint8_t *, size_t, int, int, int,
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <string>
 #include <vector>
 
@@ -315,7 +316,22 @@ bool parse_header(const uint8_t *data, size_t size, FrameHeader *h) {
   get(p, end, &h->base_comp);
   get(p, end, &h->res_comp);
   if (!get(p, end, &r2)) return false;
-  return h->n_frames > 0 && h->height > 0 && h->width > 0;
+  /* Sanity caps mirroring the Python decoder's _parse_streams posture
+   * (core/codec.py): reject implausible headers BEFORE any allocation or
+   * shift sized from them.  Untrusted bytes reach this via the HDF5 filter
+   * plugin, so every field used in arithmetic must be bounded here. */
+  if (h->n_frames == 0 || h->height == 0 || h->width == 0) return false;
+  if (h->n_frames > (1u << 20) || h->height > 4 * 2047 || h->width > 4 * 2047)
+    return false;
+  if (h->base_levels > 10 || h->res_levels > 10) return false;
+  if (h->base_nplanes > 32 || h->res_nplanes > 32) return false;
+  if ((int)h->base_cut + (int)h->base_top > (int)h->base_nplanes) return false;
+  if ((int)h->res_cut + (int)h->res_top > (int)h->res_nplanes) return false;
+  /* Payload extents: check each leg against the remaining bytes without
+   * forming a wrapping sum. */
+  if (h->base_comp > size - kHeaderSize) return false;
+  if (h->res_comp > size - kHeaderSize - h->base_comp) return false;
+  return true;
 }
 
 /* ------------------------------------------------------------------ */
@@ -579,12 +595,13 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   for (size_t i = 0; i < n; ++i) {
     const size_t byte = i / 8;
     const uint8_t bit = (uint8_t)(1u << (7 - (i % 8)));
-    int32_t mag = 0;
+    uint32_t mag = 0; /* unsigned: shifts are defined for all header values */
     for (int s = 0; s < kept; ++s)
-      mag = (mag << 1) | ((raw[(size_t)s * plane_bytes + byte] & bit) ? 1 : 0);
-    if (raw[(size_t)kept * plane_bytes + byte] & bit) mag = -mag;
-    /* store FULL-scale q (kept values << cut) */
-    L->q[i] = mag < 0 ? -((-mag) << cut) : (mag << cut);
+      mag = (mag << 1) | ((raw[(size_t)s * plane_bytes + byte] & bit) ? 1u : 0u);
+    /* store FULL-scale q (kept values << cut); cut <= 31 is guaranteed by
+     * parse_header (cut + top <= nplanes <= 32 and kept >= 1 here). */
+    const int32_t sq = (int32_t)(mag << cut);
+    L->q[i] = (raw[(size_t)kept * plane_bytes + byte] & bit) ? -sq : sq;
   }
   return true;
 }
@@ -596,7 +613,9 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
     return 0;
   }
   const size_t tot = (size_t)h.n_frames * h.height * h.width;
-  if (kHeaderSize + h.base_comp + h.res_comp != size) {
+  /* parse_header guarantees base_comp + res_comp <= size - kHeaderSize
+   * without wrapping; require exact coverage (no trailing bytes). */
+  if (h.base_comp + h.res_comp != size - kHeaderSize) {
     log_err("payload size mismatch");
     return 0;
   }
@@ -651,9 +670,17 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
 }  // namespace
 
 size_t etpu_decode(const uint8_t *data, size_t size, float **out) {
-  if (size >= 4 && std::memcmp(data, "ETPK", 4) == 0)
-    return etpu_decode_chunked(data, size, out);
-  return decode_frame(data, size, out);
+  /* C ABI boundary: a hostile-but-capped header can still request a very
+   * large allocation; turn bad_alloc into a decode error, not terminate(). */
+  try {
+    if (size >= 4 && std::memcmp(data, "ETPK", 4) == 0)
+      return etpu_decode_chunked(data, size, out);
+    return decode_frame(data, size, out);
+  } catch (const std::bad_alloc &) {
+    log_err("allocation failure during decode");
+    *out = nullptr;
+    return 0;
+  }
 }
 
 /* ------------------------------------------------------------------ */
@@ -935,7 +962,9 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     if (!pure_feasible)
       log_err("could not reach error target; shipping best effort");
     choose_pure = true;
-  } else if (use_residual && !env.no_fallback) {
+  } else if (use_residual && pure_feasible && !env.no_fallback) {
+    /* pure_feasible gate (mirror of core/codec.py): an infeasible pure cut
+     * must not win the size comparison over a feasible base+residual. */
     std::vector<uint8_t> pure_payload;
     int k;
     build_payload(base, pure_cut, kBaseNumPlanes, &pure_payload, &pure_top,
@@ -1115,7 +1144,21 @@ size_t etpu_encode_chunked(const float *data, const etpu_config_t *config,
   return blob.size();
 }
 
+static size_t decode_chunked_impl(const uint8_t *data, size_t size,
+                                  float **out);
+
 size_t etpu_decode_chunked(const uint8_t *data, size_t size, float **out) {
+  try {
+    return decode_chunked_impl(data, size, out);
+  } catch (const std::bad_alloc &) {
+    log_err("allocation failure during decode");
+    *out = nullptr;
+    return 0;
+  }
+}
+
+static size_t decode_chunked_impl(const uint8_t *data, size_t size,
+                                  float **out) {
   if (size < 80 || std::memcmp(data, "ETPK", 4) != 0)
     return decode_frame(data, size, out);
   const uint8_t *p = data + 4;
@@ -1131,8 +1174,18 @@ size_t etpu_decode_chunked(const uint8_t *data, size_t size, float **out) {
   if (!get(p, end, &chunk_size)) return 0;
   uint64_t counts[3];
   for (int i = 0; i < 3; ++i) {
-    if (!dims[i] || !cd[i]) return 0;
+    /* Sanity caps: container dims are untrusted; bound them before any
+     * product so total / counts arithmetic below cannot wrap. */
+    if (!dims[i] || !cd[i] || dims[i] > (1ull << 31) || cd[i] > dims[i])
+      return 0;
     counts[i] = (dims[i] + cd[i] - 1) / cd[i];
+  }
+  /* Stepwise so no product can wrap: each dim <= 2^31, cumulative <= 2^42. */
+  const uint64_t kMaxTotal = 1ull << 42;
+  if (dims[0] * dims[1] > kMaxTotal ||
+      dims[2] > kMaxTotal / (dims[0] * dims[1])) {
+    log_err("implausible container dimensions");
+    return 0;
   }
   if (counts[0] * counts[1] * counts[2] != num_chunks) {
     log_err("inconsistent chunk metadata");

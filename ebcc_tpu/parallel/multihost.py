@@ -96,12 +96,7 @@ def encode_owned_chunks(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _codec._layout(chunk_dims)
     owned = chunks[start:stop].reshape(stop - start, n_frames, h, w)
 
-    chunk_cfg = CodecConfig(
-        dims=chunk_dims, base_cr=config.base_cr,
-        residual_mode=config.residual_mode, error=config.error,
-        chunk_dims=(0, 0, 0), base_levels=config.base_levels,
-        residual_levels=config.residual_levels,
-        zstd_level=config.zstd_level)
+    chunk_cfg = config.per_chunk(chunk_dims)
 
     slices = [owned[s:s + max_batch] for s in range(0, len(owned), max_batch)]
     counts_per = [s.shape[0] for s in slices]

@@ -51,6 +51,11 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
         mesh = mesh_lib.make_mesh()
 
     data = np.asarray(data, dtype=np.float32).reshape(config.dims)
+    # Same input contract as the host path (and the reference, which
+    # hard-exits): NaN/Inf must raise here, before device_put — the device
+    # kernels would silently produce a garbage stream.
+    if not np.isfinite(data).all():
+        raise ValueError("NaN or Inf found in data")
     chunk_dims = tuple(config.chunk_dims)
     if all(c == 0 for c in chunk_dims):
         chunk_dims = tuple(config.dims)
@@ -70,11 +75,7 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     sharding = mesh_lib.batch_sharding(mesh)
     xb = jax.device_put(chunks, sharding)
 
-    chunk_cfg = CodecConfig(
-        dims=chunk_dims, base_cr=config.base_cr,
-        residual_mode=config.residual_mode, error=config.error,
-        chunk_dims=(0, 0, 0), base_levels=config.base_levels,
-        residual_levels=config.residual_levels, zstd_level=config.zstd_level)
+    chunk_cfg = config.per_chunk(chunk_dims)
 
     from ..config import RESIDUAL_NONE
     from ..core import entropy, stream
