@@ -425,21 +425,50 @@ def _max_safe_batch(chunk_numel: int) -> int:
 
 def _fetch_encode_outputs(out, error_mode: bool):
     """Transfer device encode outputs to host via the sparse coefficient
-    exchange (core.transfer): one small fetch (scalars + packed significance
-    bitmap), one index upload, one compacted-values fetch.  Link traffic
-    scales with the number of significant coefficients (1-3 bits per grid
-    point at typical bounds), not with the grid."""
+    exchange (core.transfer).
+
+    Fast path (device-side compaction, ``compact_rice_exchange``): two
+    transfers total — the scalar outputs (whose ``exchange_words`` sizes
+    the second fetch exactly) and one Rice-coded buffer holding position
+    gaps + values at ~1 byte per significant coefficient.  Nothing is
+    uploaded.
+
+    Fallback (no native Rice decoder, or significance density above the
+    compaction capacity): fetch the packed significance bitmap, upload the
+    index vector, fetch the compacted values."""
     import jax
 
     with stage("enc: small fetch (+compute)"):
-        small = {k: v for k, v in out.items() if k != "vals_comb"}
+        small = {k: v for k, v in out.items()
+                 if k not in ("vals_comb", "sig_comb", "exchange_buf")}
         small = jax.device_get(small)
 
-    sig = small.pop("sig_comb")  # (L, B, D0, Hp, Wp//8) uint8, L in {1, 2}
-    nl, b, d0, hp, wb = sig.shape
+    nl, b, d0, hp, wb = out["sig_comb"].shape
     wp = wb * 8
 
-    with stage("enc: bitmap -> positions"):
+    nnz = int(small.pop("exchange_nnz", -1))
+    words_needed = int(small.pop("exchange_words", 0))
+    if nnz >= 0 and "exchange_buf" in out:
+        cap = transfer.exchange_cap(int(out["vals_comb"].shape[0]))
+        if nnz == 0:
+            small["sparse"] = _SparseBatch(
+                np.zeros(0, np.int32), np.zeros(0, np.int32), b, d0, hp, wp)
+            return small
+        if nnz <= cap:
+            with stage(f"enc: rice-pair fetch {nnz} vals"):
+                head = np.asarray(jax.device_get(
+                    out["exchange_buf"][:words_needed]))
+                ga, vb_ = transfer.split_rice_pair(head, nnz)
+                from .. import native
+                gaps = native.rice_decode(ga, nnz)
+                vals = native.rice_decode(vb_, nnz)
+                idx = (np.cumsum(gaps.astype(np.int64) + 1) - 1).astype(
+                    np.int32)
+            small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
+            return small
+
+    with stage("enc: bitmap fetch -> positions"):
+        sig = np.asarray(jax.device_get(out["sig_comb"]))
         idx = transfer.host_bitmap_positions(sig)
     cap = transfer.bucket_count(max(1, idx.size))
     idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
@@ -503,16 +532,17 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
     """Dispatch the device encode program on an already-device-resident
     (or host numpy) batch.  Returns the device output dict (async).
     ``use_pallas=False`` for mesh-sharded operands (see ops/dwt_pallas)."""
+    pack = _rice_enabled()
     if config.residual_mode == cfg.RESIDUAL_NONE:
         return kernels.encode_batch_rate_only(
             xb, base_levels=config.base_levels,
-            res_levels=config.residual_levels)
+            res_levels=config.residual_levels, pack_exchange=pack)
     relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
     common = dict(
         base_levels=config.base_levels, res_levels=config.residual_levels,
         relative_mode=relative,
         use_centered=not opts.disable_mean_adjustment,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, pack_exchange=pack)
     if opts.u16_upload and isinstance(xb, np.ndarray):
         minv = xb.min(axis=(1, 2, 3)).astype(np.float32)
         maxv = xb.max(axis=(1, 2, 3)).astype(np.float32)
@@ -589,19 +619,27 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
     return streams_out
 
 
-def _native_encoder():
-    """The native C++ encoder module when ``EBCC_ENCODE_BACKEND=native`` is
-    set and the library loads, else None.  Same rationale as
-    :func:`_native_decoder`: an all-host encode (threaded across chunks)
-    beats the device path when the host-device link is the bottleneck, and
-    it makes the framework fully usable on machines with no accelerator.
+def _native_encoder(opts: Optional[EncodeOptions] = None):
+    """The native C++ encoder module when the host encode path routes
+    native (explicit ``EBCC_ENCODE_BACKEND=native`` or the automatic
+    link-vs-cores decision, see ``core.routing``), else None.  An all-host
+    encode (threaded across chunks) beats the device path when the
+    host-device link is the bottleneck, and it makes the framework fully
+    usable on machines with no accelerator.
 
-    Note: the C++ encoder reads the EBCC_* tuning env vars itself, so a
-    programmatically-constructed EncodeOptions is not forwarded on this
-    route — configure via the environment when routing natively."""
-    import os
+    The C++ encoder reads the EBCC_* tuning env vars itself, so a
+    programmatically-customized EncodeOptions cannot be forwarded — the
+    AUTO route steps aside in that case (explicit ``native`` still wins;
+    configure via the environment when routing natively)."""
+    from . import routing
 
-    if os.environ.get("EBCC_ENCODE_BACKEND", "").lower() != "native":
+    choice = routing.explicit("encode")
+    if choice is None:
+        if opts is not None and opts != EncodeOptions.from_env():
+            return None  # programmatic opts only flow through the device path
+        if routing.backend_choice("encode") != "native":
+            return None
+    elif choice != "native":
         return None
     try:
         from .. import native as native_mod
@@ -625,7 +663,7 @@ def encode(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _layout(config.dims)
     x = data.reshape(1, n_frames, h, w)
     logger.info("%s", config.describe())
-    nm = _native_encoder()
+    nm = _native_encoder(opts)
     if nm is not None:
         if not np.isfinite(x).all():
             raise ValueError("NaN or Inf found in data")
@@ -768,15 +806,31 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         if idx.size else np.zeros(0, np.int32)
     cap = transfer.bucket_count(max(1, idx.size))
     as16 = bool(np.abs(vals).max() < (1 << 15)) if vals.size else True
-    idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
     vals_up = np.zeros(cap, np.int16 if as16 else np.int32)
     vals_up[: vals.size] = vals.astype(vals_up.dtype)
+    kw = dict(base_levels=h0.base_levels, res_levels=h0.res_levels,
+              out_hw=(h, w), has_residual=any_residual,
+              grid_shape=(n, d0, hp, wp), use_pallas=sharding is None)
 
+    # Upload-leg representation choice: a packed significance bitmap costs
+    # 2*S/8 bytes regardless of density, a padded index vector 4 bytes per
+    # significant coefficient — take the cheaper (bitmap wins above ~1/32
+    # density, the common case at tight bounds).  The sharded path keeps
+    # the index form (its sparse operands are mesh-replicated).
+    use_bitmap = sharding is None and 4 * cap > (2 * n * sc) // 8
     with stage("dec: upload sparse + decode"):
-        args = [jax.device_put(idx_up), jax.device_put(vals_up),
-                jax.device_put(base_cut), jax.device_put(res_cut),
-                jax.device_put(minval), jax.device_put(maxval),
-                jax.device_put(rmin), jax.device_put(rmax)]
+        scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
+        if use_bitmap:
+            sigb = np.zeros(2 * n * sc, np.uint8)
+            sigb[idx] = 1
+            packed = np.packbits(sigb)
+            out = kernels.decode_batch_sparse_bitmap(
+                jax.device_put(packed), jax.device_put(vals_up),
+                *(jax.device_put(a) for a in scalars), **kw)
+            return out, const_mask, minval
+        idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
+        args = [jax.device_put(idx_up), jax.device_put(vals_up)] + [
+            jax.device_put(a) for a in scalars]
         if sharding is not None:
             # SPMD layout: scalars shard on the chunk axis; the sparse
             # vectors are replicated (their scatter targets span chunks).
@@ -785,11 +839,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
             args = ([jax.device_put(a, repl) for a in args[:2]]
                     + [jax.device_put(a, sharding) for a in args[2:]])
-        out = kernels.decode_batch_sparse(
-            *args,
-            base_levels=h0.base_levels, res_levels=h0.res_levels,
-            out_hw=(h, w), has_residual=any_residual,
-            grid_shape=(n, d0, hp, wp), use_pallas=sharding is None)
+        out = kernels.decode_batch_sparse(*args, **kw)
     return out, const_mask, minval
 
 
@@ -861,8 +911,9 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
 
 
 def _native_decoder():
-    """The native C++ decoder module when ``EBCC_DECODE_BACKEND=native`` is
-    set and the library loads, else None.
+    """The native C++ decoder module when the host decode path routes
+    native (explicit ``EBCC_DECODE_BACKEND=native`` or the automatic
+    link-vs-cores decision, see ``core.routing``), else None.
 
     Why: a host-destined decode through the accelerator pays two link
     transfers per batch; the native decoder runs entirely on the host CPU
@@ -870,9 +921,13 @@ def _native_decoder():
     compute — is the bottleneck.  Native reconstruction matches the device
     decoder to float32 rounding (see native/etpu_codec.h), so the shipped
     bound holds up to that ulp-level noise."""
-    import os
+    from . import routing
 
-    if os.environ.get("EBCC_DECODE_BACKEND", "").lower() != "native":
+    choice = routing.explicit("decode")
+    if choice is None:
+        if routing.backend_choice("decode") != "native":
+            return None
+    elif choice != "native":
         return None
     try:
         from .. import native as native_mod
@@ -979,7 +1034,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
     if not np.isfinite(chunks).all():
         raise ValueError("NaN or Inf found in data")
 
-    nm = _native_encoder()
+    nm = _native_encoder(opts)
     if nm is not None:
         import os
         from concurrent.futures import ThreadPoolExecutor

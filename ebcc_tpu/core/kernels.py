@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -111,7 +113,7 @@ def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
 @functools.partial(
     jax.jit,
     static_argnames=("base_levels", "res_levels", "relative_mode",
-                     "use_centered", "use_pallas"),
+                     "use_centered", "use_pallas", "pack_exchange"),
 )
 def encode_batch(
     x,                       # (B, D0, H, W) float32
@@ -123,6 +125,7 @@ def encode_batch(
     relative_mode: bool = False,
     use_centered: bool = True,
     use_pallas: bool = True,
+    pack_exchange: bool = True,
 ):
     """Full batched encode program.  Returns a dict of device arrays; all
     stream assembly happens on host (``ebcc_tpu.core.codec``).
@@ -133,13 +136,13 @@ def encode_batch(
         x, minval, maxval, jnp.float32(0.0), error_target,
         base_quantile_target, base_levels=base_levels, res_levels=res_levels,
         relative_mode=relative_mode, use_centered=use_centered,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, pack_exchange=pack_exchange)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("base_levels", "res_levels", "relative_mode",
-                     "use_centered", "use_pallas"),
+                     "use_centered", "use_pallas", "pack_exchange"),
 )
 def encode_batch_u16(
     xq,                      # (B, D0, H, W) uint16: round((x-min)/rng*65535)
@@ -152,6 +155,7 @@ def encode_batch_u16(
     relative_mode: bool = False,
     use_centered: bool = True,
     use_pallas: bool = True,
+    pack_exchange: bool = True,
 ):
     """Encode from a host-prequantized u16 batch (half the upload bytes of
     f32; see ``EBCC_U16_UPLOAD``).  The u16 grid adds at most
@@ -167,12 +171,13 @@ def encode_batch_u16(
         x, minval, maxval, rngv / (2.0 * BASE_SCALE), error_target,
         base_quantile_target, base_levels=base_levels, res_levels=res_levels,
         relative_mode=relative_mode, use_centered=use_centered,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, pack_exchange=pack_exchange)
 
 
 def _encode_core(
     x, minval, maxval, target_slack, error_target, base_quantile_target,
     *, base_levels, res_levels, relative_mode, use_centered, use_pallas,
+    pack_exchange=True,
 ):
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
@@ -338,7 +343,15 @@ def _encode_core(
     max_kept = jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max())
     res_any = res_active.any()
 
+    exchange = {}
+    if pack_exchange:
+        nnz, words, words_needed = transfer.compact_rice_exchange(
+            vals_comb, cap=transfer.exchange_cap(vals_comb.shape[0]))
+        exchange = {"exchange_nnz": nnz, "exchange_words": words_needed,
+                    "exchange_buf": words}
+
     return {
+        **exchange,
         "minval": minval, "maxval": maxval, "const": const,
         "overflow": overflow,
         "target_abs": target,
@@ -366,9 +379,11 @@ def _encode_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("base_levels", "res_levels", "out_hw"))
+    jax.jit, static_argnames=("base_levels", "res_levels", "out_hw",
+                              "pack_exchange"))
 def encode_batch_rate_only(
-    x, *, base_levels: int = 5, res_levels: int = 3, out_hw=None):
+    x, *, base_levels: int = 5, res_levels: int = 3, out_hw=None,
+    pack_exchange: bool = True):
     """Rate-targeted (residual NONE) encode: no error scans needed.
 
     The cut is chosen on HOST from actual compressed sizes (monotone in cut),
@@ -391,7 +406,14 @@ def encode_batch_rate_only(
     vals_comb = qbase.reshape(-1)
     sig_comb = transfer.pack_bitmap(
         (qbase != 0).reshape(*qbase.shape[:-1], -1))[None]
-    return {"minval": minval, "maxval": maxval, "const": const,
+    exchange = {}
+    if pack_exchange:
+        nnz, words, words_needed = transfer.compact_rice_exchange(
+            vals_comb, cap=transfer.exchange_cap(vals_comb.shape[0]))
+        exchange = {"exchange_nnz": nnz, "exchange_words": words_needed,
+                    "exchange_buf": words}
+    return {**exchange,
+            "minval": minval, "maxval": maxval, "const": const,
             "vals_comb": vals_comb,
             "sig_comb": sig_comb,
             "max_kept": jnp.abs(qbase).max(),
@@ -425,11 +447,59 @@ def decode_batch_sparse(
     the encoder's feasibility scan, which is what makes the error bound
     exact at decode time.
     """
+    s = int(np.prod(grid_shape))
+    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(
+        vals.astype(jnp.int32), mode="drop")
+    return _decode_from_qflat(
+        qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
+        base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
+        has_residual=has_residual, grid_shape=grid_shape,
+        use_pallas=use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
+                     "grid_shape", "use_pallas"),
+)
+def decode_batch_sparse_bitmap(
+    bitmap,         # (2*S//8,) uint8: packed significance over the full
+                    # (2, B, D0, Hp, Wp) coefficient space (base layer first)
+    vals,           # (cap,) int16/int32 signed kept-values in bitmap order
+    base_cut, res_cut, minval, maxval, rmin, rmax,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
+):
+    """Decode-direction exchange variant: the host uploads a 1-bit-per-
+    coefficient significance bitmap + the compacted values instead of a
+    4-byte index per value — the win whenever significance density exceeds
+    ~1/32 (the caller picks the cheaper representation per batch).  The
+    device recovers each value's destination with one cumsum."""
+    s = int(np.prod(grid_shape))
+    sig = transfer.unpack_bitmap(bitmap, n=2 * s)
+    dest = jnp.cumsum(sig.astype(jnp.int32)) - 1
+    cap = vals.shape[0]
+    qflat = jnp.where(
+        sig, jnp.take(vals.astype(jnp.int32), jnp.clip(dest, 0, cap - 1)), 0)
+    return _decode_from_qflat(
+        qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
+        base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
+        has_residual=has_residual, grid_shape=grid_shape,
+        use_pallas=use_pallas)
+
+
+def _decode_from_qflat(
+    qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
+    *, base_levels, res_levels, out_hw, has_residual, grid_shape, use_pallas,
+):
     h, w = out_hw
     b, d0, hp, wp = grid_shape
     s = b * d0 * hp * wp
-    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(
-        vals.astype(jnp.int32), mode="drop")
 
     def layer(qkept, cut, levels, scale, lo, hi):
         cut4 = cut[:, None, None, None]

@@ -165,3 +165,138 @@ def rice_bound_words(nnz: int) -> int:
     """Words to fetch so the payload fits in one transfer for typical data
     (~<=12 bits/value); callers re-fetch the tail in the rare overflow."""
     return RICE_HEADER_WORDS + bucket_count(max(1, (nnz * 12) // 32 + 2))
+
+
+# ---------------------------------------------------------------------------
+# Fully device-side exchange: compaction + paired Rice streams
+# ---------------------------------------------------------------------------
+#
+# The round-1 exchange still moved two raw legs across the link: the packed
+# significance bitmap down (1 bit per grid coefficient, both layers) and the
+# int32 index vector back up.  Both are redundant — the positions of the
+# significant coefficients ARE derivable on device.  Here the device
+# compacts (position, value) pairs itself (one cumsum-backed ``nonzero`` +
+# one gather) and Rice-codes the position GAPS and the values into a single
+# self-describing uint32 buffer, so the whole encode-direction exchange is
+# two transfers: the scalar outputs (which size the second fetch exactly)
+# and the compressed pair buffer.  ~1 byte per significant coefficient
+# replaces ~(grid/8 + 6*nnz) bytes, and the index upload disappears.
+
+RICE_PAIR_HEADER_WORDS = 4  # [gap_bits, gap_k, val_bits, val_k]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int):
+    """Rice-pack TWO signed int32 (cap,) vectors (first ``nnz`` entries
+    valid) into one uint32 buffer.
+
+    Layout: words[0..3] = [bits_a, k_a, bits_b, k_b]; payload region starts
+    at word 4 with stream a at bit 0 and stream b at the first WORD boundary
+    after stream a (so the host can hand each stream to the existing
+    ``native.rice_decode`` by prepending a synthetic 2-word header).
+    Same per-value code as :func:`rice_pack`.
+    """
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < nnz
+    nnzf = jnp.maximum(nnz, 1).astype(jnp.float32)
+    one = jnp.uint32(1)
+
+    def plan(v):
+        v = jnp.where(valid, v.astype(jnp.int32), 0)
+        z = ((v << 1) ^ (v >> 31)).astype(jnp.uint32)
+        mean = z.astype(jnp.float32).sum() / nnzf
+        k = jnp.clip(jnp.floor(jnp.log2(mean + 1.0)), 0,
+                     31 - RICE_ESC).astype(jnp.uint32)
+        q = (z >> k).astype(jnp.int32)
+        esc = q >= RICE_ESC
+        lens = jnp.where(
+            valid,
+            jnp.where(esc, RICE_ESC + 32, q + 1 + k.astype(jnp.int32)), 0)
+        qq = jnp.minimum(q, RICE_ESC).astype(jnp.uint32)
+        ones = (one << qq) - one
+        rem = z & ((one << k) - one)
+        lo = jnp.where(esc, ones | (z << RICE_ESC), ones | (rem << (qq + 1)))
+        hi = jnp.where(esc, z >> (32 - RICE_ESC), jnp.uint32(0))
+        return k, lens, lo, hi
+
+    ka, lens_a, lo_a, hi_a = plan(a_vals)
+    kb, lens_b, lo_b, hi_b = plan(b_vals)
+    off_a = jnp.cumsum(lens_a) - lens_a
+    bits_a = off_a[-1] + lens_a[-1]
+    start_b = ((bits_a + 31) >> 5) << 5  # word-aligned
+    off_b = jnp.cumsum(lens_b) - lens_b + start_b
+    bits_b = off_b[-1] + lens_b[-1] - start_b
+
+    # Capacity: both streams are <= 52 bits/value + one alignment word.
+    n_words = RICE_PAIR_HEADER_WORDS + (104 * cap) // 32 + 8
+    words = jnp.zeros(n_words, jnp.uint32)
+
+    def scatter(words, off, lo, hi):
+        sh = (off & 31).astype(jnp.uint32)
+        w = (off >> 5) + RICE_PAIR_HEADER_WORDS
+        inv = jnp.where(sh == 0, jnp.uint32(0), jnp.uint32(32) - sh)
+        spill = lambda x: jnp.where(sh == 0, jnp.uint32(0), x >> inv)
+        upd_w = jnp.concatenate([w, w + 1, w + 1, w + 2])
+        upd_v = jnp.concatenate([lo << sh, spill(lo), hi << sh, spill(hi)])
+        valid4 = jnp.concatenate([valid] * 4)
+        return words.at[jnp.where(valid4, upd_w, -1)].add(upd_v, mode="drop")
+
+    words = scatter(words, off_a, lo_a, hi_a)
+    words = scatter(words, off_b, lo_b, hi_b)
+    words = words.at[0].set(bits_a.astype(jnp.uint32))
+    words = words.at[1].set(ka)
+    words = words.at[2].set(bits_b.astype(jnp.uint32))
+    words = words.at[3].set(kb)
+    words_needed = (RICE_PAIR_HEADER_WORDS + (start_b >> 5)
+                    + ((bits_b + 31) >> 5))
+    return words, words_needed.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_rice_exchange(vals_flat, *, cap: int):
+    """Device-side encode-direction exchange: flat int32 coefficient vector
+    -> (nnz, words, words_needed).
+
+    nnz may exceed ``cap`` (the compile-time compaction capacity); the host
+    must then fall back to the bitmap/index exchange — the buffer contents
+    are garbage in that case.
+    """
+    sig = vals_flat != 0
+    nnz = sig.sum(dtype=jnp.int32)
+    pos = jnp.nonzero(sig, size=cap, fill_value=0)[0].astype(jnp.int32)
+    vv = jnp.take(vals_flat, pos)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
+    gaps = pos - prev - 1  # >= 0 in the valid region; padding masked in pack
+    words, words_needed = rice_pack_pair(gaps, vv, nnz, cap=cap)
+    return nnz, words, words_needed
+
+
+def exchange_cap(total: int) -> int:
+    """Static compaction capacity for a ``total``-coefficient exchange:
+    one third of the grid covers every realistic significance density (at
+    densities past ~33% the bound regime is so tight the codec is storing
+    near-raw planes anyway, and the host falls back to the dense path)."""
+    return max(4096, total // 3)
+
+
+def split_rice_pair(head: np.ndarray, nnz: int):
+    """Host-side: split a fetched :func:`rice_pack_pair` buffer into the two
+    2-word-headered streams ``native.rice_decode`` understands."""
+    bits_a, k_a, bits_b, k_b = (int(head[0]), int(head[1]), int(head[2]),
+                                int(head[3]))
+    gw = (bits_a + 31) // 32
+    h = RICE_PAIR_HEADER_WORDS
+    stream_a = np.concatenate(
+        [np.array([bits_a, k_a], np.uint32), head[h:h + gw]])
+    stream_b = np.concatenate(
+        [np.array([bits_b, k_b], np.uint32), head[h + gw:]])
+    return stream_a, stream_b
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def unpack_bitmap(packed, *, n: int):
+    """Device-side inverse of :func:`pack_bitmap`: packed uint8 (N//8,) ->
+    bool (n,) in MSB-first order."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(-1)[:n] != 0

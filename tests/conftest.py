@@ -52,6 +52,10 @@ if not _needs_cpu_reexec():
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    # Pin the auto-router (core.routing) to the device path so the suite
+    # deterministically exercises the device programs regardless of probe
+    # noise; routing tests override this per-test via monkeypatch.
+    os.environ.setdefault("EBCC_LINK_MBPS", "1000000")
 
 from pathlib import Path
 

@@ -1,0 +1,136 @@
+"""Unit tests for the host<->device sparse exchange (core.transfer).
+
+The exchange is the codec's link-bytes budget: encode direction = device-
+side compaction + one Rice-coded pair buffer (positions-as-gaps + values);
+decode direction = bitmap-or-index upload + one scatter/gather.  These
+tests pin the exact bit-level round trip against numpy references.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ebcc_tpu.core import kernels, transfer
+
+
+def _native():
+    from ebcc_tpu import native
+
+    try:
+        native.load()
+        return native
+    except Exception:
+        pytest.skip("native library unavailable")
+
+
+def _sparse_vals(n, density, lo=-3000, hi=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = np.zeros(n, np.int32)
+    k = int(n * density)
+    if k:
+        pos = rng.choice(n, size=k, replace=False)
+        v = rng.integers(lo, hi, size=k).astype(np.int32)
+        v[v == 0] = 7
+        vals[pos] = v
+    return vals
+
+
+@pytest.mark.parametrize("n,density", [
+    (8192, 0.05), (65536, 0.2), (4096, 0.0), (5000, 0.3),
+    (4096, 1.0 / 4096),  # single value
+])
+def test_compact_rice_exchange_roundtrip(n, density):
+    native = _native()
+    vals = _sparse_vals(n, density)
+    cap = transfer.exchange_cap(n)
+    nnz, words, wn = transfer.compact_rice_exchange(vals, cap=cap)
+    nnz, wn = int(nnz), int(wn)
+    ref_idx = np.flatnonzero(vals)
+    assert nnz == ref_idx.size
+    if nnz == 0:
+        return
+    head = np.asarray(jax.device_get(words))[:wn]
+    ga, vb = transfer.split_rice_pair(head, nnz)
+    gaps = native.rice_decode(ga, nnz)
+    v = native.rice_decode(vb, nnz)
+    idx = np.cumsum(gaps.astype(np.int64) + 1) - 1
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_array_equal(v, vals[ref_idx])
+
+
+def test_compact_rice_exchange_large_values():
+    """Escape path: values beyond the Rice quotient cap round-trip."""
+    native = _native()
+    vals = np.zeros(4096, np.int32)
+    vals[[3, 100, 4095]] = [2 ** 21 - 1, -(2 ** 21), 123456]
+    cap = transfer.exchange_cap(4096)
+    nnz, words, wn = transfer.compact_rice_exchange(vals, cap=cap)
+    head = np.asarray(jax.device_get(words))[: int(wn)]
+    ga, vb = transfer.split_rice_pair(head, int(nnz))
+    v = native.rice_decode(vb, int(nnz))
+    np.testing.assert_array_equal(v, vals[np.flatnonzero(vals)])
+
+
+def test_exchange_over_capacity_reports_true_nnz():
+    """nnz above the compaction capacity must still be reported exactly so
+    the host can fall back to the dense path."""
+    vals = np.ones(8192, np.int32)
+    nnz, _, _ = transfer.compact_rice_exchange(vals, cap=4096)
+    assert int(nnz) == 8192
+
+
+def test_unpack_bitmap_roundtrip():
+    rng = np.random.default_rng(3)
+    bits = rng.random(8192) < 0.2
+    packed = np.packbits(bits)
+    out = np.asarray(transfer.unpack_bitmap(packed, n=8192))
+    np.testing.assert_array_equal(out, bits)
+
+
+def test_decode_bitmap_variant_matches_index_variant():
+    """decode_batch_sparse_bitmap == decode_batch_sparse on the same
+    exchange content."""
+    b, d0, hp, wp = 2, 1, 64, 64
+    s = b * d0 * hp * wp
+    flat = _sparse_vals(2 * s, 0.1, lo=-128, hi=128, seed=5)
+    idx = np.flatnonzero(flat)
+    vals = flat[idx]
+    cap = transfer.bucket_count(max(1, idx.size))
+    vals_up = np.zeros(cap, np.int16)
+    vals_up[: vals.size] = vals.astype(np.int16)
+    scalars = [np.zeros(b, np.int32), np.zeros(b, np.int32),
+               np.zeros(b, np.float32), np.ones(b, np.float32),
+               np.zeros(b, np.float32), np.ones(b, np.float32)]
+    kw = dict(base_levels=3, res_levels=3, out_hw=(64, 64),
+              has_residual=True, grid_shape=(b, d0, hp, wp),
+              use_pallas=False)
+    idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
+    a = np.asarray(kernels.decode_batch_sparse(idx_up, vals_up, *scalars,
+                                               **kw))
+    sigb = np.zeros(2 * s, np.uint8)
+    sigb[idx] = 1
+    packed = np.packbits(sigb)
+    bm = np.asarray(kernels.decode_batch_sparse_bitmap(packed, vals_up,
+                                                       *scalars, **kw))
+    np.testing.assert_array_equal(a, bm)
+
+
+def test_encode_exchange_fast_path_streams_identical(small_frame):
+    """Streams from the device-compacted exchange must be byte-identical
+    to the bitmap/index fallback (EBCC_NO_RICE=1)."""
+    import os
+
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+    from ebcc_tpu.core import codec
+
+    _native()
+    cfg = CodecConfig(dims=(1, 64, 64), base_cr=20,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+    fast = codec.encode(small_frame, cfg)
+    os.environ["EBCC_NO_RICE"] = "1"
+    try:
+        slow = codec.encode(small_frame, cfg)
+    finally:
+        os.environ.pop("EBCC_NO_RICE", None)
+    assert fast == slow
