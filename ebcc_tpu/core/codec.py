@@ -316,13 +316,46 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, base_comp, res_comp)
 
 
+def build_partial_payload(v, stored_cut: int, cut: int, pb: int,
+                          num_planes: int):
+    """Rate-mode payload with a PARTIAL next-finer plane: the full planes
+    of the magnitudes at ``cut``, then the first ``pb`` bytes of the packed
+    plane at ``cut - 1`` (flat scan order), then the sign plane masked to
+    coefficients significant in this truncated representation (see
+    stream.FLAG_BASE_PARTIAL).  Returns (payload_bytes, top) where the
+    header must record ``base_cut = cut - 1``.
+    """
+    assert cut > stored_cut and pb >= 0
+    mag = np.abs(v) >> (cut - stored_cut)
+    mx = int(mag.max()) if mag.size else 0
+    msb = mx.bit_length()
+    top = num_planes - cut - msb
+    parts = [
+        np.packbits(((mag >> s) & 1).astype(np.uint8), axis=-1).tobytes()
+        for s in range(msb - 1, -1, -1)
+    ]
+    pbit = ((np.abs(v) >> (cut - 1 - stored_cut)) & 1).astype(np.uint8)
+    flat = pbit.reshape(-1)
+    covered = np.zeros_like(flat)
+    covered[: pb * 8] = flat[: pb * 8]
+    partial = np.packbits(covered)[:pb].tobytes()
+    vis = (mag.astype(np.int64) << 1) | covered.reshape(mag.shape)
+    signs = np.packbits(((v < 0) & (vis > 0)).astype(np.uint8), axis=-1)
+    return b"".join(parts) + partial + signs.tobytes(), top
+
+
 def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
                                n_frames, h, w, backend: int) -> bytes:
     """Residual-NONE mode: pick the finest cut whose ACTUAL compressed size
     fits the base_cr byte budget (role of J2K rate allocation hitting
-    ``tcp_rates[0] = base_cr / 2``, ref ebcc_codec.c:116).  The device size
-    estimate seeds the search; each host step is one zstd call (no device
-    re-encode), and size is monotone in the cut.
+    ``tcp_rates[0] = base_cr / 2``, ref ebcc_codec.c:116), then fill the
+    remaining budget with a PREFIX of the next-finer plane
+    (FLAG_BASE_PARTIAL) for byte-granular rate control — the analog of
+    J2K's post-compression rate-distortion truncation, without which rate
+    utilization is quantized to octaves.
+
+    The device size estimate seeds the search; each host step is one zstd
+    call (no device re-encode), and size is monotone in the cut.
     """
     level = config.zstd_level
     if bool(res.const):
@@ -340,8 +373,10 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     numel = n_frames * h * w
     budget = max(0, int(numel * 4 / config.base_cr) - stream.FRAME_HEADER_SIZE)
     est = res.base_est_sizes  # (P+1,)
+    store_cut = int(res.store_cut)
     cut = int(np.argmax(est <= budget)) if (est <= budget).any() \
         else cfg.BASE_NUM_PLANES
+    cut = max(cut, store_cut)
 
     base_v = res.base_values()
     d0v, hpv, wpv = base_v.shape
@@ -350,7 +385,7 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
         if c >= cfg.BASE_NUM_PLANES:
             return b"", entropy.BACKEND_ZSTD, 0
         pl, top, kept = build_layer_payload(
-            base_v, 0, c, cfg.BASE_NUM_PLANES)
+            base_v, store_cut, c, cfg.BASE_NUM_PLANES)
         comp, be = _entropy_encode(
             pl, backend, level, (kept, d0v, hpv, wpv, config.base_levels))
         return comp, be, top
@@ -359,7 +394,7 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
     while len(comp) > budget and cut < cfg.BASE_NUM_PLANES:
         cut += 1
         comp, base_be, top = payload_at(cut)
-    while cut > 0:
+    while cut > store_cut:
         trial, trial_be, trial_top = payload_at(cut - 1)
         if len(trial) <= budget:
             cut -= 1
@@ -367,8 +402,40 @@ def _assemble_rate_mode_stream(res: _ChunkResult, config: CodecConfig,
         else:
             break
 
+    # Byte-granular fill: bisect the partial-plane prefix length for the
+    # largest zstd'd payload still within budget.  Worth a header flag only
+    # when it actually improves on the full-plane candidate.
+    flags = 0
+    if store_cut < cut <= cfg.BASE_NUM_PLANES and len(comp) < budget:
+        plane_bytes = d0v * hpv * wpv // 8
+        zbk = entropy.default_backend()
+
+        def partial_at(pb):
+            pl, ptop = build_partial_payload(
+                base_v, store_cut, cut, pb, cfg.BASE_NUM_PLANES)
+            return compress_fn(pl), ptop
+
+        compress_fn = lambda pl: entropy.compress(pl, zbk, level)
+        lo, hi = 0, plane_bytes  # lo feasible-by-construction analog
+        best = None
+        for _ in range(8):
+            mid = (lo + hi + 1) // 2
+            trial, ptop = partial_at(mid)
+            if len(trial) <= budget:
+                lo = mid
+                best = (trial, ptop, mid)
+            else:
+                hi = mid - 1
+            if lo >= hi:
+                break
+        if best is not None and len(best[0]) > len(comp):
+            comp, top, _pb = best[0], best[1], best[2]
+            base_be = zbk
+            cut = cut - 1
+            flags |= stream.FLAG_BASE_PARTIAL
+
     header = stream.FrameHeader(
-        flags=0, entropy=base_be,
+        flags=flags, entropy=base_be,
         n_frames=n_frames, height=h, width=w,
         minval=float(res.minval), maxval=float(res.maxval),
         rmin=0.0, rmax=0.0,
@@ -440,32 +507,42 @@ def _fetch_encode_outputs(out, error_mode: bool):
 
     with stage("enc: small fetch (+compute)"):
         small = {k: v for k, v in out.items()
-                 if k not in ("vals_comb", "sig_comb", "exchange_buf")}
+                 if k not in ("vals_comb", "sig_comb")}
         small = jax.device_get(small)
 
     nl, b, d0, hp, wb = out["sig_comb"].shape
     wp = wb * 8
 
     nnz = int(small.pop("exchange_nnz", -1))
-    words_needed = int(small.pop("exchange_words", 0))
-    if nnz >= 0 and "exchange_buf" in out:
-        cap = transfer.exchange_cap(int(out["vals_comb"].shape[0]))
-        if nnz == 0:
-            small["sparse"] = _SparseBatch(
-                np.zeros(0, np.int32), np.zeros(0, np.int32), b, d0, hp, wp)
-            return small
-        if nnz <= cap:
-            with stage(f"enc: rice-pair fetch {nnz} vals"):
-                head = np.asarray(jax.device_get(
-                    out["exchange_buf"][:words_needed]))
-                ga, vb_ = transfer.split_rice_pair(head, nnz)
-                from .. import native
-                gaps = native.rice_decode(ga, nnz)
-                vals = native.rice_decode(vb_, nnz)
-                idx = (np.cumsum(gaps.astype(np.int64) + 1) - 1).astype(
-                    np.int32)
-            small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
-            return small
+    if nnz == 0:
+        small["sparse"] = _SparseBatch(
+            np.zeros(0, np.int32), np.zeros(0, np.int32), b, d0, hp, wp)
+        return small
+    if nnz > 0 and _rice_enabled():
+        # Fast path: a separate device program (sized to the ACTUAL nnz via
+        # the bucket ladder) compacts positions+values and Rice-packs both;
+        # one optimistic fetch sized from typical entropy, tail on overflow.
+        total = int(out["vals_comb"].shape[0])
+        cap = transfer.bucket_count(nnz)
+        with stage(f"enc: compact+rice fetch {nnz} vals"):
+            words_dev, _ = transfer.compact_rice_exchange(
+                out["vals_comb"], cap=cap)
+            bound = min(transfer.pair_bound_words(nnz, total),
+                        int(words_dev.shape[0]))
+            head = np.asarray(jax.device_get(words_dev[:bound]))
+            need = (transfer.RICE_PAIR_HEADER_WORDS
+                    + (int(head[0]) + 31) // 32 + (int(head[2]) + 31) // 32)
+            if need > bound:  # rare: high-entropy values
+                tail = np.asarray(jax.device_get(
+                    words_dev[bound:transfer.bucket_count(need)]))
+                head = np.concatenate([head, tail])
+            ga, vb_ = transfer.split_rice_pair(head, nnz)
+            from .. import native
+            gaps = native.rice_decode(ga, nnz)
+            vals = native.rice_decode(vb_, nnz)
+            idx = (np.cumsum(gaps.astype(np.int64) + 1) - 1).astype(np.int32)
+        small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
+        return small
 
     with stage("enc: bitmap fetch -> positions"):
         sig = np.asarray(jax.device_get(out["sig_comb"]))
@@ -532,17 +609,19 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
     """Dispatch the device encode program on an already-device-resident
     (or host numpy) batch.  Returns the device output dict (async).
     ``use_pallas=False`` for mesh-sharded operands (see ops/dwt_pallas)."""
-    pack = _rice_enabled()
     if config.residual_mode == cfg.RESIDUAL_NONE:
+        numel = int(np.prod(xb.shape[1:]))
+        budget = max(0, int(numel * 4 / config.base_cr)
+                     - stream.FRAME_HEADER_SIZE)
         return kernels.encode_batch_rate_only(
-            xb, base_levels=config.base_levels,
-            res_levels=config.residual_levels, pack_exchange=pack)
+            xb, np.int32(budget), base_levels=config.base_levels,
+            res_levels=config.residual_levels)
     relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
     common = dict(
         base_levels=config.base_levels, res_levels=config.residual_levels,
         relative_mode=relative,
         use_centered=not opts.disable_mean_adjustment,
-        use_pallas=use_pallas, pack_exchange=pack)
+        use_pallas=use_pallas)
     if opts.u16_upload and isinstance(xb, np.ndarray):
         minv = xb.min(axis=(1, 2, 3)).astype(np.float32)
         maxv = xb.max(axis=(1, 2, 3)).astype(np.float32)
@@ -686,10 +765,41 @@ def _payload_to_values(header, payload: bytes, which: str, d0, hp, wp):
         return None
     wb = wp // 8
     plane_bytes = d0 * hp * wb
-    raw_size = (kept + 1) * plane_bytes
     levels = header.base_levels if which == "base" else header.res_levels
     layer_backend = (header.entropy if which == "base"
                      else header.res_entropy_effective)
+    partial = which == "base" and bool(header.flags
+                                       & stream.FLAG_BASE_PARTIAL)
+    if partial:
+        # The last plane is a prefix (see stream.FLAG_BASE_PARTIAL); its
+        # length is implied by the decompressed size, so decompress up to
+        # the full-plane bound and range-check.
+        if layer_backend == entropy.BACKEND_NATIVE_CAB:
+            raise stream.StreamError(
+                "partial-plane payloads require a zstd/store entropy layer")
+        max_size = (kept + 1) * plane_bytes
+        raw = entropy.decompress(payload, layer_backend, max_size,
+                                 meta=(kept, d0, hp, wp, levels))
+        full = kept - 1
+        pb = len(raw) - (full + 1) * plane_bytes
+        if not 0 <= pb <= plane_bytes:
+            raise stream.StreamError(
+                f"partial payload size {len(raw)} outside "
+                f"[{(full + 1) * plane_bytes}, {max_size}]")
+        body = np.frombuffer(raw, np.uint8)
+        rows = body[: full * plane_bytes].reshape(full, d0, hp, wb)
+        pview = np.zeros(plane_bytes, np.uint8)
+        pview[:pb] = body[full * plane_bytes: full * plane_bytes + pb]
+        signs = body[full * plane_bytes + pb:].reshape(d0, hp, wb)
+        bits = np.unpackbits(rows, axis=-1) if full else None
+        mag = np.zeros((d0, hp, wp), np.int32)
+        for i in range(full):
+            mag = (mag << 1) | bits[i]
+        pbits = np.unpackbits(pview.reshape(d0, hp, wb), axis=-1)
+        mag = (mag << 1) | pbits
+        sbits = np.unpackbits(signs, axis=-1).astype(bool)
+        return np.where(sbits, -mag, mag)
+    raw_size = (kept + 1) * plane_bytes
     raw = entropy.decompress(payload, layer_backend, raw_size,
                              meta=(kept, d0, hp, wp, levels))
     if len(raw) != raw_size:

@@ -113,7 +113,7 @@ def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
 @functools.partial(
     jax.jit,
     static_argnames=("base_levels", "res_levels", "relative_mode",
-                     "use_centered", "use_pallas", "pack_exchange"),
+                     "use_centered", "use_pallas"),
 )
 def encode_batch(
     x,                       # (B, D0, H, W) float32
@@ -125,7 +125,6 @@ def encode_batch(
     relative_mode: bool = False,
     use_centered: bool = True,
     use_pallas: bool = True,
-    pack_exchange: bool = True,
 ):
     """Full batched encode program.  Returns a dict of device arrays; all
     stream assembly happens on host (``ebcc_tpu.core.codec``).
@@ -136,13 +135,13 @@ def encode_batch(
         x, minval, maxval, jnp.float32(0.0), error_target,
         base_quantile_target, base_levels=base_levels, res_levels=res_levels,
         relative_mode=relative_mode, use_centered=use_centered,
-        use_pallas=use_pallas, pack_exchange=pack_exchange)
+        use_pallas=use_pallas)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("base_levels", "res_levels", "relative_mode",
-                     "use_centered", "use_pallas", "pack_exchange"),
+                     "use_centered", "use_pallas"),
 )
 def encode_batch_u16(
     xq,                      # (B, D0, H, W) uint16: round((x-min)/rng*65535)
@@ -155,7 +154,6 @@ def encode_batch_u16(
     relative_mode: bool = False,
     use_centered: bool = True,
     use_pallas: bool = True,
-    pack_exchange: bool = True,
 ):
     """Encode from a host-prequantized u16 batch (half the upload bytes of
     f32; see ``EBCC_U16_UPLOAD``).  The u16 grid adds at most
@@ -171,13 +169,12 @@ def encode_batch_u16(
         x, minval, maxval, rngv / (2.0 * BASE_SCALE), error_target,
         base_quantile_target, base_levels=base_levels, res_levels=res_levels,
         relative_mode=relative_mode, use_centered=use_centered,
-        use_pallas=use_pallas, pack_exchange=pack_exchange)
+        use_pallas=use_pallas)
 
 
 def _encode_core(
     x, minval, maxval, target_slack, error_target, base_quantile_target,
     *, base_levels, res_levels, relative_mode, use_centered, use_pallas,
-    pack_exchange=True,
 ):
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
@@ -343,15 +340,12 @@ def _encode_core(
     max_kept = jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max())
     res_any = res_active.any()
 
-    exchange = {}
-    if pack_exchange:
-        nnz, words, words_needed = transfer.compact_rice_exchange(
-            vals_comb, cap=transfer.exchange_cap(vals_comb.shape[0]))
-        exchange = {"exchange_nnz": nnz, "exchange_words": words_needed,
-                    "exchange_buf": words}
-
     return {
-        **exchange,
+        # nnz lets the host size the separate compaction program (see
+        # transfer.compact_rice_exchange) to the ACTUAL significance count;
+        # compacting inside this program would pin the scatter to a static
+        # worst-case capacity and dominate device time.
+        "exchange_nnz": (vals_comb != 0).sum(dtype=jnp.int32),
         "minval": minval, "maxval": maxval, "const": const,
         "overflow": overflow,
         "target_abs": target,
@@ -379,16 +373,20 @@ def _encode_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("base_levels", "res_levels", "out_hw",
-                              "pack_exchange"))
+    jax.jit, static_argnames=("base_levels", "res_levels", "out_hw"))
 def encode_batch_rate_only(
-    x, *, base_levels: int = 5, res_levels: int = 3, out_hw=None,
-    pack_exchange: bool = True):
+    x,
+    budget_bytes,  # scalar int32: per-chunk payload byte budget (from base_cr)
+    *, base_levels: int = 5, res_levels: int = 3, out_hw=None):
     """Rate-targeted (residual NONE) encode: no error scans needed.
 
-    The cut is chosen on HOST from actual compressed sizes (monotone in cut),
-    so the device only produces planes + size estimates + the mean-free
-    metadata.  ``out_hw`` unused; kept for signature stability.
+    The cut is chosen on HOST from actual compressed sizes (monotone in
+    cut), so the device only produces size estimates + the sparse exchange;
+    values are shipped at (estimated cut - 2) — fine enough for the host's
+    refinement steps AND the partial-plane byte fill, while keeping the
+    exchange sparse (shipping at cut 0 would make nearly every coefficient
+    significant and degrade the exchange to a dense grid transfer).
+    ``out_hw`` unused; kept for signature stability.
     """
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
@@ -402,21 +400,27 @@ def encode_batch_rate_only(
     qbase = bitplane.quantize_floor(ybase)
     sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
-    # Sparse exchange at cut 0 (the host rate search may pick any cut).
-    vals_comb = qbase.reshape(-1)
+    feasible = sizes <= budget_bytes.astype(jnp.float32)  # (P+1, B)
+    est_cut = jnp.where(feasible.any(axis=0),
+                        jnp.argmax(feasible, axis=0),
+                        BASE_NUM_PLANES).astype(jnp.int32)
+    # 3-plane margin: the entropy-model estimate typically overestimates
+    # zstd'd plane bytes by up to ~2 cuts, and the host refinement + the
+    # partial-plane fill need one more plane of headroom below the final
+    # cut.  Values at 3 planes finer are still a sparse exchange.
+    store_cut = jnp.clip(est_cut - 3, 0, BASE_NUM_PLANES - 1)
+    sc4 = store_cut[:, None, None, None]
+    mag = jnp.abs(qbase)
+    vals = jnp.where(qbase < 0, -(mag >> sc4), mag >> sc4)
+    vals_comb = vals.reshape(-1)
     sig_comb = transfer.pack_bitmap(
-        (qbase != 0).reshape(*qbase.shape[:-1], -1))[None]
-    exchange = {}
-    if pack_exchange:
-        nnz, words, words_needed = transfer.compact_rice_exchange(
-            vals_comb, cap=transfer.exchange_cap(vals_comb.shape[0]))
-        exchange = {"exchange_nnz": nnz, "exchange_words": words_needed,
-                    "exchange_buf": words}
-    return {**exchange,
+        (vals != 0).reshape(*vals.shape[:-1], -1))[None]
+    return {"exchange_nnz": (vals_comb != 0).sum(dtype=jnp.int32),
             "minval": minval, "maxval": maxval, "const": const,
+            "store_cut": store_cut,
             "vals_comb": vals_comb,
             "sig_comb": sig_comb,
-            "max_kept": jnp.abs(qbase).max(),
+            "max_kept": jnp.abs(vals).max(),
             "base_est_sizes": sizes}
 
 

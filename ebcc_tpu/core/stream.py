@@ -33,6 +33,13 @@ CHUNKED_VERSION = 1
 FLAG_CONST = 0x01
 FLAG_HAS_RESIDUAL = 0x02
 FLAG_MEAN_ADJUSTED = 0x04
+# Rate-mode byte-granular rate control: the base payload carries, after the
+# full planes and before the sign plane, a PREFIX of the next-finer
+# magnitude plane (coefficients in flat scan order; the rest of that plane
+# is zero).  header.base_cut is the finer cut; derived kept counts the
+# partial plane; the prefix length is implied by the payload size.  Only
+# ever produced with a zstd/store entropy payload.
+FLAG_BASE_PARTIAL = 0x08
 
 # magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,

@@ -255,11 +255,13 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int):
 @functools.partial(jax.jit, static_argnames=("cap",))
 def compact_rice_exchange(vals_flat, *, cap: int):
     """Device-side encode-direction exchange: flat int32 coefficient vector
-    -> (nnz, words, words_needed).
+    -> (words, words_needed).
 
-    nnz may exceed ``cap`` (the compile-time compaction capacity); the host
-    must then fall back to the bitmap/index exchange — the buffer contents
-    are garbage in that case.
+    Dispatched as its OWN program after the encode program reported nnz, so
+    the caller buckets ``cap`` from the actual significance count — the
+    compaction scatter then scales with nnz, not with a worst-case static
+    capacity (which would dominate encode device time).  ``cap`` must be
+    >= the true nnz; the compacted tail is garbage otherwise.
     """
     sig = vals_flat != 0
     nnz = sig.sum(dtype=jnp.int32)
@@ -267,16 +269,18 @@ def compact_rice_exchange(vals_flat, *, cap: int):
     vv = jnp.take(vals_flat, pos)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
     gaps = pos - prev - 1  # >= 0 in the valid region; padding masked in pack
-    words, words_needed = rice_pack_pair(gaps, vv, nnz, cap=cap)
-    return nnz, words, words_needed
+    return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap)
 
 
-def exchange_cap(total: int) -> int:
-    """Static compaction capacity for a ``total``-coefficient exchange:
-    one third of the grid covers every realistic significance density (at
-    densities past ~33% the bound regime is so tight the codec is storing
-    near-raw planes anyway, and the host falls back to the dense path)."""
-    return max(4096, total // 3)
+def pair_bound_words(nnz: int, total: int) -> int:
+    """Optimistic fetch size for a :func:`rice_pack_pair` buffer: gap codes
+    ~(log2(total/nnz) + 3) bits, value codes ~14 bits at typical bounds;
+    the self-describing header triggers a tail fetch when exceeded."""
+    import math
+
+    gap_bits = max(1, int(math.log2(max(2, total // max(nnz, 1)))) + 3)
+    est_bits = nnz * (gap_bits + 14)
+    return RICE_PAIR_HEADER_WORDS + bucket_count(est_bits // 32 + 4)
 
 
 def split_rice_pair(head: np.ndarray, nnz: int):

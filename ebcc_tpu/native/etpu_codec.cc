@@ -41,6 +41,10 @@ constexpr size_t kHeaderSize = 72;
 constexpr uint8_t kFlagConst = 0x01;
 constexpr uint8_t kFlagResidual = 0x02;
 constexpr uint8_t kFlagMeanAdjusted = 0x04;
+/* Rate-mode byte-granular rate control: the base payload's LAST plane is a
+ * prefix of the next-finer plane (length implied by the decompressed
+ * size); header base_cut is the finer cut.  See core/stream.py. */
+constexpr uint8_t kFlagBasePartial = 0x08;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
 constexpr int kBackendCab = 2;
@@ -570,7 +574,28 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   if (kept <= 0 || comp_size == 0) return true;
   const size_t wb = (size_t)wp / 8;
   const size_t plane_bytes = (size_t)d0 * hp * wb;
-  const size_t raw_size = plane_bytes * (kept + 1);
+  const bool partial = base && (h.flags & kFlagBasePartial);
+  /* partial: last plane is a prefix of length pb implied by the raw size
+   * (mirror of core/codec.py::_payload_to_values). */
+  size_t raw_size = plane_bytes * (kept + 1);
+  size_t pb = plane_bytes;  /* full last plane unless partial */
+  if (partial) {
+    unsigned long long content;
+    if (backend == kBackendZstd) {
+      content = ZSTD_getFrameContentSize(payload, comp_size);
+      if (content == ZSTD_CONTENTSIZE_ERROR ||
+          content == ZSTD_CONTENTSIZE_UNKNOWN)
+        return false;
+    } else if (backend == kBackendStore) {
+      content = comp_size;
+    } else {
+      log_err("partial-plane payloads require a zstd/store entropy layer");
+      return false;
+    }
+    if (content < plane_bytes * kept || content > raw_size) return false;
+    pb = (size_t)content - plane_bytes * kept;
+    raw_size = (size_t)content;
+  }
   std::vector<uint8_t> raw(raw_size);
   if (backend == kBackendZstd) {
     if (!zstd_unpack(payload, comp_size, raw.data(), raw_size)) {
@@ -591,17 +616,24 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
     log_err("unknown entropy backend");
     return false;
   }
+  const int full = partial ? kept - 1 : kept;
+  const size_t sign_off = (size_t)full * plane_bytes + (partial ? pb : 0);
   const size_t n = (size_t)d0 * hp * wp;
   for (size_t i = 0; i < n; ++i) {
     const size_t byte = i / 8;
     const uint8_t bit = (uint8_t)(1u << (7 - (i % 8)));
     uint32_t mag = 0; /* unsigned: shifts are defined for all header values */
-    for (int s = 0; s < kept; ++s)
+    for (int s = 0; s < full; ++s)
       mag = (mag << 1) | ((raw[(size_t)s * plane_bytes + byte] & bit) ? 1u : 0u);
+    if (partial) {
+      const uint8_t pbyte =
+          byte < pb ? raw[(size_t)full * plane_bytes + byte] : 0;
+      mag = (mag << 1) | ((pbyte & bit) ? 1u : 0u);
+    }
     /* store FULL-scale q (kept values << cut); cut <= 31 is guaranteed by
      * parse_header (cut + top <= nplanes <= 32 and kept >= 1 here). */
     const int32_t sq = (int32_t)(mag << cut);
-    L->q[i] = (raw[(size_t)kept * plane_bytes + byte] & bit) ? -sq : sq;
+    L->q[i] = (raw[sign_off + byte] & bit) ? -sq : sq;
   }
   return true;
 }

@@ -91,6 +91,55 @@ class TestRateMode:
         # plane granularity allows up to ~one-plane overshoot.
         assert np.isfinite(out).all()
 
+    def test_budget_utilization(self, medium_frame, base_cr):
+        """Partial-plane rate fill (FLAG_BASE_PARTIAL): the payload must
+        land within a few percent of the byte budget, not an octave below
+        (J2K rate-allocation quality parity, ref tcp_rates ebcc_codec.c:116).
+        """
+        from ebcc_tpu.core import stream as stream_mod
+
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=base_cr,
+                             residual_mode=RESIDUAL_NONE)
+        blob = ebcc_tpu.encode(data, config)
+        budget = data.nbytes // base_cr
+        assert len(blob) <= budget
+        assert len(blob) >= 0.90 * budget
+
+    def test_rmse_monotone_in_rate(self, medium_frame):
+        """More budget must never hurt quality."""
+        data = medium_frame[None]
+        rmses = []
+        for cr in (200, 100, 50, 10):
+            config = CodecConfig(dims=data.shape, base_cr=cr,
+                                 residual_mode=RESIDUAL_NONE)
+            _, out = _roundtrip(data, config)
+            rmses.append(float(np.sqrt(np.mean((out - data) ** 2))))
+        assert all(a >= b * 0.999 for a, b in zip(rmses, rmses[1:])), rmses
+
+    def test_partial_stream_native_decode_parity(self, medium_frame):
+        """The native decoder must reconstruct FLAG_BASE_PARTIAL streams
+        identically (to f32 rounding) to the device decoder."""
+        from ebcc_tpu import native
+        from ebcc_tpu.core import stream as stream_mod
+
+        try:
+            native.load()
+        except Exception:
+            pytest.skip("native library unavailable")
+        data = medium_frame[None]
+        config = CodecConfig(dims=data.shape, base_cr=100,
+                             residual_mode=RESIDUAL_NONE)
+        blob = ebcc_tpu.encode(data, config)
+        hd, _, _ = stream_mod.split_frame_stream(blob)
+        assert hd.flags & stream_mod.FLAG_BASE_PARTIAL, \
+            "expected a partial-plane stream at this operating point"
+        from ebcc_tpu.core import codec as codec_mod
+
+        dev = codec_mod._decode_streams([blob])[0]
+        nat = native.native_decode(blob).reshape(dev.shape)
+        np.testing.assert_allclose(nat, dev, atol=1e-3)
+
 
 class TestEdgeCases:
     def test_const_field(self, constant_frame):

@@ -43,14 +43,13 @@ def _sparse_vals(n, density, lo=-3000, hi=3000, seed=0):
 def test_compact_rice_exchange_roundtrip(n, density):
     native = _native()
     vals = _sparse_vals(n, density)
-    cap = transfer.exchange_cap(n)
-    nnz, words, wn = transfer.compact_rice_exchange(vals, cap=cap)
-    nnz, wn = int(nnz), int(wn)
     ref_idx = np.flatnonzero(vals)
-    assert nnz == ref_idx.size
+    nnz = ref_idx.size
     if nnz == 0:
         return
-    head = np.asarray(jax.device_get(words))[:wn]
+    cap = transfer.bucket_count(nnz)
+    words, wn = transfer.compact_rice_exchange(vals, cap=cap)
+    head = np.asarray(jax.device_get(words))[: int(wn)]
     ga, vb = transfer.split_rice_pair(head, nnz)
     gaps = native.rice_decode(ga, nnz)
     v = native.rice_decode(vb, nnz)
@@ -64,20 +63,15 @@ def test_compact_rice_exchange_large_values():
     native = _native()
     vals = np.zeros(4096, np.int32)
     vals[[3, 100, 4095]] = [2 ** 21 - 1, -(2 ** 21), 123456]
-    cap = transfer.exchange_cap(4096)
-    nnz, words, wn = transfer.compact_rice_exchange(vals, cap=cap)
+    nnz = 3
+    words, wn = transfer.compact_rice_exchange(
+        vals, cap=transfer.bucket_count(nnz))
     head = np.asarray(jax.device_get(words))[: int(wn)]
-    ga, vb = transfer.split_rice_pair(head, int(nnz))
-    v = native.rice_decode(vb, int(nnz))
+    ga, vb = transfer.split_rice_pair(head, nnz)
+    v = native.rice_decode(vb, nnz)
     np.testing.assert_array_equal(v, vals[np.flatnonzero(vals)])
-
-
-def test_exchange_over_capacity_reports_true_nnz():
-    """nnz above the compaction capacity must still be reported exactly so
-    the host can fall back to the dense path."""
-    vals = np.ones(8192, np.int32)
-    nnz, _, _ = transfer.compact_rice_exchange(vals, cap=4096)
-    assert int(nnz) == 8192
+    idx = np.cumsum(native.rice_decode(ga, nnz).astype(np.int64) + 1) - 1
+    np.testing.assert_array_equal(idx, np.flatnonzero(vals))
 
 
 def test_unpack_bitmap_roundtrip():
