@@ -750,72 +750,6 @@ def encode(data: np.ndarray, config: CodecConfig,
     return _encode_chunk_batch(x, config, opts)[0]
 
 
-def _payload_to_values(header, payload: bytes, which: str, d0, hp, wp):
-    """Entropy-decode one layer payload -> dense (D0, Hp, Wp) int32 signed
-    kept-values (= sign * (|q| >> cut)).  Returns None when the layer is
-    empty."""
-    if which == "base":
-        num_planes, cut, top = (header.base_nplanes, header.base_cut,
-                                header.base_top)
-    else:
-        num_planes, cut, top = (header.res_nplanes, header.res_cut,
-                                header.res_top)
-    kept = num_planes - cut - top
-    if kept <= 0 or not payload:
-        return None
-    wb = wp // 8
-    plane_bytes = d0 * hp * wb
-    levels = header.base_levels if which == "base" else header.res_levels
-    layer_backend = (header.entropy if which == "base"
-                     else header.res_entropy_effective)
-    partial = which == "base" and bool(header.flags
-                                       & stream.FLAG_BASE_PARTIAL)
-    if partial:
-        # The last plane is a prefix (see stream.FLAG_BASE_PARTIAL); its
-        # length is implied by the decompressed size, so decompress up to
-        # the full-plane bound and range-check.
-        if layer_backend == entropy.BACKEND_NATIVE_CAB:
-            raise stream.StreamError(
-                "partial-plane payloads require a zstd/store entropy layer")
-        max_size = (kept + 1) * plane_bytes
-        raw = entropy.decompress(payload, layer_backend, max_size,
-                                 meta=(kept, d0, hp, wp, levels))
-        full = kept - 1
-        pb = len(raw) - (full + 1) * plane_bytes
-        if not 0 <= pb <= plane_bytes:
-            raise stream.StreamError(
-                f"partial payload size {len(raw)} outside "
-                f"[{(full + 1) * plane_bytes}, {max_size}]")
-        body = np.frombuffer(raw, np.uint8)
-        rows = body[: full * plane_bytes].reshape(full, d0, hp, wb)
-        pview = np.zeros(plane_bytes, np.uint8)
-        pview[:pb] = body[full * plane_bytes: full * plane_bytes + pb]
-        signs = body[full * plane_bytes + pb:].reshape(d0, hp, wb)
-        bits = np.unpackbits(rows, axis=-1) if full else None
-        mag = np.zeros((d0, hp, wp), np.int32)
-        for i in range(full):
-            mag = (mag << 1) | bits[i]
-        pbits = np.unpackbits(pview.reshape(d0, hp, wb), axis=-1)
-        mag = (mag << 1) | pbits
-        sbits = np.unpackbits(signs, axis=-1).astype(bool)
-        return np.where(sbits, -mag, mag)
-    raw_size = (kept + 1) * plane_bytes
-    raw = entropy.decompress(payload, layer_backend, raw_size,
-                             meta=(kept, d0, hp, wp, levels))
-    if len(raw) != raw_size:
-        raise stream.StreamError(
-            f"decompressed payload size {len(raw)} != expected {raw_size}")
-    body = np.frombuffer(raw, np.uint8)
-    rows = body[: kept * plane_bytes].reshape(kept, d0, hp, wb)
-    signs = body[kept * plane_bytes:].reshape(d0, hp, wb)
-    bits = np.unpackbits(rows, axis=-1)
-    mag = np.zeros((d0, hp, wp), np.int32)
-    for i in range(kept):
-        mag = (mag << 1) | bits[i]
-    sbits = np.unpackbits(signs, axis=-1).astype(bool)
-    return np.where(sbits, -mag, mag)
-
-
 def _parse_streams(streams):
     headers = []
     payloads = []
@@ -875,45 +809,118 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     const_mask = np.zeros(n, bool)
     any_residual = any(hd.has_residual for hd in headers)
 
-    idx_parts: List = [None] * (2 * n)
-    val_parts: List = [None] * (2 * n)
+    wb = wp // 8
+    plane_bytes = d0 * hp * wb
 
-    def unpack_one(i):
-        hd = headers[i]
-        basep, resp = payloads[i]
+    for i, hd in enumerate(headers):
         minval[i], maxval[i] = hd.minval, hd.maxval
         const_mask[i] = hd.const_field
         base_cut[i] = hd.base_cut
-        if hd.const_field:
-            return
-        v = _payload_to_values(hd, basep, "base", d0, hp, wp)
-        if v is not None:
-            flat = v.reshape(-1)
-            pos = np.flatnonzero(flat).astype(np.int64)
-            idx_parts[i] = pos + i * sc
-            val_parts[i] = flat[pos]
         if hd.has_residual:
             rmin[i], rmax[i] = hd.rmin, hd.rmax
             res_cut[i] = hd.res_cut
-            v = _payload_to_values(hd, resp, "res", d0, hp, wp)
-            if v is not None:
-                flat = v.reshape(-1)
-                pos = np.flatnonzero(flat).astype(np.int64)
-                idx_parts[n + i] = pos + (n + i) * sc
-                val_parts[n + i] = flat[pos]
 
-    with stage("dec: parse+unpack payloads"):
+    def _decompress_layer(hd, payload, which):
+        """One chunk layer -> (raw bytes, kept, pb) where pb = bytes
+        present in the LAST plane row (== plane_bytes unless the layer is a
+        FLAG_BASE_PARTIAL prefix); (None, 0, 0) for an empty layer.
+        Validation parity: reference decoder bounds checks
+        (ebcc_codec.c:1235-1258)."""
+        if which == "base":
+            num_planes, cut, top = hd.base_nplanes, hd.base_cut, hd.base_top
+            backend = hd.entropy
+        else:
+            num_planes, cut, top = hd.res_nplanes, hd.res_cut, hd.res_top
+            backend = hd.res_entropy_effective
+        kept = num_planes - cut - top
+        if kept <= 0 or not payload:
+            return None, 0, 0
+        levels = hd.base_levels if which == "base" else hd.res_levels
+        partial = which == "base" and bool(hd.flags
+                                           & stream.FLAG_BASE_PARTIAL)
+        max_size = (kept + 1) * plane_bytes
+        if partial:
+            if backend == entropy.BACKEND_NATIVE_CAB:
+                raise stream.StreamError(
+                    "partial-plane payloads require a zstd/store entropy "
+                    "layer")
+            raw = entropy.decompress(payload, backend, max_size,
+                                     meta=(kept, d0, hp, wp, levels))
+            pb = len(raw) - kept * plane_bytes
+            if not 0 <= pb <= plane_bytes:
+                raise stream.StreamError(
+                    f"partial payload size {len(raw)} outside "
+                    f"[{kept * plane_bytes}, {max_size}]")
+            return raw, kept, pb
+        raw = entropy.decompress(payload, backend, max_size,
+                                 meta=(kept, d0, hp, wp, levels))
+        if len(raw) != max_size:
+            raise stream.StreamError(
+                f"decompressed payload size {len(raw)} != expected "
+                f"{max_size}")
+        return raw, kept, plane_bytes
+
+    def _decompress_one(i):
+        hd = headers[i]
+        basep, resp = payloads[i]
+        if hd.const_field:
+            return (None, 0, 0), (None, 0, 0)
+        base = _decompress_layer(hd, basep, "base")
+        res = (_decompress_layer(hd, resp, "res") if hd.has_residual
+               else (None, 0, 0))
+        return base, res
+
+    with stage("dec: entropy decode"):
         if n <= 1:
-            for i in range(n):
-                unpack_one(i)
+            raws = [_decompress_one(i) for i in range(n)]
         else:
             with ThreadPoolExecutor(max_workers=min(4, n)) as pool:
-                list(pool.map(unpack_one, range(n)))
+                raws = list(pool.map(_decompress_one, range(n)))
 
-    idx = np.concatenate([p for p in idx_parts if p is not None]) \
-        if any(p is not None for p in idx_parts) else np.zeros(0, np.int64)
-    vals = np.concatenate([p for p in val_parts if p is not None]) \
-        if idx.size else np.zeros(0, np.int32)
+    def _layer_values(which: int):
+        """Vectorized planes -> signed kept-values for one layer across the
+        whole batch: bottom-aligned plane stack (leading zero planes do not
+        change the magnitudes), ONE unpackbits + shift-accumulate per plane
+        row over all chunks, one masked sign apply.  Returns (n, sc) int32
+        or None when the layer is empty batch-wide."""
+        kmax = max((r[which][1] for r in raws), default=0)
+        if kmax == 0:
+            return None
+        planes = np.zeros((n, kmax, plane_bytes), np.uint8)
+        signs = np.zeros((n, plane_bytes), np.uint8)
+        for i, r in enumerate(raws):
+            raw, kept, pb = r[which]
+            if raw is None:
+                continue
+            pl = np.frombuffer(raw, np.uint8)
+            off = kmax - kept
+            full = kept - 1
+            planes[i, off:off + full] = pl[: full * plane_bytes].reshape(
+                full, plane_bytes)
+            planes[i, off + full, :pb] = pl[full * plane_bytes:
+                                            full * plane_bytes + pb]
+            signs[i] = pl[full * plane_bytes + pb:]
+        mag = np.zeros((n, plane_bytes * 8), np.int32)
+        for k in range(kmax):
+            mag = (mag << 1) | np.unpackbits(planes[:, k], axis=-1)
+        sb = np.unpackbits(signs, axis=-1).astype(bool)
+        return np.where(sb, -mag, mag)
+
+    with stage("dec: unpack planes"):
+        parts_idx = []
+        parts_val = []
+        for layer in (0, 1):
+            v = _layer_values(layer)
+            if v is None:
+                continue
+            flat = v.reshape(-1)
+            pos = np.flatnonzero(flat)
+            parts_idx.append(pos.astype(np.int64) + layer * n * sc)
+            parts_val.append(flat[pos])
+        idx = (np.concatenate(parts_idx) if parts_idx
+               else np.zeros(0, np.int64))
+        vals = (np.concatenate(parts_val) if idx.size
+                else np.zeros(0, np.int32))
     cap = transfer.bucket_count(max(1, idx.size))
     as16 = bool(np.abs(vals).max() < (1 << 15)) if vals.size else True
     vals_up = np.zeros(cap, np.int16 if as16 else np.int32)
