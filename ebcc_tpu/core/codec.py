@@ -468,6 +468,23 @@ def _fetch_rice_values(words_dev, nnz: int,
     return native.rice_decode(head, nnz)
 
 
+def _native_unpacker():
+    """The native module for C-speed plane unpacking in the decode
+    direction, or None (numpy fallback).  EBCC_NO_NATIVE_UNPACK=1 forces
+    the fallback (tests)."""
+    import os
+
+    if os.environ.get("EBCC_NO_NATIVE_UNPACK"):
+        return None
+    from .. import native
+
+    try:
+        native.load(auto_build=False)
+        return native
+    except Exception:
+        return None
+
+
 def _rice_enabled() -> bool:
     """Rice-coded value fetch (transfer.rice_pack + native decode): on by
     default when the native library is available; EBCC_NO_RICE=1 disables."""
@@ -526,7 +543,7 @@ def _fetch_encode_outputs(out, error_mode: bool):
         cap = transfer.bucket_count(nnz)
         with stage(f"enc: compact+rice fetch {nnz} vals"):
             words_dev, _ = transfer.compact_rice_exchange(
-                out["vals_comb"], cap=cap)
+                out["vals_comb"], out["sig_comb"].reshape(-1), cap=cap)
             bound = min(transfer.pair_bound_words(nnz, total),
                         int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound]))
@@ -906,17 +923,41 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         sb = np.unpackbits(signs, axis=-1).astype(bool)
         return np.where(sb, -mag, mag)
 
+    nm = _native_unpacker()
     with stage("dec: unpack planes"):
         parts_idx = []
         parts_val = []
-        for layer in (0, 1):
-            v = _layer_values(layer)
-            if v is None:
-                continue
-            flat = v.reshape(-1)
-            pos = np.flatnonzero(flat)
-            parts_idx.append(pos.astype(np.int64) + layer * n * sc)
-            parts_val.append(flat[pos])
+        if nm is not None:
+            # C-speed sparse extraction per chunk-layer (ctypes releases
+            # the GIL, so the pool gives real parallelism); (layer, chunk)
+            # order keeps the concatenated global index sorted.
+            def sparse_one(t):
+                layer, i = t
+                raw, kept, pb = raws[i][layer]
+                if raw is None:
+                    return None
+                pos, vv = nm.planes_to_sparse(raw, kept, pb, d0, hp, wp)
+                return pos.astype(np.int64) + (layer * n + i) * sc, vv
+
+            tasks = [(l, i) for l in (0, 1) for i in range(n)]
+            if n <= 1:
+                results = [sparse_one(t) for t in tasks]
+            else:
+                with ThreadPoolExecutor(max_workers=min(4, 2 * n)) as pool:
+                    results = list(pool.map(sparse_one, tasks))
+            for r in results:
+                if r is not None and r[0].size:
+                    parts_idx.append(r[0])
+                    parts_val.append(r[1])
+        else:
+            for layer in (0, 1):
+                v = _layer_values(layer)
+                if v is None:
+                    continue
+                flat = v.reshape(-1)
+                pos = np.flatnonzero(flat)
+                parts_idx.append(pos.astype(np.int64) + layer * n * sc)
+                parts_val.append(flat[pos])
         idx = (np.concatenate(parts_idx) if parts_idx
                else np.zeros(0, np.int64))
         vals = (np.concatenate(parts_val) if idx.size

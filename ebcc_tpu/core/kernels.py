@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BASE_NUM_PLANES, RES_NUM_PLANES, RES_SCALE_STEPS
-from ..ops import bitplane, dwt, dwt_pallas
+from ..ops import bitplane, dwt, dwt_pallas, metrics
 from . import transfer
 
 BASE_SCALE = 65535.0
@@ -129,8 +129,7 @@ def encode_batch(
     """Full batched encode program.  Returns a dict of device arrays; all
     stream assembly happens on host (``ebcc_tpu.core.codec``).
     """
-    minval = x.min(axis=(1, 2, 3))
-    maxval = x.max(axis=(1, 2, 3))
+    minval, maxval = metrics.minmax(x)
     return _encode_core(
         x, minval, maxval, jnp.float32(0.0), error_target,
         base_quantile_target, base_levels=base_levels, res_levels=res_levels,
@@ -198,12 +197,9 @@ def _encode_core(
 
     def base_metrics(rec_coeff_spatial, cut):
         recon = dwt.unpad(rec_coeff_spatial, orig_hw) * scale_back + off
-        err = x - recon
-        m = err.mean(axis=(1, 2, 3))
-        err_c = err - m[:, None, None, None] if use_centered else err
-        maxe = jnp.abs(err_c).max(axis=(1, 2, 3))
-        q = 1.0 - (jnp.abs(err) > target[:, None, None, None]).sum(
-            axis=(1, 2, 3)) / (d0 * h * w)
+        maxe_c, m = metrics.centered_max_abs_error(x, recon)
+        maxe = maxe_c if use_centered else metrics.max_abs_error(x, recon)
+        q = metrics.error_quantile(x, recon, target)
         return maxe, q, m
 
     # Coarse-to-fine search over cuts (12 iDWT evals instead of a dense 22;
@@ -228,7 +224,7 @@ def _encode_core(
                                   use_pallas=use_pallas),
         orig_hw) * scale_back + off
     base_err = x - base_recon
-    base_maxerr = jnp.abs(base_err).max(axis=(1, 2, 3))
+    base_maxerr = metrics.max_abs_error(x, base_recon)
     skip_residual = base_maxerr <= target  # ref c:737
 
     # ---- residual layer (ref c:702-817) with a fractional-step sweep ----
@@ -262,10 +258,10 @@ def _encode_core(
             def res_metrics(rec_spatial, cut, sb=sb):
                 res_rec = dwt.unpad(rec_spatial, orig_hw) * sb + res_off
                 recon = base_recon + res_rec
-                err = x - recon
-                m = err.mean(axis=(1, 2, 3))
-                err_c = err - m[:, None, None, None] if use_centered else err
-                return jnp.abs(err_c).max(axis=(1, 2, 3)), m
+                maxe_c, m = metrics.centered_max_abs_error(x, recon)
+                maxe = (maxe_c if use_centered
+                        else metrics.max_abs_error(x, recon))
+                return maxe, m
 
             [(cut_f, feas_f, (maxe_f, mean_f))], _, _ = _coarse_fine_search(
                 q_f, RES_NUM_PLANES, res_levels, res_metrics,
@@ -390,8 +386,7 @@ def encode_batch_rate_only(
     """
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
-    minval = x.min(axis=(1, 2, 3))
-    maxval = x.max(axis=(1, 2, 3))
+    minval, maxval = metrics.minmax(x)
     const = minval == maxval
     rng = jnp.where(const, 1.0, maxval - minval)
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE

@@ -253,22 +253,55 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def compact_rice_exchange(vals_flat, *, cap: int):
+def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int):
     """Device-side encode-direction exchange: flat int32 coefficient vector
-    -> (words, words_needed).
+    + its packed significance bitmap -> (words, words_needed).
 
     Dispatched as its OWN program after the encode program reported nnz, so
-    the caller buckets ``cap`` from the actual significance count — the
-    compaction scatter then scales with nnz, not with a worst-case static
-    capacity (which would dominate encode device time).  ``cap`` must be
-    >= the true nnz; the compacted tail is garbage otherwise.
+    the caller buckets ``cap`` from the actual significance count.  ``cap``
+    must be >= the true nnz; the compacted tail is garbage otherwise.
+
+    Position extraction is two-level to avoid any dense-length scan
+    beyond one popcount: per-64-coefficient block counts (popcount of the
+    bitmap the encode program already produced) -> small block cumsum ->
+    per-query block via sorted search -> in-block byte/bit rank selection.
+    Every op after the popcount is cap- or block-count-sized, so the
+    program's cost scales with the significant count, not the grid.
     """
-    sig = vals_flat != 0
-    nnz = sig.sum(dtype=jnp.int32)
-    pos = jnp.nonzero(sig, size=cap, fill_value=0)[0].astype(jnp.int32)
+    nb = sig_bytes.shape[0]
+    pad = (-nb) % 8
+    if pad:
+        sig_bytes = jnp.concatenate(
+            [sig_bytes, jnp.zeros(pad, sig_bytes.dtype)])
+    blocks = (nb + pad) // 8
+    pc = jax.lax.population_count(sig_bytes).astype(jnp.int32)
+    pcb = pc.reshape(blocks, 8)
+    psum_b = jnp.cumsum(pcb.sum(axis=1))              # (blocks,)
+    nnz = psum_b[-1]
+
+    j = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    # method='sort': queries are pre-sorted, and a TPU merge-sort vastly
+    # outruns the default per-query binary-search gathers (~3x measured).
+    blk = jnp.clip(jnp.searchsorted(psum_b, j, method="sort"), 0,
+                   blocks - 1).astype(jnp.int32)
+    prev = jnp.where(blk > 0, psum_b[jnp.maximum(blk - 1, 0)], 0)
+    rank = j - 1 - prev                               # 0-based within block
+    counts8 = pcb[blk]                                # (cap, 8)
+    ci = jnp.cumsum(counts8, axis=1)                  # inclusive byte cums
+    bi = (ci <= rank[:, None]).sum(axis=1)            # first byte ci > rank
+    bi = jnp.minimum(bi, 7)
+    rank_b = rank - (jnp.take_along_axis(ci, bi[:, None], axis=1)[:, 0]
+                     - jnp.take_along_axis(counts8, bi[:, None], axis=1)[:, 0])
+    byte_val = sig_bytes[blk * 8 + bi]
+    bits = ((byte_val[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8))
+            & jnp.uint8(1)).astype(jnp.int32)         # MSB-first = elt order
+    cbit = jnp.cumsum(bits, axis=1)
+    bit = jnp.minimum((cbit <= rank_b[:, None]).sum(axis=1), 7)
+    pos = (blk * 64 + bi * 8 + bit).astype(jnp.int32)
+
     vv = jnp.take(vals_flat, pos)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
-    gaps = pos - prev - 1  # >= 0 in the valid region; padding masked in pack
+    prev_pos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
+    gaps = pos - prev_pos - 1  # >= 0 in the valid region; padding masked
     return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap)
 
 

@@ -99,6 +99,12 @@ def load(auto_build: bool = True):
         np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
         ctypes.c_size_t, ctypes.c_size_t,
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
+    lib.etpu_planes_to_sparse.restype = ctypes.c_size_t
+    lib.etpu_planes_to_sparse.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
     lib.etpu_cab_decompress.restype = ctypes.c_size_t
     lib.etpu_cab_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -208,3 +214,21 @@ def rice_decode(words: np.ndarray, nnz: int) -> np.ndarray:
     if n != nnz:
         raise ValueError("corrupt rice exchange payload")
     return out
+
+
+def planes_to_sparse(raw: bytes, kept: int, pb: int, d0: int, hp: int,
+                     wp: int):
+    """Dense bitplane payload -> (positions, signed magnitudes-at-cut).
+
+    C-speed replacement for the numpy per-plane unpack in the decode
+    direction of the sparse exchange (see native/sparse_unpack.cc); byte
+    columns that are zero in every kept plane are skipped."""
+    lib = load()
+    n = d0 * hp * wp
+    idx = np.empty(n, np.int32)
+    vals = np.empty(n, np.int32)
+    k = lib.etpu_planes_to_sparse(raw, len(raw), kept, pb, d0, hp, wp,
+                                  idx, vals)
+    if k == ctypes.c_size_t(-1).value:
+        raise ValueError("malformed plane payload")
+    return idx[:k], vals[:k]

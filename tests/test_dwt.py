@@ -223,3 +223,35 @@ class TestCoarseFineSearch:
             q, jnp.zeros(2, jnp.int32), levels, use_pallas=False)
         ref = np.abs(x - np.asarray(spatial0)).max(axis=(1, 2, 3))
         np.testing.assert_allclose(np.asarray(maxe), ref, rtol=1e-6)
+
+
+class TestMetrics:
+    """ops.metrics — the reduction primitives the encode programs' scans
+    are built from (reference get_* scans, ebcc_codec.c:450-533)."""
+
+    def test_against_numpy(self):
+        from ebcc_tpu.ops import metrics
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(3, 2, 16, 16)).astype(np.float32)
+        r = x + rng.normal(scale=0.1, size=x.shape).astype(np.float32)
+        err = x - r
+        lo, hi = metrics.minmax(x)
+        np.testing.assert_allclose(lo, x.min(axis=(1, 2, 3)))
+        np.testing.assert_allclose(hi, x.max(axis=(1, 2, 3)))
+        np.testing.assert_allclose(
+            metrics.max_abs_error(x, r), np.abs(err).max(axis=(1, 2, 3)),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            metrics.mean_error(x, r), err.mean(axis=(1, 2, 3)), atol=1e-6)
+        maxc, m = metrics.centered_max_abs_error(x, r)
+        ref = np.abs(err - err.mean(axis=(1, 2, 3), keepdims=True)).max(
+            axis=(1, 2, 3))
+        np.testing.assert_allclose(maxc, ref, rtol=1e-5)
+        tgt = np.full(3, 0.1, np.float32)
+        q = metrics.error_quantile(x, r, tgt)
+        refq = (np.abs(err) <= 0.1).mean(axis=(1, 2, 3))
+        np.testing.assert_allclose(q, refq, atol=1e-6)
+        assert bool(metrics.check_finite(x))
+        x[0, 0, 0, 0] = np.nan
+        assert not bool(metrics.check_finite(x))

@@ -48,7 +48,8 @@ def test_compact_rice_exchange_roundtrip(n, density):
     if nnz == 0:
         return
     cap = transfer.bucket_count(nnz)
-    words, wn = transfer.compact_rice_exchange(vals, cap=cap)
+    words, wn = transfer.compact_rice_exchange(
+        vals, np.packbits(vals != 0), cap=cap)
     head = np.asarray(jax.device_get(words))[: int(wn)]
     ga, vb = transfer.split_rice_pair(head, nnz)
     gaps = native.rice_decode(ga, nnz)
@@ -65,7 +66,7 @@ def test_compact_rice_exchange_large_values():
     vals[[3, 100, 4095]] = [2 ** 21 - 1, -(2 ** 21), 123456]
     nnz = 3
     words, wn = transfer.compact_rice_exchange(
-        vals, cap=transfer.bucket_count(nnz))
+        vals, np.packbits(vals != 0), cap=transfer.bucket_count(nnz))
     head = np.asarray(jax.device_get(words))[: int(wn)]
     ga, vb = transfer.split_rice_pair(head, nnz)
     v = native.rice_decode(vb, nnz)
@@ -128,3 +129,19 @@ def test_encode_exchange_fast_path_streams_identical(small_frame):
     finally:
         os.environ.pop("EBCC_NO_RICE", None)
     assert fast == slow
+
+
+def test_native_plane_unpack_matches_numpy(medium_frame, monkeypatch):
+    """Decode-direction sparse extraction: the native C unpacker and the
+    numpy fallback must produce identical reconstructions."""
+    _native()
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+    from ebcc_tpu.core import codec
+
+    cfg = CodecConfig(dims=(1, 256, 256), base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+    blob = codec.encode(medium_frame, cfg)
+    a = codec.decode(blob)
+    monkeypatch.setenv("EBCC_NO_NATIVE_UNPACK", "1")
+    b = codec.decode(blob)
+    np.testing.assert_array_equal(a, b)
