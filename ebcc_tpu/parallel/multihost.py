@@ -37,16 +37,20 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None):
     """Initialize jax.distributed (no-op if already initialized or if
-    running single-process with no coordinator configured)."""
+    running single-process with no coordinator configured).
+
+    Must run before anything touches the XLA backend (jax.devices /
+    device_put / any computation) — so the already-initialized probe uses
+    ``jax.distributed.is_initialized``, never ``jax.process_count`` (which
+    would itself initialize the backend and poison the real init)."""
     import jax
 
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     else:
         try:
             jax.distributed.initialize()
