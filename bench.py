@@ -207,12 +207,17 @@ def _device_main():
     assert maxerr <= bound, (maxerr, bound)
     blob_bytes = sum(len(s) for s in streams)
 
+    from ebcc_tpu.core import transfer as _transfer
+
     dev_t = []
+    _transfer.reset_link_stats()
     for _ in range(REPS):
         t0 = time.perf_counter()
         streams, maxerr = device_roundtrip()
         dev_t.append(time.perf_counter() - t0)
     dev_pts_per_s = n_points / min(dev_t)
+    link_up_bpp = _transfer.LINK_STATS["up"] / (REPS * n_points)
+    link_down_bpp = _transfer.LINK_STATS["down"] / (REPS * n_points)
 
     # ---- host-to-host path (link-bound in this environment) ----
     blob = ebcc_tpu.encode_chunked(data, config)
@@ -273,6 +278,8 @@ def _device_main():
             data.nbytes / blob_bytes, 2),
         "max_error": maxerr,
         "error_target": ERROR_TARGET,
+        "link_bytes_up_per_point": round(link_up_bpp, 4),
+        "link_bytes_down_per_point": round(link_down_bpp, 4),
         "host_roundtrip_pts_per_s": round(host_pts_per_s, 1),
         "host_encode_pts_per_s": round(n_points / (t1 - t0), 1),
         "host_decode_pts_per_s": round(n_points / (t2 - t1), 1),

@@ -23,6 +23,7 @@ backs the sharded multi-device encoder in ``ebcc_tpu.parallel``.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -525,6 +526,8 @@ def _fetch_encode_outputs(out, error_mode: bool):
     with stage("enc: small fetch (+compute)"):
         small = {k: v for k, v in out.items()
                  if k not in ("vals_comb", "sig_comb")}
+        transfer.count_down(sum(getattr(v, "nbytes", 0)
+                                for v in small.values() if v is not None))
         small = jax.device_get(small)
 
     nl, b, d0, hp, wb = out["sig_comb"].shape
@@ -547,11 +550,13 @@ def _fetch_encode_outputs(out, error_mode: bool):
             bound = min(transfer.pair_bound_words(nnz, total),
                         int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound]))
+            transfer.count_down(4 * bound)
             need = (transfer.RICE_PAIR_HEADER_WORDS
                     + (int(head[0]) + 31) // 32 + (int(head[2]) + 31) // 32)
             if need > bound:  # rare: high-entropy values
                 tail = np.asarray(jax.device_get(
                     words_dev[bound:transfer.bucket_count(need)]))
+                transfer.count_down(tail.nbytes)
                 head = np.concatenate([head, tail])
             ga, vb_ = transfer.split_rice_pair(head, nnz)
             from .. import native
@@ -648,9 +653,12 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
                 (xb - minv[:, None, None, None])
                 / rngv[:, None, None, None] * kernels.BASE_SCALE
             ).astype(np.uint16)
+            transfer.count_up(xq.nbytes)
             return kernels.encode_batch_u16(
                 xq, minv, maxv, np.float32(config.error),
                 np.float32(opts.base_quantile_target), **common)
+    if isinstance(xb, np.ndarray):
+        transfer.count_up(xb.nbytes)
     return kernels.encode_batch(
         xb, np.float32(config.error), np.float32(opts.base_quantile_target),
         **common)
@@ -963,31 +971,65 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         vals = (np.concatenate(parts_val) if idx.size
                 else np.zeros(0, np.int32))
     cap = transfer.bucket_count(max(1, idx.size))
-    as16 = bool(np.abs(vals).max() < (1 << 15)) if vals.size else True
-    vals_up = np.zeros(cap, np.int16 if as16 else np.int32)
-    vals_up[: vals.size] = vals.astype(vals_up.dtype)
+
+    def padded_vals():
+        as16 = bool(np.abs(vals).max() < (1 << 15)) if vals.size else True
+        up = np.zeros(cap, np.int16 if as16 else np.int32)
+        up[: vals.size] = vals.astype(up.dtype)
+        return up
+
     kw = dict(base_levels=h0.base_levels, res_levels=h0.res_levels,
               out_hw=(h, w), has_residual=any_residual,
               grid_shape=(n, d0, hp, wp), use_pallas=sharding is None)
 
-    # Upload-leg representation choice: a packed significance bitmap costs
-    # 2*S/8 bytes regardless of density, a padded index vector 4 bytes per
-    # significant coefficient — take the cheaper (bitmap wins above ~1/32
-    # density, the common case at tight bounds).  The sharded path keeps
-    # the index form (its sparse operands are mesh-replicated).
-    use_bitmap = sharding is None and 4 * cap > (2 * n * sc) // 8
+    # Upload-leg representation: byte-coded gaps + zigzag values (~2 B per
+    # significant coefficient, transfer.byte_pack_sparse_host) is the
+    # default; the dense bitmap and the int32 index vector remain as the
+    # sharded-path form and an env-selectable fallback
+    # (EBCC_NO_BYTE_UPLOAD=1).  Bitmap wins over indices above ~1/32
+    # density but both lose to the byte coding at every density.
+    use_bytes = (sharding is None
+                 and not os.environ.get("EBCC_NO_BYTE_UPLOAD"))
+    use_bitmap = (sharding is None and not use_bytes
+                  and 4 * cap > (2 * n * sc) // 8)
     with stage("dec: upload sparse + decode"):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
+        if use_bytes:
+            g8, g_ov, v8, v_ov = transfer.byte_pack_sparse_host(idx, vals)
+            g8_up = np.zeros(cap, np.uint8)
+            g8_up[: g8.size] = g8
+            v8_up = np.zeros(cap, np.uint8)
+            v8_up[: v8.size] = v8
+            gcap = transfer.overflow_bucket(max(1, g_ov.size))
+            vcap = transfer.overflow_bucket(max(1, v_ov.size))
+            g_ov_up = np.zeros(gcap, np.int32)
+            g_ov_up[: g_ov.size] = g_ov
+            v_ov_up = np.zeros(vcap, np.int32)
+            v_ov_up[: v_ov.size] = v_ov
+            transfer.count_up(2 * cap + 4 * (gcap + vcap)
+                              + sum(a.nbytes for a in scalars))
+            out = kernels.decode_batch_sparse_bytes(
+                jax.device_put(g8_up), jax.device_put(g_ov_up),
+                jax.device_put(v8_up), jax.device_put(v_ov_up),
+                jax.device_put(np.int32(idx.size)),
+                *(jax.device_put(a) for a in scalars), **kw)
+            return out, const_mask, minval
         if use_bitmap:
             sigb = np.zeros(2 * n * sc, np.uint8)
             sigb[idx] = 1
             packed = np.packbits(sigb)
+            pv = padded_vals()
+            transfer.count_up(packed.nbytes + pv.nbytes
+                              + sum(a.nbytes for a in scalars))
             out = kernels.decode_batch_sparse_bitmap(
-                jax.device_put(packed), jax.device_put(vals_up),
+                jax.device_put(packed), jax.device_put(pv),
                 *(jax.device_put(a) for a in scalars), **kw)
             return out, const_mask, minval
         idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
-        args = [jax.device_put(idx_up), jax.device_put(vals_up)] + [
+        pv = padded_vals()
+        transfer.count_up(idx_up.nbytes + pv.nbytes
+                          + sum(a.nbytes for a in scalars))
+        args = [jax.device_put(idx_up), jax.device_put(pv)] + [
             jax.device_put(a) for a in scalars]
         if sharding is not None:
             # SPMD layout: scalars shard on the chunk axis; the sparse
@@ -1006,6 +1048,7 @@ def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
     import jax
 
     out, const_mask, minval = _decode_streams_device(streams, sharding)
+    transfer.count_down(out.nbytes)
     out = np.array(jax.device_get(out))  # copy: device_get can be read-only
     if const_mask.any():
         out[const_mask] = minval[const_mask, None, None, None]

@@ -492,6 +492,41 @@ def decode_batch_sparse_bitmap(
         use_pallas=use_pallas)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
+                     "grid_shape", "use_pallas"),
+)
+def decode_batch_sparse_bytes(
+    g8,             # (cap,) uint8 position gaps, 255-escaped
+    g_ov,           # (gcap,) int32 escaped gaps, in order
+    v8,             # (cap,) uint8 zigzag values, 255-escaped
+    v_ov,           # (vcap,) int32 escaped zigzag values, in order
+    nnz,            # () int32 valid count
+    base_cut, res_cut, minval, maxval, rmin, rmax,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
+):
+    """Decode-direction exchange at ~2 bytes per significant coefficient:
+    byte-coded gaps + zigzag values with escape side arrays
+    (``transfer.byte_pack_sparse_host``).  Replaces the dense-bitmap /
+    int32-index uploads whenever the host parse produced sorted sparse
+    coefficients — the upload leg then scales with nnz, not the grid."""
+    s = int(np.prod(grid_shape))
+    idx, vals = transfer.byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
+    return _decode_from_qflat(
+        qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
+        base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
+        has_residual=has_residual, grid_shape=grid_shape,
+        use_pallas=use_pallas)
+
+
 def _decode_from_qflat(
     qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
     *, base_levels, res_levels, out_hw, has_residual, grid_shape, use_pallas,

@@ -41,6 +41,26 @@ import jax
 import jax.numpy as jnp
 
 
+# Link-byte accounting: every exchange transfer reports its payload size
+# here so benchmarks can attribute wall time to bytes-on-the-wire
+# (bench.py extras ``link_bytes_up/down_per_point``).  Plain ints guarded
+# by the GIL; reset/read from the bench only.
+LINK_STATS = {"up": 0, "down": 0}
+
+
+def count_up(nbytes: int) -> None:
+    LINK_STATS["up"] += int(nbytes)
+
+
+def count_down(nbytes: int) -> None:
+    LINK_STATS["down"] += int(nbytes)
+
+
+def reset_link_stats() -> None:
+    LINK_STATS["up"] = 0
+    LINK_STATS["down"] = 0
+
+
 def bucket_count(n: int) -> int:
     """Round a count up a 1.25x-step ladder so gather/scatter programs
     compile a handful of variants."""
@@ -328,6 +348,69 @@ def split_rice_pair(head: np.ndarray, nnz: int):
     stream_b = np.concatenate(
         [np.array([bits_b, k_b], np.uint32), head[h + gw:]])
     return stream_a, stream_b
+
+
+# ---------------------------------------------------------------------------
+# Byte-granular decode-direction upload (host packs, device unpacks)
+# ---------------------------------------------------------------------------
+#
+# The decode direction originally uploaded a dense significance bitmap
+# (1 bit per grid coefficient, both layers) + int16 values — ~6 bytes per
+# significant coefficient at typical densities.  Gap + zigzag-value byte
+# coding cuts that to ~2 B/coeff: each leg is one uint8 per coefficient
+# with a 255 escape marker into a small int32 side array.  The device
+# recovers positions with one cumsum and values with one gather — all
+# nnz-sized work, no dense-grid leg on the link at all.
+
+BYTE_ESC = 255
+
+
+def overflow_bucket(n: int) -> int:
+    """Pad ladder for the (small) escape side arrays: powers of 4 from 64
+    keep the jit-variant count low without 4096-entry minimum padding."""
+    cap = 64
+    while cap < n:
+        cap *= 4
+    return cap
+
+
+def byte_pack_sparse_host(idx: np.ndarray, vals: np.ndarray):
+    """Host-side: sorted positions + signed values -> (gaps_u8, gap_ov,
+    zvals_u8, val_ov) with 255-escape side arrays (int32)."""
+    gaps = np.diff(idx.astype(np.int64), prepend=-1) - 1
+    gof = gaps >= BYTE_ESC
+    g8 = np.where(gof, BYTE_ESC, gaps).astype(np.uint8)
+    g_ov = gaps[gof].astype(np.int32)
+    v = vals.astype(np.int32)
+    z = ((v.astype(np.int64) << 1) ^ (v >> 31)).astype(np.uint32)
+    vof = z >= BYTE_ESC
+    v8 = np.where(vof, BYTE_ESC, z).astype(np.uint8)
+    v_ov = z[vof].astype(np.int32)
+    return g8, g_ov, v8, v_ov
+
+
+def byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz):
+    """Device-side inverse of :func:`byte_pack_sparse_host` -> (idx, vals);
+    idx padding is -1 (scatter-drop), traced (jit inside the caller)."""
+    cap = g8.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < nnz
+    esc = jnp.uint8(BYTE_ESC)
+
+    gof = (g8 == esc) & valid
+    grank = jnp.cumsum(gof.astype(jnp.int32)) - 1
+    g = jnp.where(gof, jnp.take(g_ov, jnp.clip(grank, 0, g_ov.shape[0] - 1)),
+                  g8.astype(jnp.int32))
+    idx = jnp.cumsum(jnp.where(valid, g + 1, 0)) - 1
+    idx = jnp.where(valid, idx, -1)
+
+    vof = (v8 == esc) & valid
+    vrank = jnp.cumsum(vof.astype(jnp.int32)) - 1
+    z = jnp.where(vof, jnp.take(v_ov, jnp.clip(vrank, 0, v_ov.shape[0] - 1)),
+                  v8.astype(jnp.int32))
+    # un-zigzag with a LOGICAL right shift (z is a uint32 reinterpreted
+    # through int32; an arithmetic shift would sign-extend large codes)
+    vals = (z.astype(jnp.uint32) >> 1).astype(jnp.int32) ^ -(z & 1)
+    return idx, vals
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -145,3 +145,45 @@ def test_native_plane_unpack_matches_numpy(medium_frame, monkeypatch):
     monkeypatch.setenv("EBCC_NO_NATIVE_UNPACK", "1")
     b = codec.decode(blob)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n,density", [
+    (8192, 0.05), (65536, 0.25), (5000, 0.6), (4096, 1.0 / 4096),
+])
+def test_byte_pack_sparse_roundtrip(n, density):
+    """Decode-direction byte upload: host pack -> device unpack must
+    reproduce (idx, vals) exactly, including 255-escaped gaps/values."""
+    vals_dense = _sparse_vals(n, density, lo=-70000, hi=70000, seed=3)
+    idx = np.flatnonzero(vals_dense).astype(np.int64)
+    vals = vals_dense[idx]
+    if idx.size == 0:
+        return
+    g8, g_ov, v8, v_ov = transfer.byte_pack_sparse_host(idx, vals)
+    cap = transfer.bucket_count(idx.size)
+    g8u = np.zeros(cap, np.uint8); g8u[: g8.size] = g8
+    v8u = np.zeros(cap, np.uint8); v8u[: v8.size] = v8
+    gcap = transfer.overflow_bucket(max(1, g_ov.size))
+    vcap = transfer.overflow_bucket(max(1, v_ov.size))
+    govu = np.zeros(gcap, np.int32); govu[: g_ov.size] = g_ov
+    vovu = np.zeros(vcap, np.int32); vovu[: v_ov.size] = v_ov
+    didx, dvals = jax.jit(transfer.byte_unpack_sparse)(
+        g8u, govu, v8u, vovu, np.int32(idx.size))
+    didx = np.asarray(didx)[: idx.size]
+    dvals = np.asarray(dvals)[: idx.size]
+    np.testing.assert_array_equal(didx, idx)
+    np.testing.assert_array_equal(dvals, vals)
+
+
+def test_byte_upload_decode_matches_fallback(medium_frame, monkeypatch):
+    """Full decode through the byte-upload kernel == the bitmap/index
+    fallback (EBCC_NO_BYTE_UPLOAD=1) bit for bit."""
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+    from ebcc_tpu.core import codec
+
+    cfg = CodecConfig(dims=(1, 256, 256), base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+    blob = codec.encode(medium_frame, cfg)
+    a = codec.decode(blob)
+    monkeypatch.setenv("EBCC_NO_BYTE_UPLOAD", "1")
+    b = codec.decode(blob)
+    np.testing.assert_array_equal(a, b)
