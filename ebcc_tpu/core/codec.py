@@ -508,6 +508,60 @@ def _max_safe_batch(chunk_numel: int) -> int:
     return max(1, (2 ** 31 - 1) // (2 * max(1, chunk_numel)))
 
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _pack_small_program(small):
+    """Bit-pack every small encode output into ONE uint32 vector so the
+    host fetch is a single link round trip.  ~25 scalar/(B,)-sized leaves
+    fetched individually cost one high-latency RPC each on a tunneled
+    link; packed they cost one.  jax.jit caches per pytree structure."""
+    parts = []
+    for k in sorted(small.keys()):
+        v = small[k]
+        v = v.reshape(-1) if v.ndim else v.reshape(1)
+        if v.dtype == jnp.bool_:
+            u = v.astype(jnp.uint32)
+        elif v.dtype in (jnp.int32, jnp.float32):
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        else:
+            u = v.astype(jnp.uint32)
+        parts.append(u)
+    return jnp.concatenate(parts)
+
+
+def _fetch_small_packed(small):
+    """One-RPC fetch of the small encode outputs: device-side bit-pack
+    (:func:`_pack_small_program`) + host-side split/bitcast back to the
+    original dict of numpy arrays/scalars."""
+    import jax
+
+    keys = sorted(small.keys())
+    packed = _pack_small_program(small)
+    transfer.count_down(packed.nbytes)
+    flat = np.asarray(jax.device_get(packed))
+    outd = {}
+    off = 0
+    for k in keys:
+        v = small[k]
+        n = int(np.prod(v.shape)) if v.ndim else 1
+        raw = flat[off:off + n]
+        off += n
+        dt = v.dtype
+        if dt == np.bool_ or str(dt) == "bool":
+            arr = raw != 0
+        elif str(dt) in ("int32", "float32"):
+            arr = raw.view(str(dt))
+        else:
+            arr = raw.astype(dt)
+        outd[k] = arr.reshape(v.shape) if v.ndim else arr[0]
+    return outd
+
+
 def _fetch_encode_outputs(out, error_mode: bool):
     """Transfer device encode outputs to host via the sparse coefficient
     exchange (core.transfer).
@@ -526,9 +580,7 @@ def _fetch_encode_outputs(out, error_mode: bool):
     with stage("enc: small fetch (+compute)"):
         small = {k: v for k, v in out.items()
                  if k not in ("vals_comb", "sig_comb")}
-        transfer.count_down(sum(getattr(v, "nbytes", 0)
-                                for v in small.values() if v is not None))
-        small = jax.device_get(small)
+        small = _fetch_small_packed(small)
 
     nl, b, d0, hp, wb = out["sig_comb"].shape
     wp = wb * 8
@@ -996,23 +1048,24 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
         if use_bytes:
             g8, g_ov, v8, v_ov = transfer.byte_pack_sparse_host(idx, vals)
-            g8_up = np.zeros(cap, np.uint8)
-            g8_up[: g8.size] = g8
-            v8_up = np.zeros(cap, np.uint8)
-            v8_up[: v8.size] = v8
             gcap = transfer.overflow_bucket(max(1, g_ov.size))
             vcap = transfer.overflow_bucket(max(1, v_ov.size))
-            g_ov_up = np.zeros(gcap, np.int32)
-            g_ov_up[: g_ov.size] = g_ov
-            v_ov_up = np.zeros(vcap, np.int32)
-            v_ov_up[: v_ov.size] = v_ov
-            transfer.count_up(2 * cap + 4 * (gcap + vcap)
-                              + sum(a.nbytes for a in scalars))
+            # One buffer per dtype -> three uploads total (latency, not
+            # bandwidth, prices small transfers on a tunneled link).
+            bytes_u8 = np.zeros(2 * cap, np.uint8)
+            bytes_u8[: g8.size] = g8
+            bytes_u8[cap: cap + v8.size] = v8
+            ints = np.zeros(gcap + vcap + 2 * n + 1, np.int32)
+            ints[: g_ov.size] = g_ov
+            ints[gcap: gcap + v_ov.size] = v_ov
+            ints[gcap + vcap: gcap + vcap + n] = base_cut
+            ints[gcap + vcap + n: gcap + vcap + 2 * n] = res_cut
+            ints[gcap + vcap + 2 * n] = idx.size
+            floats = np.stack([minval, maxval, rmin, rmax]).astype(np.float32)
+            transfer.count_up(bytes_u8.nbytes + ints.nbytes + floats.nbytes)
             out = kernels.decode_batch_sparse_bytes(
-                jax.device_put(g8_up), jax.device_put(g_ov_up),
-                jax.device_put(v8_up), jax.device_put(v_ov_up),
-                jax.device_put(np.int32(idx.size)),
-                *(jax.device_put(a) for a in scalars), **kw)
+                jax.device_put(bytes_u8), jax.device_put(ints),
+                jax.device_put(floats), cap=cap, gcap=gcap, vcap=vcap, **kw)
             return out, const_mask, minval
         if use_bitmap:
             sigb = np.zeros(2 * n * sc, np.uint8)

@@ -494,17 +494,19 @@ def decode_batch_sparse_bitmap(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
-                     "grid_shape", "use_pallas"),
+    static_argnames=("cap", "gcap", "vcap", "base_levels", "res_levels",
+                     "out_hw", "has_residual", "grid_shape", "use_pallas"),
 )
 def decode_batch_sparse_bytes(
-    g8,             # (cap,) uint8 position gaps, 255-escaped
-    g_ov,           # (gcap,) int32 escaped gaps, in order
-    v8,             # (cap,) uint8 zigzag values, 255-escaped
-    v_ov,           # (vcap,) int32 escaped zigzag values, in order
-    nnz,            # () int32 valid count
-    base_cut, res_cut, minval, maxval, rmin, rmax,
+    bytes_u8,       # (2*cap,) uint8: [position gaps | zigzag values],
+                    # each 255-escaped (transfer.byte_pack_sparse_host)
+    ints_i32,       # (gcap+vcap+2*B+1,) int32:
+                    # [gap escapes | value escapes | base_cut | res_cut | nnz]
+    floats_f32,     # (4, B) float32: [minval, maxval, rmin, rmax]
     *,
+    cap: int,
+    gcap: int,
+    vcap: int,
     base_levels: int = 5,
     res_levels: int = 3,
     out_hw=(721, 1440),
@@ -516,8 +518,22 @@ def decode_batch_sparse_bytes(
     byte-coded gaps + zigzag values with escape side arrays
     (``transfer.byte_pack_sparse_host``).  Replaces the dense-bitmap /
     int32-index uploads whenever the host parse produced sorted sparse
-    coefficients — the upload leg then scales with nnz, not the grid."""
+    coefficients — the upload leg then scales with nnz, not the grid.
+
+    The operands arrive consolidated into three buffers (one per dtype) so
+    the whole upload is three link transfers instead of eleven — on a
+    high-latency link the per-transfer round trip otherwise dominates."""
     s = int(np.prod(grid_shape))
+    b = grid_shape[0]
+    g8 = bytes_u8[:cap]
+    v8 = bytes_u8[cap:]
+    g_ov = ints_i32[:gcap]
+    v_ov = ints_i32[gcap:gcap + vcap]
+    base_cut = ints_i32[gcap + vcap:gcap + vcap + b]
+    res_cut = ints_i32[gcap + vcap + b:gcap + vcap + 2 * b]
+    nnz = ints_i32[gcap + vcap + 2 * b]
+    minval, maxval, rmin, rmax = (floats_f32[0], floats_f32[1],
+                                  floats_f32[2], floats_f32[3])
     idx, vals = transfer.byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz)
     qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
     return _decode_from_qflat(
