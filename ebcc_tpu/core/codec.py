@@ -593,23 +593,21 @@ def _fetch_encode_outputs(out, error_mode: bool):
     if nnz > 0 and _rice_enabled():
         # Fast path: a separate device program (sized to the ACTUAL nnz via
         # the bucket ladder) compacts positions+values and Rice-packs both;
-        # one optimistic fetch sized from typical entropy, tail on overflow.
-        total = int(out["vals_comb"].shape[0])
+        # a 4-byte size fetch then prices the payload fetch exactly.
         cap = transfer.bucket_count(nnz)
         with stage(f"enc: compact+rice fetch {nnz} vals"):
-            words_dev, _ = transfer.compact_rice_exchange(
+            words_dev, needed_dev = transfer.compact_rice_exchange(
                 out["vals_comb"], out["sig_comb"].reshape(-1), cap=cap)
-            bound = min(transfer.pair_bound_words(nnz, total),
+            # Exact-size fetch: one extra 4-byte round trip for the true
+            # word count beats the optimistic-bound fetch by ~2.5x in
+            # bytes (the bound must assume ~18 bits/value; typical is ~7),
+            # and the pipeline's fetch workers hide the added latency.
+            need = int(jax.device_get(needed_dev))
+            transfer.count_down(4)
+            bound = min(transfer.bucket_count(need),
                         int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound]))
             transfer.count_down(4 * bound)
-            need = (transfer.RICE_PAIR_HEADER_WORDS
-                    + (int(head[0]) + 31) // 32 + (int(head[2]) + 31) // 32)
-            if need > bound:  # rare: high-entropy values
-                tail = np.asarray(jax.device_get(
-                    words_dev[bound:transfer.bucket_count(need)]))
-                transfer.count_down(tail.nbytes)
-                head = np.concatenate([head, tail])
             ga, vb_ = transfer.split_rice_pair(head, nnz)
             from .. import native
             gaps = native.rice_decode(ga, nnz)

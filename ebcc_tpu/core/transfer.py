@@ -325,17 +325,6 @@ def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int):
     return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap)
 
 
-def pair_bound_words(nnz: int, total: int) -> int:
-    """Optimistic fetch size for a :func:`rice_pack_pair` buffer: gap codes
-    ~(log2(total/nnz) + 3) bits, value codes ~14 bits at typical bounds;
-    the self-describing header triggers a tail fetch when exceeded."""
-    import math
-
-    gap_bits = max(1, int(math.log2(max(2, total // max(nnz, 1)))) + 3)
-    est_bits = nnz * (gap_bits + 14)
-    return RICE_PAIR_HEADER_WORDS + bucket_count(est_bits // 32 + 4)
-
-
 def split_rice_pair(head: np.ndarray, nnz: int):
     """Host-side: split a fetched :func:`rice_pack_pair` buffer into the two
     2-word-headered streams ``native.rice_decode`` understands."""

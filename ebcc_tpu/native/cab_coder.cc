@@ -37,11 +37,14 @@ namespace {
 
 struct BinProb {
   uint16_t p0 = 1 << 11; /* P(bit == 0), 12-bit fixed point */
+  uint16_t hits = 0;     /* two-speed: adapt fast until warmed up */
   inline void update(int bit) {
+    const int sh = hits < 32 ? 4 : 5;
+    if (hits < 32) ++hits;
     if (bit)
-      p0 -= p0 >> 5;
+      p0 -= p0 >> sh;
     else
-      p0 += (4096 - p0) >> 5;
+      p0 += (4096 - p0) >> sh;
   }
 };
 
@@ -148,8 +151,10 @@ void build_class_map(int hp, int wp, int levels, std::vector<uint8_t> *cls) {
 
 constexpr int kSigCtx = 4 * 9 * 2; /* orientation x neighbors x parent-sig */
 constexpr int kSignCtx = 9;
-constexpr int kRefCtx = 2;
-constexpr int kRunLen = 4; /* row-group length for run mode */
+constexpr int kRefCtx = 3; /* first-no-neighbors / first-with / later */
+constexpr int kRunLen = 4;  /* row-group length for run mode */
+constexpr int kSegLen = 16; /* hierarchical segment: 4 run groups */
+constexpr int kSupLen = 64; /* super-segment: 4 segments */
 
 struct Contexts {
   BinProb sig[kSigCtx];
@@ -157,6 +162,8 @@ struct Contexts {
   BinProb ref[kRefCtx];
   BinProb run;       /* "any of the 4 becomes significant" */
   BinProb runpos[2]; /* 2-bit break position, MSB first */
+  BinProb seg;       /* "any of a 16-wide all-eligible segment" */
+  BinProb sup;       /* "any of a 64-wide all-eligible super-segment" */
 
   /* Skewed priors: significance bits are mostly 0 (sparse planes) and run
    * groups mostly stay zero, so starting those contexts at P(0)=0.8/0.9
@@ -165,6 +172,8 @@ struct Contexts {
   Contexts() {
     for (auto &c : sig) c.p0 = (uint16_t)(4096 * 4 / 5);
     run.p0 = (uint16_t)(4096 * 9 / 10);
+    seg.p0 = (uint16_t)(4096 * 9 / 10);
+    sup.p0 = (uint16_t)(4096 * 9 / 10);
   }
 };
 
@@ -259,7 +268,12 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             }
             if (bit) code_newly_significant(c, i, byte, mask);
           } else {
-            const int rc = refined[i] ? 1 : 0;
+            /* EBCOT's 3 magnitude-refinement contexts: the first
+             * refinement distinguishes active neighborhoods. */
+            const int rc = refined[i]
+                ? 2
+                : (neighbor_sig_count(sig.data(), r, c, hp, wp, base) ? 1
+                                                                      : 0);
             if (kEncode) {
               const int bit = (plane[byte] & mask) ? 1 : 0;
               enc->encode(bit, &ctx.ref[rc]);
@@ -274,16 +288,61 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
          * parent), codes ONE "any" bit; on a break, a 2-bit position.
          * Eligibility depends only on coder state already shared with the
          * decoder, so both sides agree on when the mode engages. */
-        for (int c0 = 0; c0 < wp; c0 += kRunLen) {
-          bool elig = true;
-          for (int k = 0; k < kRunLen && elig; ++k) {
+        auto group_elig = [&](int c0) {
+          for (int k = 0; k < kRunLen; ++k) {
             const int c = c0 + k;
             const size_t i = base + (size_t)r * wp + c;
             if (sig[i] ||
                 sig[base + (size_t)(r >> 1) * wp + (c >> 1)] ||
                 neighbor_sig_count(sig.data(), r, c, hp, wp, base) != 0)
-              elig = false;
+              return false;
           }
+          return true;
+        };
+        auto range_elig = [&](int a, int b) {
+          for (int c0 = a; c0 < b; c0 += kRunLen)
+            if (!group_elig(c0)) return false;
+          return true;
+        };
+        auto range_any = [&](int a, int b) {
+          for (int c = a; c < b; ++c) {
+            const size_t byte = bbase + (size_t)r * wb + c / 8;
+            if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) return 1;
+          }
+          return 0;
+        };
+        /* Hierarchical skip (zerotree-flavoured): a 64-wide super-segment
+         * of all-eligible groups codes ONE "any" bit, then each 16-wide
+         * segment one more — sparse top planes cost ~1 coded bit per 64
+         * coefficients instead of 16 run bits.  Eligibility depends only
+         * on coder state shared with the decoder (and the zero branches
+         * change no state), so both sides agree. */
+        for (int u0 = 0; u0 < wp; u0 += kSupLen) {
+          const int uend = u0 + kSupLen <= wp ? u0 + kSupLen : wp;
+          if ((uend - u0) == kSupLen && range_elig(u0, uend)) {
+            int sup_any;
+            if (kEncode) {
+              sup_any = range_any(u0, uend);
+              enc->encode(sup_any, &ctx.sup);
+            } else {
+              sup_any = dec->decode(&ctx.sup);
+            }
+            if (!sup_any) continue; /* all 64 stay zero this plane */
+          }
+        for (int s0 = u0; s0 < uend; s0 += kSegLen) {
+          const int send = s0 + kSegLen <= uend ? s0 + kSegLen : uend;
+          if ((send - s0) == kSegLen && range_elig(s0, send)) {
+            int seg_any;
+            if (kEncode) {
+              seg_any = range_any(s0, send);
+              enc->encode(seg_any, &ctx.seg);
+            } else {
+              seg_any = dec->decode(&ctx.seg);
+            }
+            if (!seg_any) continue; /* all 16 stay zero this plane */
+          }
+        for (int c0 = s0; c0 < send; c0 += kRunLen) {
+          bool elig = group_elig(c0);
           int cstart = c0;
           if (elig) {
             int any;
@@ -325,6 +384,8 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             cstart = c + 1;
           }
           for (int c = cstart; c < c0 + kRunLen; ++c) code_position(c);
+        }
+        }
         }
       }
     }
