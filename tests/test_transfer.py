@@ -158,16 +158,18 @@ def test_byte_pack_sparse_roundtrip(n, density):
     vals = vals_dense[idx]
     if idx.size == 0:
         return
-    g8, g_ov, v8, v_ov = transfer.byte_pack_sparse_host(idx, vals)
+    g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(idx, vals)
     cap = transfer.bucket_count(idx.size)
     g8u = np.zeros(cap, np.uint8); g8u[: g8.size] = g8
     v8u = np.zeros(cap, np.uint8); v8u[: v8.size] = v8
     gcap = transfer.overflow_bucket(max(1, g_ov.size))
-    vcap = transfer.overflow_bucket(max(1, v_ov.size))
+    vcap = transfer.overflow_bucket(max(1, v_ov16.size))
+    wcap = transfer.overflow_bucket(max(1, v_ov32.size))
     govu = np.zeros(gcap, np.int32); govu[: g_ov.size] = g_ov
-    vovu = np.zeros(vcap, np.int32); vovu[: v_ov.size] = v_ov
+    vov16u = np.zeros(vcap, np.uint16); vov16u[: v_ov16.size] = v_ov16
+    vov32u = np.zeros(wcap, np.int32); vov32u[: v_ov32.size] = v_ov32
     didx, dvals = jax.jit(transfer.byte_unpack_sparse)(
-        g8u, govu, v8u, vovu, np.int32(idx.size))
+        g8u, govu, v8u, vov16u, vov32u, np.int32(idx.size))
     didx = np.asarray(didx)[: idx.size]
     dvals = np.asarray(dvals)[: idx.size]
     np.testing.assert_array_equal(didx, idx)
