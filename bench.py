@@ -255,25 +255,36 @@ def _device_main():
         def _compute_roundtrip(xb):
             o = _k.encode_batch(xb, jnp.float32(ERROR_TARGET),
                                 jnp.float32(1e-6))
+            # The exchange ships base values at store_cut (finer, to serve
+            # the pure-base candidate); the residual corrects the base AT
+            # base_cut — re-truncate like the host assembly does.
+            s_ = nb * 1 * hp * wpd
+            qb = o["vals_comb"][:s_].reshape(nb, -1)
+            sh = (o["base_cut"] - o["store_cut"])[:, None]
+            qb = jnp.where(qb < 0, -((-qb) >> sh), qb >> sh).reshape(-1)
+            qflat = jnp.concatenate([qb, o["vals_comb"][s_:]])
             rec = _k._decode_from_qflat(
-                o["vals_comb"], o["store_cut"], o["res_cut"], o["minval"],
+                qflat, o["base_cut"], o["res_cut"], o["minval"],
                 o["maxval"], o["rmin"], o["rmax"], base_levels=5,
                 res_levels=3, out_hw=(H, W), has_residual=True,
                 grid_shape=(nb, 1, hp, wpd), use_pallas=True)
-            return jnp.abs(rec - xb).max()
+            err = rec - xb
+            m = err.mean(axis=(1, 2, 3), keepdims=True)
+            return jnp.abs(err - m).max()  # centered = the bound criterion
 
         xc = x_dev[:nb]
         _ = float(jax.device_get(_compute_roundtrip(xc)))  # compile
         reps = 4
-        t0 = time.perf_counter()
+        tc0 = time.perf_counter()
         errs = [_compute_roundtrip(xc + jnp.float32(1e-6 * (r + 1)))
                 for r in range(reps)]
         mx = float(jax.device_get(jnp.stack(errs).max()))
-        dtc = time.perf_counter() - t0
+        dtc = time.perf_counter() - tc0
         assert mx <= bound * 1.01, mx
         device_compute_pts = nb * H * W * reps / dtc
-    except Exception:
-        pass
+    except Exception as e:
+        print("device-compute proxy unavailable: %r" % (e,),
+              file=sys.stderr)
 
     # Serial native C++ codec on one frame: a MEASURED on-this-machine
     # stand-in for the reference's serial C codec (same algorithm family,

@@ -597,7 +597,8 @@ def _fetch_encode_outputs(out, error_mode: bool):
         cap = transfer.bucket_count(nnz)
         with stage(f"enc: compact+rice fetch {nnz} vals"):
             words_dev, needed_dev = transfer.compact_rice_exchange(
-                out["vals_comb"], out["sig_comb"].reshape(-1), cap=cap)
+                out["vals_comb"], out["sig_comb"].reshape(-1), cap=cap,
+                hw=(hp, wp))
             # Exact-size fetch: one extra 4-byte round trip for the true
             # word count beats the optimistic-bound fetch by ~2.5x in
             # bytes (the bound must assume ~18 bits/value; typical is ~7),
@@ -611,8 +612,12 @@ def _fetch_encode_outputs(out, error_mode: bool):
             ga, vb_ = transfer.split_rice_pair(head, nnz)
             from .. import native
             gaps = native.rice_decode(ga, nnz)
-            vals = native.rice_decode(vb_, nnz)
             idx = (np.cumsum(gaps.astype(np.int64) + 1) - 1).astype(np.int32)
+            cls = transfer.coeff_class_host(idx, hp, wp)
+            ks = np.array([(int(vb_[1]) >> (4 * i)) & 15
+                           for i in range(transfer.RICE_NUM_CLASSES)],
+                          np.uint8)
+            vals = native.rice_decode_classed(vb_, nnz, cls, ks)
         small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
         return small
 

@@ -202,45 +202,98 @@ def rice_bound_words(nnz: int) -> int:
 # and the compressed pair buffer.  ~1 byte per significant coefficient
 # replaces ~(grid/8 + 6*nnz) bytes, and the index upload disappears.
 
-RICE_PAIR_HEADER_WORDS = 4  # [gap_bits, gap_k, val_bits, val_k]
+RICE_PAIR_HEADER_WORDS = 4  # [gap_bits, gap_k, val_bits, val_ks_packed]
+
+# Subband-class count for the classed value stream: wavelet magnitudes vary
+# by orders of magnitude across decomposition levels, so the value stream
+# codes each coefficient with its class's Rice parameter (saves ~4 bits per
+# value on ERA5 data vs one global k).  The class of a padded-grid position
+# is integer-exact on both sides: cls = clip(min(lr, lc), 0, 7) with
+# lr = floor(log2(hp // (r+1))) (and lc likewise) — 0 = finest bands.
+RICE_NUM_CLASSES = 8
+
+
+def _floor_log2_int(t):
+    """floor(log2(t)) for positive int32, exact (t fits float32 exactly
+    below 2^24 and log2 of powers of two is IEEE-exact)."""
+    return jnp.floor(jnp.log2(jnp.maximum(t, 1).astype(jnp.float32))
+                     ).astype(jnp.int32)
+
+
+def coeff_class(pos, hp: int, wp: int):
+    """Subband class of flat positions into a (..., Hp, Wp) grid (device)."""
+    r = (pos // wp) % hp
+    c = pos % wp
+    lr = _floor_log2_int(hp // (r + 1))
+    lc = _floor_log2_int(wp // (c + 1))
+    return jnp.clip(jnp.minimum(lr, lc), 0, RICE_NUM_CLASSES - 1)
+
+
+def coeff_class_host(pos: np.ndarray, hp: int, wp: int) -> np.ndarray:
+    """Host mirror of :func:`coeff_class` (same integer-exact formula)."""
+    r = (pos // wp) % hp
+    c = pos % wp
+    lr = np.floor(np.log2(np.maximum(hp // (r + 1), 1))).astype(np.int64)
+    lc = np.floor(np.log2(np.maximum(wp // (c + 1), 1))).astype(np.int64)
+    return np.clip(np.minimum(lr, lc), 0, RICE_NUM_CLASSES - 1).astype(
+        np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int):
+def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, b_cls=None):
     """Rice-pack TWO signed int32 (cap,) vectors (first ``nnz`` entries
     valid) into one uint32 buffer.
 
-    Layout: words[0..3] = [bits_a, k_a, bits_b, k_b]; payload region starts
-    at word 4 with stream a at bit 0 and stream b at the first WORD boundary
-    after stream a (so the host can hand each stream to the existing
-    ``native.rice_decode`` by prepending a synthetic 2-word header).
+    Layout: words[0..3] = [bits_a, k_a, bits_b, ks_b_packed]; payload region
+    starts at word 4 with stream a at bit 0 and stream b at the first WORD
+    boundary after stream a (so the host can hand each stream to the
+    native Rice readers by prepending a synthetic 2-word header).
     Same per-value code as :func:`rice_pack`.
+
+    ``b_cls``: optional per-element subband class for stream b — each class
+    gets its own Rice parameter (packed 4 bits each into header word 3).
+    Without it, word 3 holds the single k for stream b.
     """
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < nnz
     nnzf = jnp.maximum(nnz, 1).astype(jnp.float32)
     one = jnp.uint32(1)
 
-    def plan(v):
+    def plan(v, cls=None):
         v = jnp.where(valid, v.astype(jnp.int32), 0)
         z = ((v << 1) ^ (v >> 31)).astype(jnp.uint32)
-        mean = z.astype(jnp.float32).sum() / nnzf
-        k = jnp.clip(jnp.floor(jnp.log2(mean + 1.0)), 0,
-                     31 - RICE_ESC).astype(jnp.uint32)
-        q = (z >> k).astype(jnp.int32)
+        if cls is None:
+            mean = z.astype(jnp.float32).sum() / nnzf
+            k = jnp.clip(jnp.floor(jnp.log2(mean + 1.0)), 0,
+                         31 - RICE_ESC).astype(jnp.uint32)
+            kvec = k
+            khdr = k
+        else:
+            zf = z.astype(jnp.float32)
+            csum = jax.ops.segment_sum(jnp.where(valid, zf, 0.0), cls,
+                                       num_segments=RICE_NUM_CLASSES)
+            ccnt = jax.ops.segment_sum(valid.astype(jnp.float32), cls,
+                                       num_segments=RICE_NUM_CLASSES)
+            cmean = csum / jnp.maximum(ccnt, 1.0)
+            ks = jnp.clip(jnp.floor(jnp.log2(cmean + 1.0)), 0,
+                          31 - RICE_ESC).astype(jnp.uint32)
+            kvec = ks[cls]
+            khdr = (ks << (4 * jnp.arange(RICE_NUM_CLASSES,
+                                          dtype=jnp.uint32))).sum()
+        q = (z >> kvec).astype(jnp.int32)
         esc = q >= RICE_ESC
         lens = jnp.where(
             valid,
-            jnp.where(esc, RICE_ESC + 32, q + 1 + k.astype(jnp.int32)), 0)
+            jnp.where(esc, RICE_ESC + 32, q + 1 + kvec.astype(jnp.int32)), 0)
         qq = jnp.minimum(q, RICE_ESC).astype(jnp.uint32)
         ones = (one << qq) - one
-        rem = z & ((one << k) - one)
+        rem = z & ((one << kvec) - one)
         lo = jnp.where(esc, ones | (z << RICE_ESC), ones | (rem << (qq + 1)))
         hi = jnp.where(esc, z >> (32 - RICE_ESC), jnp.uint32(0))
-        return k, lens, lo, hi
+        return khdr, lens, lo, hi
 
     ka, lens_a, lo_a, hi_a = plan(a_vals)
-    kb, lens_b, lo_b, hi_b = plan(b_vals)
+    kb, lens_b, lo_b, hi_b = plan(b_vals, b_cls)
     off_a = jnp.cumsum(lens_a) - lens_a
     bits_a = off_a[-1] + lens_a[-1]
     start_b = ((bits_a + 31) >> 5) << 5  # word-aligned
@@ -272,8 +325,8 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int):
     return words, words_needed.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "hw"))
+def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int, hw=None):
     """Device-side encode-direction exchange: flat int32 coefficient vector
     + its packed significance bitmap -> (words, words_needed).
 
@@ -322,7 +375,11 @@ def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int):
     vv = jnp.take(vals_flat, pos)
     prev_pos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
     gaps = pos - prev_pos - 1  # >= 0 in the valid region; padding masked
-    return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap)
+    # ``hw`` enables the subband-classed value stream (~4 bits/value saved;
+    # the host recomputes classes from the decoded positions).
+    b_cls = coeff_class(pos, hw[0], hw[1]) if hw is not None else None
+    return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap,
+                          b_cls=b_cls)
 
 
 def split_rice_pair(head: np.ndarray, nnz: int):

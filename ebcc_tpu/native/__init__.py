@@ -99,6 +99,13 @@ def load(auto_build: bool = True):
         np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
         ctypes.c_size_t, ctypes.c_size_t,
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
+    lib.etpu_rice_decode_classed.restype = ctypes.c_size_t
+    lib.etpu_rice_decode_classed.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_size_t,
+        np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
     lib.etpu_planes_to_sparse.restype = ctypes.c_size_t
     lib.etpu_planes_to_sparse.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
@@ -213,6 +220,21 @@ def rice_decode(words: np.ndarray, nnz: int) -> np.ndarray:
     n = lib.etpu_rice_decode(words, words.size, nnz, out)
     if n != nnz:
         raise ValueError("corrupt rice exchange payload")
+    return out
+
+
+def rice_decode_classed(words: np.ndarray, nnz: int, cls: np.ndarray,
+                        ks: np.ndarray) -> np.ndarray:
+    """Decode the subband-classed Rice value stream: element i uses Rice
+    parameter ks[cls[i]] (transfer.rice_pack_pair with b_cls)."""
+    lib = load()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    cls = np.ascontiguousarray(cls, dtype=np.uint8)
+    ks = np.ascontiguousarray(ks, dtype=np.uint8)
+    out = np.empty(nnz, np.int32)
+    n = lib.etpu_rice_decode_classed(words, words.size, nnz, cls, ks, out)
+    if n != nnz:
+        raise ValueError("corrupt classed rice exchange payload")
     return out
 
 

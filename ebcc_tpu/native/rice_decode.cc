@@ -82,4 +82,31 @@ size_t etpu_rice_decode(const uint32_t *words, size_t n_words, size_t nnz,
   return nnz;
 }
 
+/* Classed variant: per-element Rice parameter ks[cls[i]] (the value stream
+ * of the pair exchange codes each coefficient with its subband class's k —
+ * wavelet magnitudes vary by orders of magnitude across levels, so a
+ * global k wastes ~4 bits/value on ERA5 data).  Header word 1 is ignored;
+ * the caller passes the unpacked k table.  -> nnz on success, 0 on error. */
+size_t etpu_rice_decode_classed(const uint32_t *words, size_t n_words,
+                                size_t nnz, const uint8_t *cls,
+                                const uint8_t *ks, int32_t *out) {
+  if (n_words < kHeaderWords) return 0;
+  BitReader br{words, n_words};
+  for (size_t i = 0; i < nnz; ++i) {
+    const uint32_t k = ks[cls[i] & 7];
+    if (k > 15) return 0;
+    const int q = br.count_ones_then_zero(kEsc);
+    if (q < 0) return 0;
+    uint32_t z;
+    if (q >= kEsc) {
+      z = br.take(32);
+    } else {
+      const uint32_t rem = k ? br.take((int)k) : 0;
+      z = ((uint32_t)q << k) | rem;
+    }
+    out[i] = (int32_t)(z >> 1) ^ -(int32_t)(z & 1); /* un-zigzag */
+  }
+  return nnz;
+}
+
 }  /* extern "C" */

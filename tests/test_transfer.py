@@ -189,3 +189,30 @@ def test_byte_upload_decode_matches_fallback(medium_frame, monkeypatch):
     monkeypatch.setenv("EBCC_NO_BYTE_UPLOAD", "1")
     b = codec.decode(blob)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n,density", [(65536, 0.1), (736 * 1440, 0.03)])
+def test_compact_rice_exchange_classed_roundtrip(n, density):
+    """Subband-classed value stream: device pack + host classed decode must
+    reproduce (idx, vals) exactly; classes derived identically on both
+    sides from positions."""
+    native = _native()
+    hp, wp = (256, 256) if n == 65536 else (736, 1440)
+    vals = _sparse_vals(n, density, lo=-60000, hi=60000, seed=9)
+    ref_idx = np.flatnonzero(vals)
+    nnz = ref_idx.size
+    cap = transfer.bucket_count(nnz)
+    words, wn = transfer.compact_rice_exchange(
+        vals, np.packbits(vals != 0), cap=cap, hw=(hp, wp))
+    head = np.asarray(jax.device_get(words))[: int(wn)]
+    ga, vb = transfer.split_rice_pair(head, nnz)
+    gaps = native.rice_decode(ga, nnz)
+    idx = np.cumsum(gaps.astype(np.int64) + 1) - 1
+    np.testing.assert_array_equal(idx, ref_idx)
+    cls = transfer.coeff_class_host(idx, hp, wp)
+    dev_cls = np.asarray(transfer.coeff_class(
+        jax.numpy.asarray(idx.astype(np.int32)), hp, wp))
+    np.testing.assert_array_equal(cls, dev_cls)
+    ks = np.array([(int(vb[1]) >> (4 * i)) & 15 for i in range(8)], np.uint8)
+    out = native.rice_decode_classed(vb, nnz, cls, ks)
+    np.testing.assert_array_equal(out, vals[ref_idx])
