@@ -272,13 +272,25 @@ def _device_main():
             m = err.mean(axis=(1, 2, 3), keepdims=True)
             return jnp.abs(err - m).max()  # centered = the bound criterion
 
-        xc = x_dev[:nb]
-        _ = float(jax.device_get(_compute_roundtrip(xc)))  # compile
         reps = 4
+
+        @jax.jit
+        def _compute_chain(xb):
+            # Chain reps INSIDE one program (carry creates a data
+            # dependency) so per-dispatch tunnel latency is amortized and
+            # the measurement reflects chip compute.
+            def body(carry, i):
+                e = _compute_roundtrip(
+                    xb + (carry * 0 + i.astype(jnp.float32)) * 1e-6)
+                return e, e
+            _, errs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(reps))
+            return errs.max()
+
+        xc = x_dev[:nb]
+        _ = float(jax.device_get(_compute_chain(xc)))  # compile
         tc0 = time.perf_counter()
-        errs = [_compute_roundtrip(xc + jnp.float32(1e-6 * (r + 1)))
-                for r in range(reps)]
-        mx = float(jax.device_get(jnp.stack(errs).max()))
+        mx = float(jax.device_get(_compute_chain(xc)))
         dtc = time.perf_counter() - tc0
         assert mx <= bound * 1.01, mx
         device_compute_pts = nb * H * W * reps / dtc

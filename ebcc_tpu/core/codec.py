@@ -1049,6 +1049,43 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                   and 4 * cap > (2 * n * sc) // 8)
     with stage("dec: upload sparse + decode"):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
+        if use_bytes and not os.environ.get("EBCC_NO_NIBBLE_UPLOAD"):
+            gt, vt = transfer.nibble_pack_sparse_host(idx, vals)
+            if (transfer.nibble_fits(gt, cap, "gap")
+                    and transfer.nibble_fits(vt, cap, "val")):
+                nb2 = (cap + 1) // 2
+                g8c, g16c, g32c = transfer.nib_tier_caps(cap, "gap")
+                v8c, v16c, v32c = transfer.nib_tier_caps(cap, "val")
+                bytes_u8 = np.zeros(
+                    2 * nb2 + g8c + v8c + 2 * (g16c + v16c), np.uint8)
+                o = 0
+                bytes_u8[o:o + nb2] = transfer.pack_nibbles(gt[0], cap)
+                o += nb2
+                bytes_u8[o:o + nb2] = transfer.pack_nibbles(vt[0], cap)
+                o += nb2
+                bytes_u8[o:o + gt[1].size] = gt[1]
+                o += g8c
+                bytes_u8[o:o + vt[1].size] = vt[1]
+                o += v8c
+                bytes_u8[o:o + 2 * gt[2].size] = gt[2].astype(
+                    "<u2").view(np.uint8)
+                o += 2 * g16c
+                bytes_u8[o:o + 2 * vt[2].size] = vt[2].astype(
+                    "<u2").view(np.uint8)
+                ints = np.zeros(g32c + v32c + 2 * n + 1, np.int32)
+                ints[: gt[3].size] = gt[3]
+                ints[g32c: g32c + vt[3].size] = vt[3]
+                ints[g32c + v32c: g32c + v32c + n] = base_cut
+                ints[g32c + v32c + n: g32c + v32c + 2 * n] = res_cut
+                ints[g32c + v32c + 2 * n] = idx.size
+                floats = np.stack([minval, maxval, rmin, rmax]).astype(
+                    np.float32)
+                transfer.count_up(bytes_u8.nbytes + ints.nbytes
+                                  + floats.nbytes)
+                out = kernels.decode_batch_sparse_nibble(
+                    jax.device_put(bytes_u8), jax.device_put(ints),
+                    jax.device_put(floats), cap=cap, **kw)
+                return out, const_mask, minval
         if use_bytes:
             g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(
                 idx, vals)

@@ -551,6 +551,68 @@ def decode_batch_sparse_bytes(
         use_pallas=use_pallas)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "base_levels", "res_levels", "out_hw",
+                     "has_residual", "grid_shape", "use_pallas"),
+)
+def decode_batch_sparse_nibble(
+    bytes_u8,       # packed tier buffer, layout below (transfer nibble pack)
+    ints_i32,       # [gap_s32 | val_s32 | base_cut | res_cut | nnz]
+    floats_f32,     # (4, B): [minval, maxval, rmin, rmax]
+    *,
+    cap: int,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
+):
+    """Decode-direction exchange at ~1.3 bytes per significant coefficient:
+    nibble-tiered gaps and zigzag values (transfer.nibble_pack_sparse_host).
+    Tier capacities are fixed functions of ``cap`` so this has the same
+    single static size axis as the byte variant; batches that overflow a
+    tier use the byte path instead (caller checks ``nibble_fits``).
+
+    bytes_u8 layout: [gap nibbles ((cap+1)//2) | val nibbles | gap u8 tier
+    | val u8 tier | gap u16 tier LE bytes | val u16 tier] with per-leg
+    tier capacities from ``nib_tier_caps``."""
+    s = int(np.prod(grid_shape))
+    b = grid_shape[0]
+    nb2 = (cap + 1) // 2
+    g8c, g16c, g32c = transfer.nib_tier_caps(cap, "gap")
+    v8c, v16c, v32c = transfer.nib_tier_caps(cap, "val")
+
+    o = 0
+    gn = bytes_u8[o:o + nb2]; o += nb2
+    vn = bytes_u8[o:o + nb2]; o += nb2
+    g8 = bytes_u8[o:o + g8c]; o += g8c
+    v8 = bytes_u8[o:o + v8c]; o += v8c
+
+    def u16le(seg):
+        return (seg[0::2].astype(jnp.uint16)
+                | (seg[1::2].astype(jnp.uint16) << 8))
+
+    g16 = u16le(bytes_u8[o:o + 2 * g16c]); o += 2 * g16c
+    v16 = u16le(bytes_u8[o:o + 2 * v16c])
+    g32 = ints_i32[:g32c]
+    v32 = ints_i32[g32c:g32c + v32c]
+    base_cut = ints_i32[g32c + v32c:g32c + v32c + b]
+    res_cut = ints_i32[g32c + v32c + b:g32c + v32c + 2 * b]
+    nnz = ints_i32[g32c + v32c + 2 * b]
+    minval, maxval, rmin, rmax = (floats_f32[0], floats_f32[1],
+                                  floats_f32[2], floats_f32[3])
+    idx, vals = transfer.nibble_unpack_sparse(
+        (gn, g8, g16, g32), (vn, v8, v16, v32), nnz)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
+    return _decode_from_qflat(
+        qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
+        base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
+        has_residual=has_residual, grid_shape=grid_shape,
+        use_pallas=use_pallas)
+
+
 def _decode_from_qflat(
     qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
     *, base_levels, res_levels, out_hw, has_residual, grid_shape, use_pallas,

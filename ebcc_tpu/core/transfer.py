@@ -5,26 +5,25 @@ accelerator codec (PCIe on a real TPU host; a far slower tunnel in this
 development environment).  Dense bitplane stacks cost 10-20 bits per grid
 point on the link; the information content at typical bounds is 1-3 bits.
 
-The exchange representation is (significance bitmap, compacted values):
+  encode direction (device -> host), ~1.3 B per significant coefficient:
+    1. the encode program's small outputs (cuts, ranges, nnz, ...) come
+       back bit-packed in ONE uint32 buffer (codec._fetch_small_packed);
+    2. a separate compaction program sized to the actual nnz
+       (:func:`compact_rice_exchange`) derives significant positions from
+       the packed significance bitmap with a two-level popcount select,
+       gathers the signed kept-values, and Rice-packs position GAPS and
+       values into one self-describing buffer — values coded with
+       per-subband-class Rice parameters (:func:`coeff_class`);
+    3. the host fetches a 4-byte exact size, then the payload, and the
+       native C++ readers (rice_decode / rice_decode_classed) expand it.
 
-  encode direction (device -> host):
-    1. the encode program emits a packed significance bitmap
-       (``|q| >> cut > 0``) — 1 bit per coefficient — fetched with the
-       scalar outputs;
-    2. the host takes ``np.flatnonzero`` of the bitmap (C speed) and uploads
-       the int32 index vector;
-    3. one device gather compacts the signed kept-values ``sign(q) *
-       (|q| >> cut)`` at those indices, a device-side Rice packer
-       (:func:`rice_pack`) turns them into a self-describing ~4-bit-per-
-       value stream, and the native C++ reader decodes it on the host
-       (int16 raw fetch as fallback); the host then rebuilds the dense
-       magnitude/sign planes with numpy for stream assembly.
-
-  decode direction (host -> device):
-    the host parses the stream, extracts (indices, values) the same way,
-    uploads both, and ONE device scatter rebuilds the coefficient field —
-    no bitplane stack ever crosses the link and the decode program needs no
-    per-plane unpacking at all.
+  decode direction (host -> device), ~1.3 B per significant coefficient:
+    the host parses the stream into sorted (positions, values) (C-speed
+    native sparse_unpack), tier-codes gaps and zigzag values into nibble /
+    u8 / u16 / int32 streams (:func:`nibble_pack_sparse_host`; byte and
+    bitmap/index forms remain as fallbacks), uploads one buffer per dtype,
+    and the device rebuilds (idx, vals) with cumsums + rank gathers and
+    ONE scatter — no bitplane stack ever crosses the link.
 
 Everything is either a dense vector op, a large-slice transfer, or an
 nnz-sized gather/scatter (element-granularity work scales with the number
@@ -469,6 +468,99 @@ def byte_unpack_sparse(g8, g_ov, v8, v_ov16, v_ov32, nnz):
         jnp.where(vof, z16.astype(jnp.int32), v8.astype(jnp.int32)))
     # un-zigzag with a LOGICAL right shift (z is a uint32 reinterpreted
     # through int32; an arithmetic shift would sign-extend large codes)
+    vals = (z.astype(jnp.uint32) >> 1).astype(jnp.int32) ^ -(z & 1)
+    return idx, vals
+
+
+# --- Nibble-tiered upload -------------------------------------------------
+#
+# Measured on ERA5 exchanges: ~95% of position gaps and ~84% of zigzag
+# values fit 4 bits.  The nibble tiering cuts the upload to ~1.3 B per
+# significant coefficient (from ~2.3 with plain byte coding): a packed
+# nibble primary stream, escaping (sentinel 15) to a u8 tier, then
+# (sentinel 255) to a u16 tier, then (sentinel 65535) to int32.  Every
+# tier's capacity is a fixed function of ``cap`` (below), so the device
+# program has a single static size axis; a batch whose tier counts exceed
+# the derived capacities falls back to the byte path (caller checks
+# :func:`nibble_fits`).
+
+NIB_ESC = 15
+
+
+def nib_tier_caps(cap: int, leg: str):
+    """(u8, u16, i32) tier capacities derived from the main cap.
+
+    Fixed fractions per leg (measured on ERA5 exchanges: ~5% of gaps and
+    ~17% of values escape the nibble tier) — static functions of ``cap``
+    so the device program keeps a single size axis; batches beyond these
+    rates fall back to the byte path."""
+    if leg == "gap":
+        return cap // 8 + 4, cap // 64 + 4, cap // 256 + 16
+    return cap // 4 + 4, cap // 24 + 4, cap // 256 + 16
+
+
+def _tier_split(x: np.ndarray):
+    nib = np.where(x >= NIB_ESC, NIB_ESC, x).astype(np.uint8)
+    e1 = x[x >= NIB_ESC]
+    b8 = np.where(e1 >= 0xFF, 0xFF, e1).astype(np.uint8)
+    e2 = e1[e1 >= 0xFF]
+    b16 = np.where(e2 >= 0xFFFF, 0xFFFF, e2).astype(np.uint16)
+    b32 = e2[e2 >= 0xFFFF].astype(np.int64).astype(np.uint32).astype(
+        np.int32)
+    return nib, b8, b16, b32
+
+
+def nibble_pack_sparse_host(idx: np.ndarray, vals: np.ndarray):
+    """Host-side: sorted positions + signed values -> per-leg tier arrays
+    ((gap_nib, gap8, gap16, gap32), (val_nib, val8, val16, val32))."""
+    gaps = np.diff(idx.astype(np.int64), prepend=-1) - 1
+    v = vals.astype(np.int32)
+    z = ((v.astype(np.int64) << 1) ^ (v >> 31))
+    return _tier_split(gaps), _tier_split(z)
+
+
+def nibble_fits(tiers, cap: int, leg: str) -> bool:
+    c8, c16, c32 = nib_tier_caps(cap, leg)
+    _, b8, b16, b32 = tiers
+    return b8.size <= c8 and b16.size <= c16 and b32.size <= c32
+
+
+def pack_nibbles(nib: np.ndarray, cap: int) -> np.ndarray:
+    """(n,) uint8 nibbles -> ((cap+1)//2,) packed bytes (low nibble first)."""
+    out = np.zeros(2 * ((cap + 1) // 2), np.uint8)
+    out[: nib.size] = nib
+    return (out[0::2] | (out[1::2] << 4)).astype(np.uint8)
+
+
+def _untier(nibs_packed, s8, s16, s32, valid):
+    i = jnp.arange(valid.shape[0], dtype=jnp.int32)
+    byte = jnp.take(nibs_packed, i >> 1)
+    nib = jnp.where((i & 1) == 1, byte >> 4, byte & 0xF).astype(jnp.int32)
+    e1 = (nib == NIB_ESC) & valid
+    r1 = jnp.cumsum(e1.astype(jnp.int32)) - 1
+    v8 = jnp.take(s8, jnp.clip(r1, 0, s8.shape[0] - 1))
+    e2 = e1 & (v8 == jnp.uint8(0xFF))
+    r2 = jnp.cumsum(e2.astype(jnp.int32)) - 1
+    v16 = jnp.take(s16, jnp.clip(r2, 0, s16.shape[0] - 1))
+    e3 = e2 & (v16 == jnp.uint16(0xFFFF))
+    r3 = jnp.cumsum(e3.astype(jnp.int32)) - 1
+    v32 = jnp.take(s32, jnp.clip(r3, 0, s32.shape[0] - 1))
+    return jnp.where(
+        e3, v32,
+        jnp.where(e2, v16.astype(jnp.int32),
+                  jnp.where(e1, v8.astype(jnp.int32), nib)))
+
+
+def nibble_unpack_sparse(gap_tiers, val_tiers, nnz):
+    """Device-side inverse of :func:`nibble_pack_sparse_host` ->
+    (idx, vals); idx padding -1.  ``*_tiers`` = (nibs_packed, s8, s16, s32)
+    device arrays; traced (jit inside the caller)."""
+    cap = 2 * gap_tiers[0].shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < nnz
+    g = _untier(*gap_tiers, valid)
+    idx = jnp.cumsum(jnp.where(valid, g + 1, 0)) - 1
+    idx = jnp.where(valid, idx, -1)
+    z = _untier(*val_tiers, valid)
     vals = (z.astype(jnp.uint32) >> 1).astype(jnp.int32) ^ -(z & 1)
     return idx, vals
 

@@ -216,3 +216,59 @@ def test_compact_rice_exchange_classed_roundtrip(n, density):
     ks = np.array([(int(vb[1]) >> (4 * i)) & 15 for i in range(8)], np.uint8)
     out = native.rice_decode_classed(vb, nnz, cls, ks)
     np.testing.assert_array_equal(out, vals[ref_idx])
+
+
+@pytest.mark.parametrize("n,density", [
+    (8192, 0.05), (65536, 0.25), (5000, 0.6),
+])
+def test_nibble_pack_sparse_roundtrip(n, density):
+    """Nibble-tiered upload: host pack -> device unpack reproduces
+    (idx, vals) exactly through all four tiers (wavelet-like geometric
+    magnitudes with a heavy-tail sprinkle exercising u16/i32 tiers)."""
+    rng = np.random.default_rng(13)
+    vals_dense = np.zeros(n, np.int32)
+    k = max(1, int(n * density))
+    pos = rng.choice(n, size=k, replace=False)
+    mag = np.maximum(1, rng.geometric(0.3, size=k))
+    heavy = rng.random(k) < 0.02
+    mag = np.where(heavy, rng.integers(200, 100000, size=k), mag)
+    sign = np.where(rng.random(k) < 0.5, -1, 1)
+    vals_dense[pos] = (sign * mag).astype(np.int32)
+    idx = np.flatnonzero(vals_dense).astype(np.int64)
+    vals = vals_dense[idx]
+    gt, vt = transfer.nibble_pack_sparse_host(idx, vals)
+    cap = transfer.bucket_count(idx.size)
+    if not (transfer.nibble_fits(gt, cap, "gap")
+            and transfer.nibble_fits(vt, cap, "val")):
+        pytest.skip("tier overflow for this distribution")
+
+    def tiers(t, leg):
+        c8, c16, c32 = transfer.nib_tier_caps(cap, leg)
+        nibs = transfer.pack_nibbles(t[0], cap)
+        s8 = np.zeros(c8, np.uint8); s8[: t[1].size] = t[1]
+        s16 = np.zeros(c16, np.uint16); s16[: t[2].size] = t[2]
+        s32 = np.zeros(c32, np.int32); s32[: t[3].size] = t[3]
+        return (jax.numpy.asarray(nibs), jax.numpy.asarray(s8),
+                jax.numpy.asarray(s16), jax.numpy.asarray(s32))
+
+    didx, dvals = jax.jit(transfer.nibble_unpack_sparse)(
+        tiers(gt, "gap"), tiers(vt, "val"), np.int32(idx.size))
+    np.testing.assert_array_equal(np.asarray(didx)[: idx.size], idx)
+    np.testing.assert_array_equal(np.asarray(dvals)[: idx.size], vals)
+
+
+def test_nibble_upload_decode_matches_fallbacks(medium_frame, monkeypatch):
+    """decode via nibble upload == byte upload == bitmap/index fallback."""
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+    from ebcc_tpu.core import codec
+
+    cfg = CodecConfig(dims=(1, 256, 256), base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+    blob = codec.encode(medium_frame, cfg)
+    a = codec.decode(blob)
+    monkeypatch.setenv("EBCC_NO_NIBBLE_UPLOAD", "1")
+    b = codec.decode(blob)
+    monkeypatch.setenv("EBCC_NO_BYTE_UPLOAD", "1")
+    c = codec.decode(blob)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, c)
