@@ -42,7 +42,9 @@ ERROR_TARGET = float(os.environ.get("EBCC_BENCH_ERROR", "0.5"))
 # "max" (default) or "rel": BASELINE configs 2 vs 3 (RELATIVE_ERROR sweep
 # exercises the vectorized search the same way with per-chunk range targets)
 ERROR_MODE = os.environ.get("EBCC_BENCH_MODE", "max")
-REPS = int(os.environ.get("EBCC_BENCH_REPS", "3"))
+# Best-of-N: the dev tunnel's bandwidth swings minute to minute, so more
+# reps mainly buy a better chance of sampling a healthy-link window.
+REPS = int(os.environ.get("EBCC_BENCH_REPS", "5"))
 
 
 def load_frames(n):
