@@ -33,9 +33,12 @@ from .config import (  # noqa: F401
 from .core.codec import (  # noqa: F401
     decode,
     decode_chunked,
+    decode_frames_device,
     encode,
     encode_chunked,
     encode_chunked_compat,
+    encode_frames_device,
+    roundtrip_frames_device,
 )
 
 # Subpackages (imported lazily by attribute access to keep import light):
