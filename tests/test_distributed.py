@@ -78,9 +78,19 @@ def test_two_process_distributed_encode(tmp_path):
     ranges = sorted((m["start"], m["stop"]) for m in metas)
     assert ranges[0][0] == 0 and ranges[0][1] == ranges[1][0]
 
-    # Merge parts -> byte-identical with single-process encode_chunked.
-    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR, decode_chunked, \
-        encode_chunked
+    # Single-process reference from the SAME worker (nprocs=1) in the same
+    # CPU environment — the byte-identity contract is per-platform (XLA
+    # CPU and TPU round differently), so the reference encode must not run
+    # on whatever backend the test process itself uses.
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    proc = subprocess.run(
+        [sys.executable, _WORKER, f"127.0.0.1:{_free_port()}", "1", "0",
+         str(ref_dir)],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR, decode_chunked
     from ebcc_tpu.parallel import multihost
 
     rng = np.random.default_rng(7)
@@ -92,6 +102,8 @@ def test_two_process_distributed_encode(tmp_path):
     parts = [(tmp_path / f"part{pid}.bin").read_bytes()
              for pid in range(nprocs)]
     blob = multihost.merge_container_parts(config, parts)
-    assert blob == encode_chunked(data, config)
+    ref_blob = multihost.merge_container_parts(
+        config, [(ref_dir / "part0.bin").read_bytes()])
+    assert blob == ref_blob
     out = decode_chunked(blob)
     assert np.abs(out - data).max() <= 0.1
