@@ -77,8 +77,44 @@ def test_beats_lossless_zstd(base_test_data):
     assert len(blob) < len(lossless)
 
 
-@pytest.mark.skipif(True, reason="third-party codecs (SPERR/SZ/SZ3 via "
-                    "hdf5plugin/enstools) not available in this image; "
-                    "parity gate mirrors the reference suite")
-def test_against_third_party_codecs():  # pragma: no cover
-    pass
+def test_against_third_party_codecs(base_test_data, tmp_path):
+    """Competitive comparison vs SZ3 and SZ at an equal absolute bound
+    (reference data/logs.txt rows; its suite reaches them through
+    hdf5plugin/enstools).  Gated on hdf5plugin (installed in CI; not in
+    every image).  Asserts: both respect the bound, and this codec's
+    stream is within 25% of (typically smaller than) the better of the
+    two on the real ERA5 frame."""
+    hdf5plugin = pytest.importorskip("hdf5plugin")
+    h5py = pytest.importorskip("h5py")
+
+    data = base_test_data.astype(np.float32)
+    target = 0.5
+    sizes = {}
+    for name, filt in (
+        ("sz3", getattr(hdf5plugin, "SZ3", None)),
+        ("sz", getattr(hdf5plugin, "SZ", None)),
+    ):
+        if filt is None:
+            continue
+        path = tmp_path / f"{name}.h5"
+        try:
+            with h5py.File(path, "w") as f:
+                f.create_dataset("v", data=data,
+                                 **filt(absolute=target))
+            with h5py.File(path, "r") as f:
+                out = f["v"][...]
+        except Exception:
+            continue  # codec missing from this hdf5plugin build
+        assert np.abs(out - data).max() <= target * 1.05, name
+        sizes[name] = path.stat().st_size
+    if not sizes:
+        pytest.skip("no SZ-family codec usable in this hdf5plugin build")
+
+    config = CodecConfig(dims=(1,) + data.shape, base_cr=30,
+                         residual_mode=RESIDUAL_MAX_ERROR, error=target,
+                         entropy_backend="auto")
+    blob = encode(data[None], config)
+    out = decode(blob).reshape(data.shape)
+    assert np.abs(out - data).max() <= target
+    best = min(sizes.values())
+    assert len(blob) < best * 1.25, (len(blob), sizes)
