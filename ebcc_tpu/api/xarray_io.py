@@ -44,7 +44,7 @@ def _plugin_dir() -> Optional[str]:
         native_mod.load()
     except Exception:
         return None
-    return str(native_mod.BUILD_DIR)
+    return native_mod.FILTER_DIR
 
 
 def _residual_opt(error: Optional[float], relative_error: Optional[float]

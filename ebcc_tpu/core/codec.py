@@ -23,9 +23,12 @@ backs the sharded multi-device encoder in ``ebcc_tpu.parallel``.
 
 from __future__ import annotations
 
+import functools  # noqa: F401  (decorators below)
 import os
 from typing import List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
@@ -454,12 +457,11 @@ def _fetch_rice_values(words_dev, nnz: int,
     One optimistic transfer sized for typical entropy; the tail is fetched
     only when the self-describing header says the payload overflowed the
     initial bound."""
-    import jax
-
     from .. import native
 
     bound = min(bound_words or transfer.rice_bound_words(nnz),
                 int(words_dev.shape[0]))
+    transfer.count_down(4 * bound)
     head = np.asarray(jax.device_get(words_dev[:bound]))
     need = transfer.RICE_HEADER_WORDS + (int(head[0]) + 31) // 32
     if need > bound:  # rare: high-entropy values
@@ -473,8 +475,6 @@ def _native_unpacker():
     """The native module for C-speed plane unpacking in the decode
     direction, or None (numpy fallback).  EBCC_NO_NATIVE_UNPACK=1 forces
     the fallback (tests)."""
-    import os
-
     if os.environ.get("EBCC_NO_NATIVE_UNPACK"):
         return None
     from .. import native
@@ -508,12 +508,6 @@ def _max_safe_batch(chunk_numel: int) -> int:
     return max(1, (2 ** 31 - 1) // (2 * max(1, chunk_numel)))
 
 
-import functools
-
-import jax
-import jax.numpy as jnp
-
-
 @jax.jit
 def _pack_small_program(small):
     """Bit-pack every small encode output into ONE uint32 vector so the
@@ -538,8 +532,6 @@ def _fetch_small_packed(small):
     """One-RPC fetch of the small encode outputs: device-side bit-pack
     (:func:`_pack_small_program`) + host-side split/bitcast back to the
     original dict of numpy arrays/scalars."""
-    import jax
-
     keys = sorted(small.keys())
     packed = _pack_small_program(small)
     transfer.count_down(packed.nbytes)
@@ -575,8 +567,6 @@ def _fetch_encode_outputs(out, error_mode: bool):
     Fallback (no native Rice decoder, or significance density above the
     compaction capacity): fetch the packed significance bitmap, upload the
     index vector, fetch the compacted values."""
-    import jax
-
     with stage("enc: small fetch (+compute)"):
         small = {k: v for k, v in out.items()
                  if k not in ("vals_comb", "sig_comb")}
@@ -590,10 +580,14 @@ def _fetch_encode_outputs(out, error_mode: bool):
         small["sparse"] = _SparseBatch(
             np.zeros(0, np.int32), np.zeros(0, np.int32), b, d0, hp, wp)
         return small
-    if nnz > 0 and _rice_enabled():
+    if (nnz > 0 and _rice_enabled()
+            and transfer.bucket_count(nnz) <= transfer.COMPACT_CAP_LIMIT):
         # Fast path: a separate device program (sized to the ACTUAL nnz via
         # the bucket ladder) compacts positions+values and Rice-packs both;
         # a 4-byte size fetch then prices the payload fetch exactly.
+        # Above COMPACT_CAP_LIMIT (extreme density) the bitmap fallback
+        # below both bounds device memory and avoids int32 bit-offset
+        # overflow in the pair packer.
         cap = transfer.bucket_count(nnz)
         with stage(f"enc: compact+rice fetch {nnz} vals"):
             words_dev, needed_dev = transfer.compact_rice_exchange(
@@ -622,9 +616,11 @@ def _fetch_encode_outputs(out, error_mode: bool):
         return small
 
     with stage("enc: bitmap fetch -> positions"):
+        transfer.count_down(out["sig_comb"].nbytes)
         sig = np.asarray(jax.device_get(out["sig_comb"]))
         idx = transfer.host_bitmap_positions(sig)
     cap = transfer.bucket_count(max(1, idx.size))
+    transfer.count_up(4 * cap)
     idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
 
     vals = None
@@ -638,6 +634,7 @@ def _fetch_encode_outputs(out, error_mode: bool):
     if vals is None:
         as16 = int(small["max_kept"]) < (1 << 15)
         with stage(f"enc: gather+fetch {idx.size} vals"):
+            transfer.count_down((2 if as16 else 4) * cap)
             vals = np.asarray(jax.device_get(transfer.gather_values(
                 out["vals_comb"], idx_dev, cap=cap,
                 as_int16=as16)))[: idx.size]
@@ -866,7 +863,6 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     produce the batch.  With ``sharding`` the batched sparse arrays are laid
     out over the mesh so the program runs SPMD.
     """
-    import jax
     from concurrent.futures import ThreadPoolExecutor
 
     headers, payloads = _parse_streams(streams)
@@ -1143,8 +1139,6 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
 
 def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
     """Host-resident decode: :func:`_decode_streams_device` + fetch."""
-    import jax
-
     out, const_mask, minval = _decode_streams_device(streams, sharding)
     transfer.count_down(out.nbytes)
     out = np.array(jax.device_get(out))  # copy: device_get can be read-only
@@ -1186,8 +1180,6 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
 
     ``max_batch`` pipelines host-side parsing/entropy decode of sub-batch
     k+1 under the device work of sub-batch k."""
-    import jax.numpy as jnp
-
     if max_batch is None or len(streams) <= max_batch:
         out, const_mask, minval = _decode_streams_device(streams)
         return out
@@ -1222,8 +1214,6 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
     the decoded batch returns in HBM.  Returns ``(streams, decoded)``.
     """
     from concurrent.futures import ThreadPoolExecutor
-
-    import jax.numpy as jnp
 
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
@@ -1476,8 +1466,6 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
     # Pipeline: parse/entropy-decode/upload of batch k+1 overlaps the
     # device work and output fetch of batch k.
     from concurrent.futures import ThreadPoolExecutor
-
-    import jax
 
     batches = [chunk_streams[s:s + max_batch]
                for s in range(0, len(chunk_streams), max_batch)]

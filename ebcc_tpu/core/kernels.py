@@ -447,7 +447,11 @@ def decode_batch_sparse(
     exact at decode time.
     """
     s = int(np.prod(grid_shape))
-    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(
+    # Padding indices are -1; jnp treats negative scatter indices as
+    # NumPy-style wraps (mode="drop" only drops OUT-OF-BOUNDS-HIGH), so a
+    # wrapped pad entry would zero the LAST coefficient — remap first.
+    safe = jnp.where(idx < 0, 2 * s, idx)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[safe].set(
         vals.astype(jnp.int32), mode="drop")
     return _decode_from_qflat(
         qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
@@ -543,7 +547,9 @@ def decode_batch_sparse_bytes(
                                   floats_f32[2], floats_f32[3])
     idx, vals = transfer.byte_unpack_sparse(g8, g_ov, v8, v_ov16, v_ov32,
                                             nnz)
-    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
+    # -1 pads would WRAP to the last coefficient (see decode_batch_sparse)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[
+        jnp.where(idx < 0, 2 * s, idx)].set(vals, mode="drop")
     return _decode_from_qflat(
         qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
         base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
@@ -605,7 +611,9 @@ def decode_batch_sparse_nibble(
                                   floats_f32[2], floats_f32[3])
     idx, vals = transfer.nibble_unpack_sparse(
         (gn, g8, g16, g32), (vn, v8, v16, v32), nnz)
-    qflat = jnp.zeros(2 * s, jnp.int32).at[idx].set(vals, mode="drop")
+    # -1 pads would WRAP to the last coefficient (see decode_batch_sparse)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[
+        jnp.where(idx < 0, 2 * s, idx)].set(vals, mode="drop")
     return _decode_from_qflat(
         qflat, base_cut, res_cut, minval, maxval, rmin, rmax,
         base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,

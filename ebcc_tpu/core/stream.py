@@ -27,7 +27,11 @@ import struct
 
 MAGIC_FRAME = b"ETPU"
 MAGIC_CHUNKED = b"ETPK"
-FRAME_VERSION = 1
+# Version 2: the CAB (backend 2) bitstream gained hierarchical skip modes,
+# a third refinement context, and two-speed adaptation in round 2 — version
+# 1 CAB payloads would silently desync the range coder, so the frame
+# version was bumped to make pre-round-2 streams fail loudly instead.
+FRAME_VERSION = 2
 CHUNKED_VERSION = 1
 
 FLAG_CONST = 0x01

@@ -42,22 +42,36 @@ import jax.numpy as jnp
 
 # Link-byte accounting: every exchange transfer reports its payload size
 # here so benchmarks can attribute wall time to bytes-on-the-wire
-# (bench.py extras ``link_bytes_up/down_per_point``).  Plain ints guarded
-# by the GIL; reset/read from the bench only.
+# (bench.py extras ``link_bytes_up/down_per_point``).  The pipelined
+# paths increment from several worker threads, and ``dict[k] += v`` is a
+# non-atomic load/add/store — hence the lock.
+import threading as _threading
+
 LINK_STATS = {"up": 0, "down": 0}
+_LINK_LOCK = _threading.Lock()
 
 
 def count_up(nbytes: int) -> None:
-    LINK_STATS["up"] += int(nbytes)
+    with _LINK_LOCK:
+        LINK_STATS["up"] += int(nbytes)
 
 
 def count_down(nbytes: int) -> None:
-    LINK_STATS["down"] += int(nbytes)
+    with _LINK_LOCK:
+        LINK_STATS["down"] += int(nbytes)
 
 
 def reset_link_stats() -> None:
-    LINK_STATS["up"] = 0
-    LINK_STATS["down"] = 0
+    with _LINK_LOCK:
+        LINK_STATS["up"] = 0
+        LINK_STATS["down"] = 0
+
+
+# Above this compacted-pair capacity the fast exchange stops paying: the
+# device words buffer costs 13 B/slot and rice_pack_pair's int32 bit
+# offsets must stay under 2^31 (52 bits/slot worst case) — beyond it the
+# bitmap/index fallback both bounds memory and stays correct.
+COMPACT_CAP_LIMIT = 1 << 22
 
 
 def bucket_count(n: int) -> int:
@@ -81,9 +95,13 @@ def gather_values(flat_values, idx, *, cap: int, as_int16: bool):
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def scatter_values(idx, values, *, size: int):
-    """(idx, values) -> dense (size,) int32; idx padding must be -1."""
+    """(idx, values) -> dense (size,) int32; idx padding must be -1.
+
+    Negative scatter indices WRAP in jnp (mode="drop" only drops
+    out-of-bounds-high), so the -1 pads are remapped past the end."""
     flat = jnp.zeros(size, jnp.int32)
-    return flat.at[idx].set(values.astype(jnp.int32), mode="drop")
+    return flat.at[jnp.where(idx < 0, size, idx)].set(
+        values.astype(jnp.int32), mode="drop")
 
 
 def pack_bitmap(bits):
@@ -174,7 +192,10 @@ def rice_pack(vals, nnz, *, cap: int):
     valid4 = jnp.concatenate([valid] * 4)
     n_words = RICE_HEADER_WORDS + cap * 2 + 4
     words = jnp.zeros(n_words, jnp.uint32)
-    words = words.at[jnp.where(valid4, upd_w, -1)].add(upd_v, mode="drop")
+    # invalid lanes carry upd_v == 0, but scatter them past the end anyway
+    # (-1 would WRAP onto the last word, not drop)
+    words = words.at[jnp.where(valid4, upd_w, n_words)].add(upd_v,
+                                                            mode="drop")
     words = words.at[0].set(total_bits.astype(jnp.uint32))
     words = words.at[1].set(k)
     return words
@@ -311,7 +332,9 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, b_cls=None):
         upd_w = jnp.concatenate([w, w + 1, w + 1, w + 2])
         upd_v = jnp.concatenate([lo << sh, spill(lo), hi << sh, spill(hi)])
         valid4 = jnp.concatenate([valid] * 4)
-        return words.at[jnp.where(valid4, upd_w, -1)].add(upd_v, mode="drop")
+        n_words = words.shape[0]
+        return words.at[jnp.where(valid4, upd_w, n_words)].add(upd_v,
+                                                               mode="drop")
 
     words = scatter(words, off_a, lo_a, hi_a)
     words = scatter(words, off_b, lo_b, hi_b)

@@ -41,14 +41,31 @@ class _ConfigStruct(ctypes.Structure):
 
 
 def lib_path() -> Optional[Path]:
+    """Locate the built library: EBCC_FILTER_PATH (a file), then
+    EBCC_FILTER_DIR (a directory holding ``libh5z_etpu*``), then the
+    in-tree build dir.  The env hooks are how a wheel user points at a
+    prebuilt release plugin on machines without a native toolchain
+    (reference parity: ebcc/__init__.py EBCC_FILTER_PATH/DIR)."""
+    import os
+
+    envp = os.environ.get("EBCC_FILTER_PATH")
+    if envp and Path(envp).is_file():
+        return Path(envp)
+    envd = os.environ.get("EBCC_FILTER_DIR")
+    if envd and Path(envd).is_dir():
+        for cand in sorted(Path(envd).glob("libh5z_etpu*")):
+            if cand.is_file():
+                return cand
     p = BUILD_DIR / LIB_NAME
     return p if p.exists() else None
 
 
 def build(force: bool = False) -> Path:
-    """Compile the native library (CMake + Ninja).  Idempotent."""
-    if not force and lib_path():
-        return BUILD_DIR / LIB_NAME
+    """Compile the native library (CMake + Ninja).  Idempotent; an
+    env-provided prebuilt library (see :func:`lib_path`) short-circuits."""
+    found = lib_path()
+    if not force and found:
+        return found
     BUILD_DIR.mkdir(exist_ok=True)
     subprocess.run(
         ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
@@ -119,7 +136,7 @@ def load(auto_build: bool = True):
         np.ctypeslib.ndpointer(ctypes.c_ubyte, flags="C_CONTIGUOUS"),
         ctypes.c_size_t]
     _lib = lib
-    FILTER_DIR = str(BUILD_DIR)
+    FILTER_DIR = str(Path(p).parent)
     FILTER_PATH = str(p)
     return lib
 

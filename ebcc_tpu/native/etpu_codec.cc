@@ -265,7 +265,7 @@ bool get(const uint8_t *&p, const uint8_t *end, T *v) {
 void pack_header(const FrameHeader &h, std::vector<uint8_t> &out) {
   out.reserve(out.size() + kHeaderSize);
   out.insert(out.end(), {'E', 'T', 'P', 'U'});
-  put<uint8_t>(out, 1);  /* version */
+  put<uint8_t>(out, 2);  /* version (2: round-2 CAB bitstream) */
   put<uint8_t>(out, h.flags);
   put<uint8_t>(out, h.entropy);
   put<uint8_t>(out, 0);
@@ -297,7 +297,7 @@ bool parse_header(const uint8_t *data, size_t size, FrameHeader *h) {
   uint8_t version;
   uint32_t r1;
   uint64_t r2;
-  if (!get(p, end, &version) || version != 1) return false;
+  if (!get(p, end, &version) || version != 2) return false;
   get(p, end, &h->flags);
   get(p, end, &h->entropy);
   get(p, end, &h->res_entropy);

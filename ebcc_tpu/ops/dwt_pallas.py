@@ -154,7 +154,7 @@ def dwt2d_quantize(x, levels: int, use_pallas: bool = True):
     elsewhere).  Platform streams may differ at the ulp level (quantization
     boundaries), which is allowed: bound feasibility is always verified
     with the producing program's own reconstruction arithmetic."""
-    if use_pallas and supported():
+    if use_pallas and supported(x.shape, levels):
         return dwt2d_quantize_pallas(x, levels)
     from . import bitplane
 
@@ -211,12 +211,20 @@ def idwt2d_dequant_pallas(q, cut, levels: int):
     return out.reshape(b, d0, hp, wp)
 
 
-def supported() -> bool:
-    """Pallas TPU lowering available on the default backend?"""
+def supported(shape=None, levels: int = 0) -> bool:
+    """Pallas TPU lowering available on the default backend — and, when a
+    shape is given, usable for it: the in-kernel lifting slices need every
+    decomposition level's band to keep >= 4 rows/cols (a 32-wide dim at 5
+    levels collapses to 1 and Mosaic rejects the 0-sized shift slice);
+    small tiles take the XLA path, which is bit-exact anyway."""
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    if shape is not None:
+        return (min(int(shape[-2]), int(shape[-1])) >> levels) >= 4
+    return True
 
 
 def idwt2d_dequant(q, cut, levels: int, use_pallas: bool = True):
@@ -231,7 +239,7 @@ def idwt2d_dequant(q, cut, levels: int, use_pallas: bool = True):
     cut = jnp.atleast_1d(jnp.asarray(cut, jnp.int32))
     if cut.shape[0] != q.shape[0]:
         cut = jnp.broadcast_to(cut, (q.shape[0],))
-    if use_pallas and supported():
+    if use_pallas and supported(q.shape, levels):
         return idwt2d_dequant_pallas(q, cut, levels)
     from . import bitplane
 

@@ -272,3 +272,58 @@ def test_nibble_upload_decode_matches_fallbacks(medium_frame, monkeypatch):
     c = codec.decode(blob)
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(b, c)
+
+
+def test_scatter_last_coefficient_not_clobbered():
+    """Regression: -1 padding in the sparse uploads must NOT wrap onto the
+    LAST coefficient (jnp scatter mode='drop' drops only out-of-bounds-HIGH
+    indices; negative ones wrap NumPy-style).  A batch whose final padded-
+    grid coefficient is significant exercises exactly that slot."""
+    b, d0, hp, wp = 1, 1, 32, 32
+    s = b * d0 * hp * wp
+    flat = np.zeros(2 * s, np.int32)
+    flat[3] = 5
+    flat[2 * s - 1] = -9          # LAST residual coefficient significant
+    idx = np.flatnonzero(flat).astype(np.int64)
+    vals = flat[idx]
+    scalars = [np.zeros(b, np.int32), np.zeros(b, np.int32),
+               np.zeros(b, np.float32), np.ones(b, np.float32),
+               np.zeros(b, np.float32), np.ones(b, np.float32)]
+    kw = dict(base_levels=3, res_levels=3, out_hw=(32, 32),
+              has_residual=True, grid_shape=(b, d0, hp, wp),
+              use_pallas=False)
+    cap = transfer.bucket_count(idx.size)  # cap >> nnz: padding present
+
+    # reference: bitmap kernel (immune to the wrap by construction)
+    sigb = np.zeros(2 * s, np.uint8)
+    sigb[idx] = 1
+    vals_up = np.zeros(cap, np.int16)
+    vals_up[: vals.size] = vals.astype(np.int16)
+    ref = np.asarray(kernels.decode_batch_sparse_bitmap(
+        np.packbits(sigb), vals_up, *scalars, **kw))
+
+    # index kernel
+    idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
+    got = np.asarray(kernels.decode_batch_sparse(idx_up, vals_up, *scalars,
+                                                 **kw))
+    np.testing.assert_array_equal(got, ref)
+
+    # byte kernel
+    g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(idx, vals)
+    gcap = transfer.overflow_bucket(max(1, g_ov.size))
+    vcap = transfer.overflow_bucket(max(1, v_ov16.size))
+    wcap = transfer.overflow_bucket(max(1, v_ov32.size))
+    bytes_u8 = np.zeros(2 * cap + 2 * vcap, np.uint8)
+    bytes_u8[: g8.size] = g8
+    bytes_u8[cap: cap + v8.size] = v8
+    bytes_u8[2 * cap: 2 * cap + 2 * v_ov16.size] = (
+        v_ov16.astype("<u2").view(np.uint8))
+    ints = np.zeros(gcap + wcap + 2 * b + 1, np.int32)
+    ints[: g_ov.size] = g_ov
+    ints[gcap: gcap + v_ov32.size] = v_ov32
+    ints[gcap + wcap + 2 * b] = idx.size
+    floats = np.stack([scalars[2], scalars[3], scalars[4], scalars[5]])
+    got_b = np.asarray(kernels.decode_batch_sparse_bytes(
+        bytes_u8, ints, floats, cap=cap, gcap=gcap, vcap=vcap, wcap=wcap,
+        **kw))
+    np.testing.assert_array_equal(got_b, ref)
