@@ -605,13 +605,17 @@ def _fetch_encode_outputs(out, error_mode: bool):
             transfer.count_down(4 * bound)
             ga, vb_ = transfer.split_rice_pair(head, nnz)
             from .. import native
-            gaps = native.rice_decode(ga, nnz)
-            idx = (np.cumsum(gaps.astype(np.int64) + 1) - 1).astype(np.int32)
+
+            def unpack_ks(word):
+                return np.array([(int(word) >> (4 * i)) & 15
+                                 for i in range(transfer.RICE_NUM_CLASSES)],
+                                np.uint8)
+
+            idx = native.rice_decode_gaps_classed(ga, nnz, hp, wp,
+                                                  unpack_ks(ga[1]))
             cls = transfer.coeff_class_host(idx, hp, wp)
-            ks = np.array([(int(vb_[1]) >> (4 * i)) & 15
-                           for i in range(transfer.RICE_NUM_CLASSES)],
-                          np.uint8)
-            vals = native.rice_decode_classed(vb_, nnz, cls, ks)
+            vals = native.rice_decode_classed(vb_, nnz, cls,
+                                              unpack_ks(vb_[1]))
         small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
         return small
 

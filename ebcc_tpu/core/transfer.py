@@ -12,8 +12,10 @@ point on the link; the information content at typical bounds is 1-3 bits.
        (:func:`compact_rice_exchange`) derives significant positions from
        the packed significance bitmap with a two-level popcount select,
        gathers the signed kept-values, and Rice-packs position GAPS and
-       values into one self-describing buffer — values coded with
-       per-subband-class Rice parameters (:func:`coeff_class`);
+       values into one self-describing buffer — values coded with the
+       Rice parameter of their own subband class, gaps with that of the
+       PREVIOUS position's class (:func:`coeff_class`; ~4 bits/value and
+       ~1.6 bits/gap under a single global k);
     3. the host fetches a 4-byte exact size, then the payload, and the
        native C++ readers (rice_decode / rice_decode_classed) expand it.
 
@@ -260,19 +262,20 @@ def coeff_class_host(pos: np.ndarray, hp: int, wp: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, b_cls=None):
+def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, a_cls=None,
+                   b_cls=None):
     """Rice-pack TWO signed int32 (cap,) vectors (first ``nnz`` entries
     valid) into one uint32 buffer.
 
-    Layout: words[0..3] = [bits_a, k_a, bits_b, ks_b_packed]; payload region
-    starts at word 4 with stream a at bit 0 and stream b at the first WORD
-    boundary after stream a (so the host can hand each stream to the
-    native Rice readers by prepending a synthetic 2-word header).
+    Layout: words[0..3] = [bits_a, k_a_or_ks, bits_b, ks_b_packed]; payload
+    region starts at word 4 with stream a at bit 0 and stream b at the
+    first WORD boundary after stream a (so the host can hand each stream
+    to the native Rice readers by prepending a synthetic 2-word header).
     Same per-value code as :func:`rice_pack`.
 
-    ``b_cls``: optional per-element subband class for stream b — each class
-    gets its own Rice parameter (packed 4 bits each into header word 3).
-    Without it, word 3 holds the single k for stream b.
+    ``a_cls``/``b_cls``: optional per-element subband class — each class
+    gets its own Rice parameter (packed 4 bits each into the header word).
+    Without it, the header word holds the single k for that stream.
     """
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < nnz
@@ -312,7 +315,7 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, b_cls=None):
         hi = jnp.where(esc, z >> (32 - RICE_ESC), jnp.uint32(0))
         return khdr, lens, lo, hi
 
-    ka, lens_a, lo_a, hi_a = plan(a_vals)
+    ka, lens_a, lo_a, hi_a = plan(a_vals, a_cls)
     kb, lens_b, lo_b, hi_b = plan(b_vals, b_cls)
     off_a = jnp.cumsum(lens_a) - lens_a
     bits_a = off_a[-1] + lens_a[-1]
@@ -397,11 +400,20 @@ def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int, hw=None):
     vv = jnp.take(vals_flat, pos)
     prev_pos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
     gaps = pos - prev_pos - 1  # >= 0 in the valid region; padding masked
-    # ``hw`` enables the subband-classed value stream (~4 bits/value saved;
-    # the host recomputes classes from the decoded positions).
-    b_cls = coeff_class(pos, hw[0], hw[1]) if hw is not None else None
+    # ``hw`` enables the subband-classed streams: values use the class of
+    # their own position (~4 bits/value saved), gaps the class of the
+    # PREVIOUS position (known to the decoder before it reads the gap —
+    # LL gaps are tiny, fine-band gaps huge; ~1.6 bits/gap saved).  The
+    # host recomputes both classings from the decoded positions.
+    if hw is not None:
+        b_cls = coeff_class(pos, hw[0], hw[1])
+        prev_ref = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.maximum(pos[:-1], 0)])
+        a_cls = coeff_class(prev_ref, hw[0], hw[1])
+    else:
+        a_cls = b_cls = None
     return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap,
-                          b_cls=b_cls)
+                          a_cls=a_cls, b_cls=b_cls)
 
 
 def split_rice_pair(head: np.ndarray, nnz: int):

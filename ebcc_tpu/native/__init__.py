@@ -116,6 +116,12 @@ def load(auto_build: bool = True):
         np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
         ctypes.c_size_t, ctypes.c_size_t,
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
+    lib.etpu_rice_decode_gaps_classed.restype = ctypes.c_size_t
+    lib.etpu_rice_decode_gaps_classed.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
     lib.etpu_rice_decode_classed.restype = ctypes.c_size_t
     lib.etpu_rice_decode_classed.argtypes = [
         np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
@@ -237,6 +243,21 @@ def rice_decode(words: np.ndarray, nnz: int) -> np.ndarray:
     n = lib.etpu_rice_decode(words, words.size, nnz, out)
     if n != nnz:
         raise ValueError("corrupt rice exchange payload")
+    return out
+
+
+def rice_decode_gaps_classed(words: np.ndarray, nnz: int, hp: int, wp: int,
+                             ks: np.ndarray) -> np.ndarray:
+    """Decode the previous-position-classed gap stream directly to sorted
+    POSITIONS (transfer.rice_pack_pair with a_cls)."""
+    lib = load()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    ks = np.ascontiguousarray(ks, dtype=np.uint8)
+    out = np.empty(nnz, np.int32)
+    n = lib.etpu_rice_decode_gaps_classed(words, words.size, nnz, hp, wp,
+                                          ks, out)
+    if n != nnz:
+        raise ValueError("corrupt classed gap exchange payload")
     return out
 
 

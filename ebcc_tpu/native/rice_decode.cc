@@ -109,4 +109,43 @@ size_t etpu_rice_decode_classed(const uint32_t *words, size_t n_words,
   return nnz;
 }
 
+/* Gap stream with PREVIOUS-position subband classing: gap i is coded with
+ * ks[class(pos_{i-1})] (class(0) for i = 0), where class = clip(min(
+ * floor_log2(hp/(r+1)), floor_log2(wp/(c+1))), 0, 7) on the padded grid —
+ * the identical integer-exact formula the device packer and
+ * transfer.coeff_class use.  Returns POSITIONS (cumulative), not gaps.
+ * -> nnz on success, 0 on error. */
+size_t etpu_rice_decode_gaps_classed(const uint32_t *words, size_t n_words,
+                                     size_t nnz, int hp, int wp,
+                                     const uint8_t *ks, int32_t *out_pos) {
+  if (n_words < kHeaderWords || hp <= 0 || wp <= 0) return 0;
+  BitReader br{words, n_words};
+  int64_t pos = -1;
+  for (size_t i = 0; i < nnz; ++i) {
+    const int64_t ref = pos < 0 ? 0 : pos;
+    const int r = (int)((ref / wp) % hp);
+    const int c = (int)(ref % wp);
+    const int lr = 31 - __builtin_clz((uint32_t)(hp / (r + 1)));
+    const int lc = 31 - __builtin_clz((uint32_t)(wp / (c + 1)));
+    int cls = lr < lc ? lr : lc;
+    if (cls > 7) cls = 7;
+    const uint32_t k = ks[cls];
+    if (k > 15) return 0;
+    const int q = br.count_ones_then_zero(kEsc);
+    if (q < 0) return 0;
+    uint32_t z;
+    if (q >= kEsc) {
+      z = br.take(32);
+    } else {
+      const uint32_t rem = k ? br.take((int)k) : 0;
+      z = ((uint32_t)q << k) | rem;
+    }
+    const int32_t gap = (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
+    pos += (int64_t)gap + 1;
+    if (pos < 0 || pos > 0x7FFFFFFF) return 0;
+    out_pos[i] = (int32_t)pos;
+  }
+  return nnz;
+}
+
 }  /* extern "C" */

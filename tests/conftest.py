@@ -119,3 +119,20 @@ def base_cr(request):
 @pytest.fixture(params=[0.5, 0.1, 0.01])
 def max_error_target(request):
     return request.param
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles hundreds of program variants; with all of them
+    held live, XLA:CPU's JIT eventually crashes inside a later
+    ``backend_compile`` (observed as a segfault/abort compiling the
+    classed-exchange program after ~175 tests, reproducible, not
+    heap-corruption per MALLOC_CHECK_).  Dropping caches between modules
+    keeps the compiler's live-code footprint bounded; per-module
+    recompiles cost ~1 min across the suite."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -206,15 +206,18 @@ def test_compact_rice_exchange_classed_roundtrip(n, density):
         vals, np.packbits(vals != 0), cap=cap, hw=(hp, wp))
     head = np.asarray(jax.device_get(words))[: int(wn)]
     ga, vb = transfer.split_rice_pair(head, nnz)
-    gaps = native.rice_decode(ga, nnz)
-    idx = np.cumsum(gaps.astype(np.int64) + 1) - 1
+
+    def unpack_ks(word):
+        return np.array([(int(word) >> (4 * i)) & 15 for i in range(8)],
+                        np.uint8)
+
+    idx = native.rice_decode_gaps_classed(ga, nnz, hp, wp, unpack_ks(ga[1]))
     np.testing.assert_array_equal(idx, ref_idx)
     cls = transfer.coeff_class_host(idx, hp, wp)
     dev_cls = np.asarray(transfer.coeff_class(
         jax.numpy.asarray(idx.astype(np.int32)), hp, wp))
     np.testing.assert_array_equal(cls, dev_cls)
-    ks = np.array([(int(vb[1]) >> (4 * i)) & 15 for i in range(8)], np.uint8)
-    out = native.rice_decode_classed(vb, nnz, cls, ks)
+    out = native.rice_decode_classed(vb, nnz, cls, unpack_ks(vb[1]))
     np.testing.assert_array_equal(out, vals[ref_idx])
 
 
