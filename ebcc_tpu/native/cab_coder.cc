@@ -164,6 +164,7 @@ struct Contexts {
   BinProb runpos[2]; /* 2-bit break position, MSB first */
   BinProb seg;       /* "any of a 16-wide all-eligible segment" */
   BinProb sup;       /* "any of a 64-wide all-eligible super-segment" */
+  BinProb row;       /* "any of a fully-eligible row" */
 
   /* Skewed priors: significance bits are mostly 0 (sparse planes) and run
    * groups mostly stay zero, so starting those contexts at P(0)=0.8/0.9
@@ -174,6 +175,7 @@ struct Contexts {
     run.p0 = (uint16_t)(4096 * 9 / 10);
     seg.p0 = (uint16_t)(4096 * 9 / 10);
     sup.p0 = (uint16_t)(4096 * 9 / 10);
+    row.p0 = (uint16_t)(4096 * 9 / 10);
   }
 };
 
@@ -311,12 +313,22 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
           }
           return 0;
         };
-        /* Hierarchical skip (zerotree-flavoured): a 64-wide super-segment
-         * of all-eligible groups codes ONE "any" bit, then each 16-wide
-         * segment one more — sparse top planes cost ~1 coded bit per 64
-         * coefficients instead of 16 run bits.  Eligibility depends only
-         * on coder state shared with the decoder (and the zero branches
+        /* Hierarchical skip (zerotree-flavoured): a fully-eligible ROW
+         * codes ONE "any" bit, then each 64-wide all-eligible
+         * super-segment one, then each 16-wide segment one — sparse top
+         * planes cost ~1 coded bit per row.  Eligibility depends only on
+         * coder state shared with the decoder (and the zero branches
          * change no state), so both sides agree. */
+        if (wp % kRunLen == 0 && range_elig(0, wp)) {
+          int row_any;
+          if (kEncode) {
+            row_any = range_any(0, wp);
+            enc->encode(row_any, &ctx.row);
+          } else {
+            row_any = dec->decode(&ctx.row);
+          }
+          if (!row_any) continue; /* whole row stays zero this plane */
+        }
         for (int u0 = 0; u0 < wp; u0 += kSupLen) {
           const int uend = u0 + kSupLen <= wp ? u0 + kSupLen : wp;
           if ((uend - u0) == kSupLen && range_elig(u0, uend)) {
