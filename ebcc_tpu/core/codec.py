@@ -23,7 +23,6 @@ backs the sharded multi-device encoder in ``ebcc_tpu.parallel``.
 
 from __future__ import annotations
 
-import functools  # noqa: F401  (decorators below)
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -467,6 +466,7 @@ def _fetch_rice_values(words_dev, nnz: int,
     if need > bound:  # rare: high-entropy values
         tail = np.asarray(jax.device_get(
             words_dev[bound:transfer.bucket_count(need)]))
+        transfer.count_down(tail.nbytes)
         head = np.concatenate([head, tail])
     return native.rice_decode(head, nnz)
 
@@ -586,8 +586,8 @@ def _fetch_encode_outputs(out, error_mode: bool):
         # the bucket ladder) compacts positions+values and Rice-packs both;
         # a 4-byte size fetch then prices the payload fetch exactly.
         # Above COMPACT_CAP_LIMIT (extreme density) the bitmap fallback
-        # below both bounds device memory and avoids int32 bit-offset
-        # overflow in the pair packer.
+        # below bounds device memory and (with the same gate on its own
+        # rice_pack leg) avoids int32 bit-offset overflow in the packers.
         cap = transfer.bucket_count(nnz)
         with stage(f"enc: compact+rice fetch {nnz} vals"):
             words_dev, needed_dev = transfer.compact_rice_exchange(
@@ -606,16 +606,11 @@ def _fetch_encode_outputs(out, error_mode: bool):
             ga, vb_ = transfer.split_rice_pair(head, nnz)
             from .. import native
 
-            def unpack_ks(word):
-                return np.array([(int(word) >> (4 * i)) & 15
-                                 for i in range(transfer.RICE_NUM_CLASSES)],
-                                np.uint8)
-
-            idx = native.rice_decode_gaps_classed(ga, nnz, hp, wp,
-                                                  unpack_ks(ga[1]))
+            idx = native.rice_decode_gaps_classed(
+                ga, nnz, hp, wp, transfer.unpack_rice_ks(ga[1]))
             cls = transfer.coeff_class_host(idx, hp, wp)
-            vals = native.rice_decode_classed(vb_, nnz, cls,
-                                              unpack_ks(vb_[1]))
+            vals = native.rice_decode_classed(
+                vb_, nnz, cls, transfer.unpack_rice_ks(vb_[1]))
         small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
         return small
 
@@ -628,7 +623,10 @@ def _fetch_encode_outputs(out, error_mode: bool):
     idx_dev = jax.device_put(transfer.pad_index(idx, cap, 0))
 
     vals = None
-    if idx.size and _rice_enabled():
+    # rice_pack also builds int32 bit offsets (up to 52 bits/value with
+    # escapes), so gate it the same way; beyond the limit the raw
+    # int16/int32 gather below is the safe path.
+    if idx.size and _rice_enabled() and cap <= transfer.COMPACT_CAP_LIMIT:
         with stage(f"enc: gather+rice fetch {idx.size} vals"):
             gathered = transfer.gather_values(
                 out["vals_comb"], idx_dev, cap=cap, as_int16=False)

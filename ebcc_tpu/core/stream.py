@@ -124,7 +124,12 @@ class FrameHeader:
         if magic != MAGIC_FRAME:
             raise StreamError(f"bad ETPU magic {magic!r}")
         if version != FRAME_VERSION:
-            raise StreamError(f"unsupported ETPU version {version}")
+            # Version 1 differs only in the CAB (backend 2) bitstream;
+            # zstd/store streams are byte-compatible and stay readable.
+            cab = 2  # entropy.BACKEND_NATIVE_CAB (no import cycle)
+            if not (version == 1 and entropy != cab
+                    and (res_entropy or entropy) != cab):
+                raise StreamError(f"unsupported ETPU version {version}")
         if n_frames == 0 or height == 0 or width == 0:
             raise StreamError("invalid ETPU dims")
         return cls(flags, entropy, n_frames, height, width,

@@ -95,17 +95,6 @@ def gather_values(flat_values, idx, *, cap: int, as_int16: bool):
     return v.astype(jnp.int16) if as_int16 else v
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def scatter_values(idx, values, *, size: int):
-    """(idx, values) -> dense (size,) int32; idx padding must be -1.
-
-    Negative scatter indices WRAP in jnp (mode="drop" only drops
-    out-of-bounds-high), so the -1 pads are remapped past the end."""
-    flat = jnp.zeros(size, jnp.int32)
-    return flat.at[jnp.where(idx < 0, size, idx)].set(
-        values.astype(jnp.int32), mode="drop")
-
-
 def pack_bitmap(bits):
     """Device-side: boolean (..., N) with N % 8 == 0 -> packed uint8."""
     n = bits.shape[-1]
@@ -414,6 +403,13 @@ def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int, hw=None):
         a_cls = b_cls = None
     return rice_pack_pair(gaps, vv, jnp.minimum(nnz, cap), cap=cap,
                           a_cls=a_cls, b_cls=b_cls)
+
+
+def unpack_rice_ks(word) -> np.ndarray:
+    """Inverse of the 4-bit-per-class ks packing in :func:`rice_pack_pair`
+    (``khdr = (ks << 4*arange(RICE_NUM_CLASSES)).sum()``)."""
+    return np.array([(int(word) >> (4 * i)) & 15
+                     for i in range(RICE_NUM_CLASSES)], np.uint8)
 
 
 def split_rice_pair(head: np.ndarray, nnz: int):

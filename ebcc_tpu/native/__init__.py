@@ -81,7 +81,12 @@ _lib = None
 
 
 def load(auto_build: bool = True):
-    """Load (building if needed) and return the ctypes-bound library."""
+    """Load (building if needed) and return the ctypes-bound library.
+
+    A stale library (in-tree build from an older checkout, or an old
+    prebuilt plugin via EBCC_FILTER_PATH/DIR) lacks newer symbols; the
+    in-tree case rebuilds automatically, the env-provided case fails with
+    a clear message instead of an AttributeError deep in a decode."""
     global _lib, FILTER_DIR, FILTER_PATH
     if _lib is not None:
         return _lib
@@ -91,6 +96,15 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
+    if not hasattr(lib, "etpu_rice_decode_gaps_classed"):  # newest symbol
+        if Path(p).parent == BUILD_DIR and auto_build:
+            p = build(force=True)
+            lib = ctypes.CDLL(str(p))
+        if not hasattr(lib, "etpu_rice_decode_gaps_classed"):
+            raise RuntimeError(
+                f"native library at {p} is too old for this package "
+                "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "
+                "matching build")
     lib.etpu_decode.restype = ctypes.c_size_t
     lib.etpu_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t,

@@ -297,10 +297,16 @@ bool parse_header(const uint8_t *data, size_t size, FrameHeader *h) {
   uint8_t version;
   uint32_t r1;
   uint64_t r2;
-  if (!get(p, end, &version) || version != 2) return false;
+  if (!get(p, end, &version) || (version != 2 && version != 1))
+    return false;
   get(p, end, &h->flags);
   get(p, end, &h->entropy);
   get(p, end, &h->res_entropy);
+  /* Version 1 differs only in the CAB (backend 2) bitstream; zstd/store
+   * streams are byte-compatible and stay readable. */
+  if (version == 1 &&
+      (h->entropy == 2 || (h->res_entropy ? h->res_entropy : h->entropy) == 2))
+    return false;
   get(p, end, &h->n_frames);
   get(p, end, &h->height);
   get(p, end, &h->width);

@@ -97,3 +97,39 @@ def test_chunked_truncation_rejected():
         stream.iter_chunked(blob[:-1])
     with pytest.raises(stream.StreamError, match="trailing"):
         stream.iter_chunked(blob + b"x")
+
+
+class TestVersionCompat:
+    def test_v1_zstd_stream_still_decodes(self, small_frame):
+        """Only the CAB bitstream changed between frame versions 1 and 2;
+        zstd/store streams are byte-compatible and must stay readable."""
+        from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+        from ebcc_tpu.core import codec
+
+        cfg = CodecConfig(dims=(1, 64, 64), base_cr=20,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob = bytearray(codec.encode(small_frame, cfg))
+        assert blob[4] == 2
+        blob[4] = 1
+        out = codec.decode(bytes(blob)).reshape(64, 64)
+        assert np.abs(out - small_frame).max() <= 0.1
+
+    def test_v1_cab_stream_rejected(self, small_frame):
+        from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR
+        from ebcc_tpu.core import codec, stream
+
+        cfg = CodecConfig(dims=(1, 64, 64), base_cr=20,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                          entropy_backend="cab")
+        try:
+            blob = bytearray(codec.encode(small_frame, cfg))
+        except Exception:
+            import pytest
+            pytest.skip("CAB backend unavailable")
+        if blob[6] != 2 and (blob[7] or blob[6]) != 2:
+            import pytest
+            pytest.skip("CAB did not win on this frame")
+        blob[4] = 1
+        import pytest
+        with pytest.raises(stream.StreamError):
+            codec.decode(bytes(blob))

@@ -207,17 +207,15 @@ def test_compact_rice_exchange_classed_roundtrip(n, density):
     head = np.asarray(jax.device_get(words))[: int(wn)]
     ga, vb = transfer.split_rice_pair(head, nnz)
 
-    def unpack_ks(word):
-        return np.array([(int(word) >> (4 * i)) & 15 for i in range(8)],
-                        np.uint8)
-
-    idx = native.rice_decode_gaps_classed(ga, nnz, hp, wp, unpack_ks(ga[1]))
+    idx = native.rice_decode_gaps_classed(
+        ga, nnz, hp, wp, transfer.unpack_rice_ks(ga[1]))
     np.testing.assert_array_equal(idx, ref_idx)
     cls = transfer.coeff_class_host(idx, hp, wp)
     dev_cls = np.asarray(transfer.coeff_class(
         jax.numpy.asarray(idx.astype(np.int32)), hp, wp))
     np.testing.assert_array_equal(cls, dev_cls)
-    out = native.rice_decode_classed(vb, nnz, cls, unpack_ks(vb[1]))
+    out = native.rice_decode_classed(vb, nnz, cls,
+                                     transfer.unpack_rice_ks(vb[1]))
     np.testing.assert_array_equal(out, vals[ref_idx])
 
 
@@ -330,3 +328,27 @@ def test_scatter_last_coefficient_not_clobbered():
         bytes_u8, ints, floats, cap=cap, gcap=gcap, vcap=vcap, wcap=wcap,
         **kw))
     np.testing.assert_array_equal(got_b, ref)
+
+    # nibble kernel (the default upload path)
+    gt, vt = transfer.nibble_pack_sparse_host(idx, vals)
+    assert transfer.nibble_fits(gt, cap, "gap")
+    assert transfer.nibble_fits(vt, cap, "val")
+    nb2 = (cap + 1) // 2
+    g8c, g16c, g32c = transfer.nib_tier_caps(cap, "gap")
+    v8c, v16c, v32c = transfer.nib_tier_caps(cap, "val")
+    nbuf = np.zeros(2 * nb2 + g8c + v8c + 2 * (g16c + v16c), np.uint8)
+    o = 0
+    nbuf[o:o + nb2] = transfer.pack_nibbles(gt[0], cap); o += nb2
+    nbuf[o:o + nb2] = transfer.pack_nibbles(vt[0], cap); o += nb2
+    nbuf[o:o + gt[1].size] = gt[1]; o += g8c
+    nbuf[o:o + vt[1].size] = vt[1]; o += v8c
+    nbuf[o:o + 2 * gt[2].size] = gt[2].astype("<u2").view(np.uint8)
+    o += 2 * g16c
+    nbuf[o:o + 2 * vt[2].size] = vt[2].astype("<u2").view(np.uint8)
+    nints = np.zeros(g32c + v32c + 2 * b + 1, np.int32)
+    nints[: gt[3].size] = gt[3]
+    nints[g32c: g32c + vt[3].size] = vt[3]
+    nints[g32c + v32c + 2 * b] = idx.size
+    got_n = np.asarray(kernels.decode_batch_sparse_nibble(
+        nbuf, nints, floats, cap=cap, **kw))
+    np.testing.assert_array_equal(got_n, ref)
