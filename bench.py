@@ -8,14 +8,18 @@ Headline metric: DEVICE-RESIDENT encode+decode throughput — frames start in
 TPU HBM and decoded frames are delivered in TPU HBM, with every
 compressed-domain byte crossing the host link and ALL host-side work
 (entropy coding, stream assembly/parse) inside the timed region, plus an
-on-device bound verification.  This is the TPU-native deployment shape
-(compression inside a TPU data pipeline: Zarr shards stream asynchronously,
-compute and codec share the chip).  The host-to-host path is also measured
-and reported (``host_roundtrip_pts_per_s``); in this development
-environment the TPU is reached through a network tunnel measured at ~40
-MB/s up / ~15 MB/s down (``link_up_mbps``/``link_down_mbps`` fields), so
-the host-to-host number reflects that pipe, not the codec — on a real TPU
-host PCIe moves the same bytes 3 orders of magnitude faster.
+on-device bound verification.  The roundtrip is pipelined full-duplex
+(sub-batch k decodes while k+1 encodes; streams byte-identical to
+sequential).  This is the TPU-native deployment shape (compression inside
+a TPU data pipeline: Zarr shards stream asynchronously, compute and codec
+share the chip).  Extras report the attribution: ``device_compute_pts_per_s``
+(all-HBM chained encode+reconstruct — what a real PCIe-attached host
+approaches) and ``link_bytes_{up,down}_per_point``.  The host-to-host path
+is also measured (``host_roundtrip_pts_per_s``); in this development
+environment the TPU is reached through a network tunnel measured at ~25-80
+Mbps per direction (``link_up_mbps``/``link_down_mbps`` fields), so the
+headline reflects that pipe as much as the codec — on a real TPU host PCIe
+moves the same bytes 3 orders of magnitude faster.
 
 Baseline (the C reference, spcl/EBCC): the repo records no formal
 throughput table; its CI floor is >1 MB/s = 2.6e5 pts/s on a 512^2 frame
