@@ -83,10 +83,15 @@ def _compress_main(args) -> int:
         mode, err = RESIDUAL_RELATIVE_ERROR, args.relative_error
     else:
         mode, err = RESIDUAL_NONE, 0.0
+    if args.temporal and mode == RESIDUAL_NONE:
+        print("--temporal requires --max-error or --relative-error",
+              file=sys.stderr)
+        return 2
     config = CodecConfig(dims=data.shape, base_cr=args.base_cr,
                          residual_mode=mode, error=err,
                          chunk_dims=tuple(args.chunk_dims or (0, 0, 0)),
-                         entropy_backend=args.entropy)
+                         entropy_backend=args.entropy,
+                         temporal=bool(args.temporal))
     blob = encode_chunked_compat(data, config)
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -127,6 +132,9 @@ def main(argv=None) -> int:
     cp.add_argument("--max-error", type=float, default=None)
     cp.add_argument("--relative-error", type=float, default=None)
     cp.add_argument("--chunk-dims", type=int, nargs=3, default=None)
+    cp.add_argument("--temporal", action="store_true",
+                    help="closed-loop predictive coding along the chunk's "
+                         "leading axis (error-bounded modes only)")
     cp.add_argument("--entropy", choices=("zstd", "cab", "auto"),
                     default="zstd",
                     help="entropy backend: cab/auto trade encode time for "

@@ -49,6 +49,10 @@ _MODE_BY_NAME = {
     "relative_error_target": cfg.RESIDUAL_RELATIVE_ERROR,
 }
 
+# cd_values[5] flags word (TPU-build extension; absent = 0 keeps the
+# reference's 4/5-value layouts valid).
+FLAGS_TEMPORAL = 0x1
+
 
 class EBCC_Filter(Mapping):
     """Drop-in equivalent of the reference's ``EBCC_Filter`` Mapping
@@ -58,7 +62,11 @@ class EBCC_Filter(Mapping):
 
     def __init__(self, base_cr: float, height: int, width: int,
                  residual_opt: Optional[Tuple[str, float]],
-                 data_dim: int = 2):
+                 data_dim: int = 2, temporal_chunk: int = 0):
+        """``temporal_chunk`` (TPU-build extension, no reference
+        counterpart): >1 makes each HDF5 chunk span that many leading-dim
+        frames coded with closed-loop temporal prediction (requires an
+        error-bounded ``residual_opt``; see config.CodecConfig.temporal)."""
         assert height > 0 and width > 0
         base_cr = float(base_cr)
         self.base_cr = base_cr
@@ -66,6 +74,7 @@ class EBCC_Filter(Mapping):
         self.width = int(width)
         self.residual_opt = residual_opt or ("none", 0)
         self.data_dim = int(data_dim)
+        self.temporal_chunk = int(temporal_chunk)
 
         opts = [self.height, self.width, float_to_uint32(base_cr)]
         name, val = self.residual_opt
@@ -77,8 +86,17 @@ class EBCC_Filter(Mapping):
         opts.append(mode)
         if mode != cfg.RESIDUAL_NONE:
             opts.append(float_to_uint32(float(val)))
+        if self.temporal_chunk > 1:
+            if mode == cfg.RESIDUAL_NONE:
+                raise ValueError(
+                    "temporal_chunk requires an error-bounded residual_opt")
+            if self.data_dim < 3:
+                raise ValueError("temporal_chunk requires data_dim >= 3")
+            opts.append(FLAGS_TEMPORAL)  # cd_values[5]: flags word
         self.hdf_filter_opts = tuple(opts)
-        self.chunks = (*[1] * (self.data_dim - 2), self.height, self.width)
+        lead = self.temporal_chunk if self.temporal_chunk > 1 else 1
+        self.chunks = (*[1] * (self.data_dim - 3), lead,
+                       self.height, self.width)[-self.data_dim:]
 
     @property
     def _kwargs(self):
@@ -132,12 +150,16 @@ def populate_config(cd_values, buf_size_bytes: int) -> CodecConfig:
     base_cr = uint32_to_float(cd_values[2])
     mode = cd_values[3]
     error = 0.0
+    nxt = 4
     if mode in (cfg.RESIDUAL_MAX_ERROR, cfg.RESIDUAL_RELATIVE_ERROR):
         if len(cd_values) < 5:
             raise ValueError("error-bounded mode requires 5 cd_values")
         error = uint32_to_float(cd_values[4])
+        nxt = 5
     elif mode != cfg.RESIDUAL_NONE:
         raise ValueError(f"invalid residual mode {mode}")
+    flags = cd_values[nxt] if len(cd_values) > nxt else 0
+    temporal = bool(flags & FLAGS_TEMPORAL) and n_frames > 1
 
     return CodecConfig(dims=(n_frames, height, width), base_cr=base_cr,
-                       residual_mode=mode, error=error)
+                       residual_mode=mode, error=error, temporal=temporal)

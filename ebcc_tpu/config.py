@@ -52,6 +52,14 @@ _RESIDUAL_NAMES = {RESIDUAL_NONE: "NONE", RESIDUAL_MAX_ERROR: "MAX_ERROR",
 BASE_NUM_PLANES = 22
 RES_NUM_PLANES = 13
 RES_SCALE_STEPS = (1.0, 1.33, 1.78, 2.37)
+# Temporal delta layers ride the residual transform but need a deeper
+# plane budget: the delta range can be arbitrarily large relative to the
+# error target (nothing bounds it the way the base layer bounds the
+# residual), so the encoder picks a per-chunk ADAPTIVE quantization scale
+# (up to ~800x the [0,255] grid) and the coefficients grow accordingly.
+# Streams record delta geometry against the header's base_nplanes field,
+# so this MUST stay equal to BASE_NUM_PLANES (self-describing streams).
+DELTA_NUM_PLANES = BASE_NUM_PLANES
 
 
 @dataclasses.dataclass
@@ -73,6 +81,15 @@ class CodecConfig:
     # library), or "auto" (compress each layer both ways, keep the
     # smaller — max compression).
     entropy_backend: str = "zstd"
+    # Temporal (closed-loop predictive) coding: when a chunk carries more
+    # than one frame along dims[0], frame 0 is intra-coded and every later
+    # frame is coded as an error-bounded DELTA against the previous frame's
+    # reconstruction (prediction from the RECONSTRUCTION, so quantization
+    # error never accumulates; the per-frame bound stays exact).  Big CR
+    # win on smoothly-varying stacks (time series, pressure levels).  Only
+    # meaningful with an error-bounded residual mode; no reference
+    # counterpart (its chunks are always intra-coded).
+    temporal: bool = False
 
     def __post_init__(self):
         self.dims = tuple(int(d) for d in self.dims)
@@ -83,6 +100,9 @@ class CodecConfig:
             raise ValueError(f"invalid residual mode {self.residual_mode}")
         if self.entropy_backend not in ("zstd", "cab", "auto"):
             raise ValueError(f"invalid entropy backend {self.entropy_backend}")
+        if self.temporal and self.residual_mode == RESIDUAL_NONE:
+            raise ValueError(
+                "temporal coding requires an error-bounded residual mode")
 
     def per_chunk(self, chunk_dims: Tuple[int, int, int]) -> "CodecConfig":
         """The config for encoding ONE chunk of this dataset: same codec

@@ -319,6 +319,122 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     return stream.pack_frame_stream(header, base_comp, res_comp)
 
 
+def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
+                              opts: EncodeOptions, n_frames, h, w,
+                              backend: int) -> bytes:
+    """Serialization for a TEMPORAL chunk (closed-loop predictive coding,
+    see kernels.encode_batch_temporal).
+
+    Frame-0 candidate selection mirrors the DEVICE's deterministic rules —
+    the device already baked that choice into the prediction chain, so the
+    host may not re-decide on byte sizes (no pure-vs-residual comparison,
+    no drop rule, no mean adjustment).
+    """
+    level = config.zstd_level
+
+    if bool(res.const):
+        header = stream.FrameHeader(
+            flags=stream.FLAG_CONST, entropy=entropy.BACKEND_ZSTD,
+            n_frames=n_frames, height=h, width=w,
+            minval=float(res.minval), maxval=float(res.maxval),
+            rmin=0.0, rmax=0.0,
+            base_levels=config.base_levels, res_levels=config.residual_levels,
+            base_nplanes=cfg.BASE_NUM_PLANES, base_cut=0, base_top=0,
+            res_nplanes=cfg.RES_NUM_PLANES, res_cut=0, res_top=0,
+            base_comp_size=0, res_comp_size=0)
+        return stream.pack_frame_stream(header, b"", b"")
+
+    if bool(res.overflow):
+        raise RuntimeError(
+            "internal coefficient overflow: bitplane count too small for "
+            "this data (please report)")
+
+    skip_residual = bool(res.skip_residual)
+    res_feasible = bool(res.res_feasible)
+    ship_pure = (not skip_residual) and (not res_feasible)
+    base_cut = int(res.pure_cut) if ship_pure else int(res.base_cut)
+    res_cut = int(res.res_cut)
+    store_cut = int(res.store_cut)
+    use_residual = (not skip_residual) and res_feasible
+    if ship_pure and not bool(res.pure_feasible):
+        logger.warning(
+            "Could not reach error target %g on the intra frame in any "
+            "configuration; shipping best effort (finest cut).",
+            float(res.target_abs))
+    t_feas = np.asarray(res.t_feasible)
+    if not t_feas.all():
+        logger.warning(
+            "Could not reach error target %g on %d delta frame(s); "
+            "shipping best effort (max shipped error %g).",
+            float(res.target_abs), int((~t_feas).sum()),
+            float(np.asarray(res.t_maxerr).max()))
+
+    base_full = res.base_values()   # (T, Hp, Wp); frame 0 in slot 0
+    res_full = res.res_values()
+    hpv, wpv = base_full.shape[-2:]
+    base_meta = lambda kept: (kept, 1, hpv, wpv, config.base_levels)
+    res_meta = lambda kept: (kept, 1, hpv, wpv, config.residual_levels)
+
+    base_payload, base_top, base_kept = build_layer_payload(
+        base_full[0:1], store_cut, base_cut, cfg.BASE_NUM_PLANES)
+    base_comp, base_be = _entropy_encode(base_payload, backend, level,
+                                         base_meta(base_kept))
+    res_comp = b""
+    res_top = 0
+    res_be = 0
+    if use_residual:
+        res_payload, res_top, res_kept = build_layer_payload(
+            res_full[0:1], res_cut, res_cut, cfg.RES_NUM_PLANES)
+        res_comp, res_be = _entropy_encode(res_payload, backend, level,
+                                           res_meta(res_kept))
+
+    t_cut = np.asarray(res.t_cut)
+    t_rmin = np.asarray(res.t_rmin, np.float32)
+    t_rmax = np.asarray(res.t_rmax, np.float32)
+    records = []
+    dpayloads = []
+    for t in range(1, n_frames):
+        cut_t = int(t_cut[t - 1])
+        payload, top_t, kept_t = build_layer_payload(
+            res_full[t:t + 1], cut_t, cut_t, cfg.DELTA_NUM_PLANES)
+        comp_t, be_t = _entropy_encode(payload, backend, level,
+                                       res_meta(kept_t))
+        records.append(stream.DeltaRecord(
+            rmin=float(t_rmin[t - 1]), rmax=float(t_rmax[t - 1]),
+            cut=cut_t, top=top_t, entropy=be_t, comp_size=len(comp_t)))
+        dpayloads.append(comp_t)
+
+    flags = stream.FLAG_TEMPORAL
+    if use_residual:
+        flags |= stream.FLAG_HAS_RESIDUAL
+
+    total = (stream.FRAME_HEADER_SIZE + len(base_comp) + len(res_comp)
+             + (n_frames - 1) * stream.DELTA_RECORD_SIZE
+             + sum(len(p) for p in dpayloads))
+    raw_bytes = n_frames * h * w * 4
+    logger.info(
+        "chunk %d (temporal): base=%d res=%d deltas=%d skipped=%d "
+        "compression ratio: %.2f", res._i, len(base_comp), len(res_comp),
+        sum(len(p) for p in dpayloads), int(np.asarray(res.t_skip).sum()),
+        raw_bytes / total)
+
+    header = stream.FrameHeader(
+        flags=flags, entropy=base_be,
+        n_frames=n_frames, height=h, width=w,
+        minval=float(res.minval), maxval=float(res.maxval),
+        rmin=float(res.rmin) if use_residual else 0.0,
+        rmax=float(res.rmax) if use_residual else 0.0,
+        base_levels=config.base_levels, res_levels=config.residual_levels,
+        base_nplanes=cfg.BASE_NUM_PLANES, base_cut=base_cut,
+        base_top=base_top,
+        res_nplanes=cfg.RES_NUM_PLANES, res_cut=res_cut if use_residual else 0,
+        res_top=res_top,
+        base_comp_size=len(base_comp), res_comp_size=len(res_comp),
+        res_entropy=res_be if use_residual else 0)
+    return stream.pack_temporal_stream(header, base_comp, res_comp,
+                                       records, dpayloads)
+
+
 def build_partial_payload(v, stored_cut: int, cut: int, pb: int,
                           num_planes: int):
     """Rate-mode payload with a PARTIAL next-finer plane: the full planes
@@ -651,7 +767,10 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
     a thread pool (zstandard releases the GIL)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    if error_mode:
+    if _temporal_active(config, n_frames):
+        fn = lambda i: _assemble_temporal_stream(
+            _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend)
+    elif error_mode:
         fn = lambda i: _assemble_error_mode_stream(
             _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend)
     else:
@@ -662,6 +781,15 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
             return [fn(i) for i in range(n_chunks)]
         with ThreadPoolExecutor(max_workers=min(4, n_chunks)) as pool:
             return list(pool.map(fn, range(n_chunks)))
+
+
+def _temporal_active(config: CodecConfig, n_frames: int) -> bool:
+    """Temporal coding applies when requested AND the chunk actually
+    carries a multi-frame leading axis (single-frame chunks fall back to
+    plain intra coding — a 1-frame temporal stream would be pure
+    overhead)."""
+    return (config.temporal and n_frames > 1
+            and config.residual_mode != cfg.RESIDUAL_NONE)
 
 
 # Enable the u16 upload only when the (per-chunk absolute) target is at
@@ -693,6 +821,15 @@ def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
             xb, np.int32(budget), base_levels=config.base_levels,
             res_levels=config.residual_levels)
     relative = config.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR
+    if _temporal_active(config, xb.shape[1]):
+        if isinstance(xb, np.ndarray):
+            transfer.count_up(xb.nbytes)
+        return kernels.encode_batch_temporal(
+            xb, np.float32(config.error),
+            np.float32(opts.base_quantile_target),
+            base_levels=config.base_levels,
+            res_levels=config.residual_levels,
+            relative_mode=relative, use_pallas=use_pallas)
     common = dict(
         base_levels=config.base_levels, res_levels=config.residual_levels,
         relative_mode=relative,
@@ -777,7 +914,9 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
     return streams_out
 
 
-def _native_encoder(opts: Optional[EncodeOptions] = None):
+def _native_encoder(opts: Optional[EncodeOptions] = None,
+                    config: Optional[CodecConfig] = None,
+                    n_frames: int = 1):
     """The native C++ encoder module when the host encode path routes
     native (explicit ``EBCC_ENCODE_BACKEND=native`` or the automatic
     link-vs-cores decision, see ``core.routing``), else None.  An all-host
@@ -821,7 +960,7 @@ def encode(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _layout(config.dims)
     x = data.reshape(1, n_frames, h, w)
     logger.info("%s", config.describe())
-    nm = _native_encoder(opts)
+    nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
         if not np.isfinite(x).all():
             raise ValueError("NaN or Inf found in data")
@@ -832,6 +971,7 @@ def encode(data: np.ndarray, config: CodecConfig,
 def _parse_streams(streams):
     headers = []
     payloads = []
+    temporal_parts = []
     for s in streams:
         hd, basep, resp = stream.split_frame_stream(s)
         # Sanity caps before any allocation sized from header fields
@@ -844,6 +984,10 @@ def _parse_streams(streams):
             raise stream.StreamError("implausible ETPU header dimensions")
         headers.append(hd)
         payloads.append((basep, resp))
+        # Const + temporal can co-occur (native encoder: const FRAME 0 in
+        # a non-const chunk) — the delta records still apply.
+        temporal_parts.append(stream.split_temporal_section(s, hd)
+                              if hd.temporal else ([], []))
     h0 = headers[0]
     key = (h0.n_frames, h0.height, h0.width, h0.base_levels, h0.res_levels,
            h0.base_nplanes, h0.res_nplanes)
@@ -852,7 +996,14 @@ def _parse_streams(streams):
              hd.base_nplanes, hd.res_nplanes)
         if k != key:
             raise stream.StreamError("inconsistent chunk stream shapes")
-    return headers, payloads
+    # Plain const chunks decode identically either way; every other stream
+    # in a batch must agree on temporal-vs-intra (a temporal container can
+    # still hold const chunks, serialized as plain CONST streams).
+    tflags = {hd.temporal for hd in headers
+              if hd.temporal or not hd.const_field}
+    if len(tflags) > 1:
+        raise stream.StreamError("inconsistent temporal flags across chunks")
+    return headers, payloads, temporal_parts
 
 
 def _decode_streams_device(streams: List[bytes], sharding=None):
@@ -867,36 +1018,63 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    headers, payloads = _parse_streams(streams)
+    headers, payloads, temporal_parts = _parse_streams(streams)
     h0 = headers[0]
     n = len(headers)
     d0, h, w = h0.n_frames, h0.height, h0.width
     hp, wp = _padded_hw(h, w, max(h0.base_levels, h0.res_levels))
-    sc = d0 * hp * wp
-    if n > _max_safe_batch(sc):
+    # Temporal streams decode as n_frames independent single-frame ENTRIES
+    # per chunk (frame 0's two layers + one delta layer per later frame),
+    # then a sequential accumulation adds each delta onto the previous
+    # frame's reconstruction — the exact arithmetic the encoder's closed
+    # prediction loop carried (kernels.encode_batch_temporal).
+    temporal = any(hd.temporal for hd in headers)
+    if temporal and sharding is not None:
+        # The SPMD layout shards the chunk axis; temporal entries carry a
+        # cross-entry dependency within each chunk, so fall back to the
+        # single-device program (still correct, just not mesh-sharded).
+        sharding = None
+    t_frames = d0 if temporal else 1
+    ent_d0 = 1 if temporal else d0
+    ne = n * t_frames
+    sc = ent_d0 * hp * wp
+    if ne > _max_safe_batch(sc):
         raise stream.StreamError(
             "decode batch exceeds int32 sparse-index space; use a smaller "
             "max_batch")
 
-    minval = np.zeros(n, np.float32)
-    maxval = np.zeros(n, np.float32)
-    rmin = np.zeros(n, np.float32)
-    rmax = np.zeros(n, np.float32)
-    base_cut = np.zeros(n, np.int32)
-    res_cut = np.zeros(n, np.int32)
+    minval = np.zeros(ne, np.float32)
+    maxval = np.zeros(ne, np.float32)
+    rmin = np.zeros(ne, np.float32)
+    rmax = np.zeros(ne, np.float32)
+    base_cut = np.zeros(ne, np.int32)
+    res_cut = np.zeros(ne, np.int32)
     const_mask = np.zeros(n, bool)
-    any_residual = any(hd.has_residual for hd in headers)
+    any_residual = temporal or any(hd.has_residual for hd in headers)
 
     wb = wp // 8
-    plane_bytes = d0 * hp * wb
+    plane_bytes = ent_d0 * hp * wb
 
     for i, hd in enumerate(headers):
-        minval[i], maxval[i] = hd.minval, hd.maxval
-        const_mask[i] = hd.const_field
-        base_cut[i] = hd.base_cut
+        j = i * t_frames
+        minval[j], maxval[j] = hd.minval, hd.maxval
+        # const+temporal means only FRAME 0 is flat (the device entry for
+        # it decodes to minval already); whole-chunk const fill applies to
+        # plain const streams only.
+        const_mask[i] = hd.const_field and not hd.temporal
+        base_cut[j] = hd.base_cut
         if hd.has_residual:
-            rmin[i], rmax[i] = hd.rmin, hd.rmax
-            res_cut[i] = hd.res_cut
+            rmin[j], rmax[j] = hd.rmin, hd.rmax
+            res_cut[j] = hd.res_cut
+        for t, rec in enumerate(temporal_parts[i][0], start=1):
+            if rec.cut > 32 or rec.top > 32:
+                raise stream.StreamError("implausible delta record geometry")
+            rmin[j + t], rmax[j + t] = rec.rmin, rec.rmax
+            res_cut[j + t] = rec.cut
+
+    # Host-side const fill wants one minval per CHUNK (the entry axis is
+    # per-frame when temporal).
+    _chunk_minval = minval[::t_frames].copy() if temporal else minval
 
     def _decompress_layer(hd, payload, which):
         """One chunk layer -> (raw bytes, kept, pb) where pb = bytes
@@ -923,7 +1101,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                     "partial-plane payloads require a zstd/store entropy "
                     "layer")
             raw = entropy.decompress(payload, backend, max_size,
-                                     meta=(kept, d0, hp, wp, levels))
+                                     meta=(kept, ent_d0, hp, wp, levels))
             pb = len(raw) - kept * plane_bytes
             if not 0 <= pb <= plane_bytes:
                 raise stream.StreamError(
@@ -931,29 +1109,50 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                     f"[{kept * plane_bytes}, {max_size}]")
             return raw, kept, pb
         raw = entropy.decompress(payload, backend, max_size,
-                                 meta=(kept, d0, hp, wp, levels))
+                                 meta=(kept, ent_d0, hp, wp, levels))
         if len(raw) != max_size:
             raise stream.StreamError(
                 f"decompressed payload size {len(raw)} != expected "
                 f"{max_size}")
         return raw, kept, plane_bytes
 
-    def _decompress_one(i):
+    def _decompress_delta(rec, payload):
+        # Delta geometry is measured against base_nplanes (the deeper
+        # budget the adaptive quantization scale needs; see
+        # config.DELTA_NUM_PLANES).
+        kept = h0.base_nplanes - rec.cut - rec.top
+        if kept <= 0 or not payload:
+            return None, 0, 0
+        max_size = (kept + 1) * plane_bytes
+        raw = entropy.decompress(payload, rec.entropy, max_size,
+                                 meta=(kept, ent_d0, hp, wp, h0.res_levels))
+        if len(raw) != max_size:
+            raise stream.StreamError(
+                f"decompressed delta payload size {len(raw)} != expected "
+                f"{max_size}")
+        return raw, kept, plane_bytes
+
+    def _decompress_one(j):
+        i, t = divmod(j, t_frames)
         hd = headers[i]
-        basep, resp = payloads[i]
-        if hd.const_field:
+        if hd.const_field and not hd.temporal:
             return (None, 0, 0), (None, 0, 0)
+        if t > 0:
+            records, dpayloads = temporal_parts[i]
+            return (None, 0, 0), _decompress_delta(records[t - 1],
+                                                   dpayloads[t - 1])
+        basep, resp = payloads[i]
         base = _decompress_layer(hd, basep, "base")
         res = (_decompress_layer(hd, resp, "res") if hd.has_residual
                else (None, 0, 0))
         return base, res
 
     with stage("dec: entropy decode"):
-        if n <= 1:
-            raws = [_decompress_one(i) for i in range(n)]
+        if ne <= 1:
+            raws = [_decompress_one(j) for j in range(ne)]
         else:
-            with ThreadPoolExecutor(max_workers=min(4, n)) as pool:
-                raws = list(pool.map(_decompress_one, range(n)))
+            with ThreadPoolExecutor(max_workers=min(4, ne)) as pool:
+                raws = list(pool.map(_decompress_one, range(ne)))
 
     def _layer_values(which: int):
         """Vectorized planes -> signed kept-values for one layer across the
@@ -964,8 +1163,8 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
         kmax = max((r[which][1] for r in raws), default=0)
         if kmax == 0:
             return None
-        planes = np.zeros((n, kmax, plane_bytes), np.uint8)
-        signs = np.zeros((n, plane_bytes), np.uint8)
+        planes = np.zeros((ne, kmax, plane_bytes), np.uint8)
+        signs = np.zeros((ne, plane_bytes), np.uint8)
         for i, r in enumerate(raws):
             raw, kept, pb = r[which]
             if raw is None:
@@ -978,7 +1177,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             planes[i, off + full, :pb] = pl[full * plane_bytes:
                                             full * plane_bytes + pb]
             signs[i] = pl[full * plane_bytes + pb:]
-        mag = np.zeros((n, plane_bytes * 8), np.int32)
+        mag = np.zeros((ne, plane_bytes * 8), np.int32)
         for k in range(kmax):
             mag = (mag << 1) | np.unpackbits(planes[:, k], axis=-1)
         sb = np.unpackbits(signs, axis=-1).astype(bool)
@@ -993,18 +1192,18 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             # the GIL, so the pool gives real parallelism); (layer, chunk)
             # order keeps the concatenated global index sorted.
             def sparse_one(t):
-                layer, i = t
-                raw, kept, pb = raws[i][layer]
+                layer, j = t
+                raw, kept, pb = raws[j][layer]
                 if raw is None:
                     return None
-                pos, vv = nm.planes_to_sparse(raw, kept, pb, d0, hp, wp)
-                return pos.astype(np.int64) + (layer * n + i) * sc, vv
+                pos, vv = nm.planes_to_sparse(raw, kept, pb, ent_d0, hp, wp)
+                return pos.astype(np.int64) + (layer * ne + j) * sc, vv
 
-            tasks = [(l, i) for l in (0, 1) for i in range(n)]
-            if n <= 1:
+            tasks = [(l, j) for l in (0, 1) for j in range(ne)]
+            if ne <= 1:
                 results = [sparse_one(t) for t in tasks]
             else:
-                with ThreadPoolExecutor(max_workers=min(4, 2 * n)) as pool:
+                with ThreadPoolExecutor(max_workers=min(4, 2 * ne)) as pool:
                     results = list(pool.map(sparse_one, tasks))
             for r in results:
                 if r is not None and r[0].size:
@@ -1017,7 +1216,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                     continue
                 flat = v.reshape(-1)
                 pos = np.flatnonzero(flat)
-                parts_idx.append(pos.astype(np.int64) + layer * n * sc)
+                parts_idx.append(pos.astype(np.int64) + layer * ne * sc)
                 parts_val.append(flat[pos])
         idx = (np.concatenate(parts_idx) if parts_idx
                else np.zeros(0, np.int64))
@@ -1033,7 +1232,14 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
 
     kw = dict(base_levels=h0.base_levels, res_levels=h0.res_levels,
               out_hw=(h, w), has_residual=any_residual,
-              grid_shape=(n, d0, hp, wp), use_pallas=sharding is None)
+              grid_shape=(ne, ent_d0, hp, wp), use_pallas=sharding is None)
+
+    def _finish(out_dev):
+        """Temporal entries -> accumulated frames (n, T, h, w); intra
+        batches pass through."""
+        if not temporal:
+            return out_dev
+        return kernels.temporal_accumulate(out_dev, t_frames=t_frames)
 
     # Upload-leg representation: byte-coded gaps + zigzag values (~2 B per
     # significant coefficient, transfer.byte_pack_sparse_host) is the
@@ -1044,7 +1250,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     use_bytes = (sharding is None
                  and not os.environ.get("EBCC_NO_BYTE_UPLOAD"))
     use_bitmap = (sharding is None and not use_bytes
-                  and 4 * cap > (2 * n * sc) // 8)
+                  and 4 * cap > (2 * ne * sc) // 8)
     with stage("dec: upload sparse + decode"):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
         if use_bytes and not os.environ.get("EBCC_NO_NIBBLE_UPLOAD"):
@@ -1070,12 +1276,12 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 o += 2 * g16c
                 bytes_u8[o:o + 2 * vt[2].size] = vt[2].astype(
                     "<u2").view(np.uint8)
-                ints = np.zeros(g32c + v32c + 2 * n + 1, np.int32)
+                ints = np.zeros(g32c + v32c + 2 * ne + 1, np.int32)
                 ints[: gt[3].size] = gt[3]
                 ints[g32c: g32c + vt[3].size] = vt[3]
-                ints[g32c + v32c: g32c + v32c + n] = base_cut
-                ints[g32c + v32c + n: g32c + v32c + 2 * n] = res_cut
-                ints[g32c + v32c + 2 * n] = idx.size
+                ints[g32c + v32c: g32c + v32c + ne] = base_cut
+                ints[g32c + v32c + ne: g32c + v32c + 2 * ne] = res_cut
+                ints[g32c + v32c + 2 * ne] = idx.size
                 floats = np.stack([minval, maxval, rmin, rmax]).astype(
                     np.float32)
                 transfer.count_up(bytes_u8.nbytes + ints.nbytes
@@ -1083,7 +1289,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 out = kernels.decode_batch_sparse_nibble(
                     jax.device_put(bytes_u8), jax.device_put(ints),
                     jax.device_put(floats), cap=cap, **kw)
-                return out, const_mask, minval
+                return _finish(out), const_mask, _chunk_minval
         if use_bytes:
             g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(
                 idx, vals)
@@ -1097,21 +1303,21 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             bytes_u8[cap: cap + v8.size] = v8
             bytes_u8[2 * cap: 2 * cap + 2 * v_ov16.size] = (
                 v_ov16.astype("<u2").view(np.uint8))
-            ints = np.zeros(gcap + wcap + 2 * n + 1, np.int32)
+            ints = np.zeros(gcap + wcap + 2 * ne + 1, np.int32)
             ints[: g_ov.size] = g_ov
             ints[gcap: gcap + v_ov32.size] = v_ov32
-            ints[gcap + wcap: gcap + wcap + n] = base_cut
-            ints[gcap + wcap + n: gcap + wcap + 2 * n] = res_cut
-            ints[gcap + wcap + 2 * n] = idx.size
+            ints[gcap + wcap: gcap + wcap + ne] = base_cut
+            ints[gcap + wcap + ne: gcap + wcap + 2 * ne] = res_cut
+            ints[gcap + wcap + 2 * ne] = idx.size
             floats = np.stack([minval, maxval, rmin, rmax]).astype(np.float32)
             transfer.count_up(bytes_u8.nbytes + ints.nbytes + floats.nbytes)
             out = kernels.decode_batch_sparse_bytes(
                 jax.device_put(bytes_u8), jax.device_put(ints),
                 jax.device_put(floats), cap=cap, gcap=gcap, vcap=vcap,
                 wcap=wcap, **kw)
-            return out, const_mask, minval
+            return _finish(out), const_mask, _chunk_minval
         if use_bitmap:
-            sigb = np.zeros(2 * n * sc, np.uint8)
+            sigb = np.zeros(2 * ne * sc, np.uint8)
             sigb[idx] = 1
             packed = np.packbits(sigb)
             pv = padded_vals()
@@ -1120,7 +1326,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             out = kernels.decode_batch_sparse_bitmap(
                 jax.device_put(packed), jax.device_put(pv),
                 *(jax.device_put(a) for a in scalars), **kw)
-            return out, const_mask, minval
+            return _finish(out), const_mask, _chunk_minval
         idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
         pv = padded_vals()
         transfer.count_up(idx_up.nbytes + pv.nbytes
@@ -1136,7 +1342,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             args = ([jax.device_put(a, repl) for a in args[:2]]
                     + [jax.device_put(a, sharding) for a in args[2:]])
         out = kernels.decode_batch_sparse(*args, **kw)
-    return out, const_mask, minval
+    return _finish(out), const_mask, _chunk_minval
 
 
 def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
@@ -1374,7 +1580,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
     if not np.isfinite(chunks).all():
         raise ValueError("NaN or Inf found in data")
 
-    nm = _native_encoder(opts)
+    nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
         import os
         from concurrent.futures import ThreadPoolExecutor

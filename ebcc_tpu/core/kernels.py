@@ -42,7 +42,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import BASE_NUM_PLANES, RES_NUM_PLANES, RES_SCALE_STEPS
+from ..config import (BASE_NUM_PLANES, DELTA_NUM_PLANES, RES_NUM_PLANES,
+                      RES_SCALE_STEPS)
 from ..ops import bitplane, dwt, dwt_pallas, metrics
 from . import transfer
 
@@ -174,6 +175,7 @@ def encode_batch_u16(
 def _encode_core(
     x, minval, maxval, target_slack, error_target, base_quantile_target,
     *, base_levels, res_levels, relative_mode, use_centered, use_pallas,
+    return_internal: bool = False,
 ):
     b, d0, h, w = x.shape
     mult = 1 << max(base_levels, res_levels)
@@ -328,27 +330,11 @@ def _encode_core(
     magr = jnp.abs(qres)
     vr = jnp.where(qres < 0, -(magr >> rc), magr >> rc)
     vr = jnp.where(res_active, vr, 0)
-    vals_comb = jnp.concatenate([vb.reshape(-1), vr.reshape(-1)])
-    sig_comb = jnp.stack([
-        transfer.pack_bitmap((vb != 0).reshape(*vb.shape[:-1], -1)),
-        transfer.pack_bitmap((vr != 0).reshape(*vr.shape[:-1], -1)),
-    ])
-    max_kept = jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max())
-    res_any = res_active.any()
 
-    return {
-        # nnz lets the host size the separate compaction program (see
-        # transfer.compact_rice_exchange) to the ACTUAL significance count;
-        # compacting inside this program would pin the scatter to a static
-        # worst-case capacity and dominate device time.
-        "exchange_nnz": (vals_comb != 0).sum(dtype=jnp.int32),
+    small = {
         "minval": minval, "maxval": maxval, "const": const,
         "overflow": overflow,
         "target_abs": target,
-        "vals_comb": vals_comb,
-        "sig_comb": sig_comb,
-        "max_kept": max_kept,
-        "res_any": res_any,
         "store_cut": store_cut,
         "base_cut": base_cut, "pure_cut": pure_cut,
         "pure_feasible": pure_feasible,
@@ -366,6 +352,239 @@ def _encode_core(
         "res_mean": res_mean_sel,
         "res_est_size": res_sizes,  # (B,) at the selected (scale, cut)
     }
+
+    if return_internal:
+        # Temporal wrapper path (encode_batch_temporal): it packs the
+        # exchange itself (frame 0's layers sit alongside the delta
+        # frames'), and needs the SHIPPED frame-0 reconstruction — computed
+        # with the decoder's exact candidate rules and arithmetic so the
+        # closed prediction loop sees what a decoder will see.  The device
+        # picks the candidate deterministically (skip-residual -> base @
+        # base_cut; residual feasible -> base + residual; else pure base @
+        # pure_cut); the host assembly must mirror exactly this choice (no
+        # byte-size comparison, no drop rule, no mean adjustment).
+        ship_pure = (~skip_residual) & (~res_feasible)
+        cut_ship = jnp.where(ship_pure, pure_cut, base_cut)
+        recon_b = dwt.unpad(
+            dwt_pallas.idwt2d_dequant(qbase, cut_ship, base_levels,
+                                      use_pallas=use_pallas),
+            orig_hw) * scale_back + off
+        # Decoder arithmetic for the residual layer (kernels._decode_from
+        # _qflat.layer): rng = where(hi > lo, hi - lo, 1); rec = spatial *
+        # (rng / RES_SCALE) + lo, reconstructed from the SHIPPED kept
+        # values (idwt2d_dequant masks at the cut, so qres is equivalent).
+        rrng_out = jnp.where(rmax_out > rmin, rmax_out - rmin, 1.0)
+        res_rec = dwt.unpad(
+            dwt_pallas.idwt2d_dequant(qres, res_cut, res_levels,
+                                      use_pallas=use_pallas),
+            orig_hw) * (rrng_out / RES_SCALE)[:, None, None, None] \
+            + rmin[:, None, None, None]
+        use_res = ((~skip_residual) & res_feasible)[:, None, None, None]
+        small["_recon"] = recon_b + jnp.where(use_res, res_rec, 0.0)
+        small["_vb"] = vb
+        small["_vr"] = vr
+        return small
+
+    vals_comb = jnp.concatenate([vb.reshape(-1), vr.reshape(-1)])
+    sig_comb = jnp.stack([
+        transfer.pack_bitmap((vb != 0).reshape(*vb.shape[:-1], -1)),
+        transfer.pack_bitmap((vr != 0).reshape(*vr.shape[:-1], -1)),
+    ])
+    small.update({
+        # nnz lets the host size the separate compaction program (see
+        # transfer.compact_rice_exchange) to the ACTUAL significance count;
+        # compacting inside this program would pin the scatter to a static
+        # worst-case capacity and dominate device time.
+        "exchange_nnz": (vals_comb != 0).sum(dtype=jnp.int32),
+        "vals_comb": vals_comb,
+        "sig_comb": sig_comb,
+        "max_kept": jnp.maximum(jnp.abs(vb).max(), jnp.abs(vr).max()),
+        "res_any": res_active.any(),
+    })
+    return small
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "relative_mode",
+                     "use_pallas", "scale_steps"),
+)
+def encode_batch_temporal(
+    x,                       # (B, T, H, W) float32, T >= 2
+    error_target,            # scalar f32 abs target (or rel if relative_mode)
+    base_quantile_target,    # scalar f32 in (0, 1]
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    relative_mode: bool = False,
+    use_pallas: bool = True,
+    scale_steps: tuple = RES_SCALE_STEPS,
+):
+    """Closed-loop temporal (predictive) encode: frame 0 is intra-coded
+    with the standard two-layer program; every later frame is coded as an
+    error-bounded DELTA against the PREVIOUS frame's reconstruction
+    (``lax.scan`` carrying the reconstruction).  Because prediction uses
+    the reconstruction, quantization error never accumulates and the
+    per-frame max-error bound stays exact for every frame.
+
+    No reference counterpart (reference chunks are always intra-coded,
+    ebcc_codec.c:1007-1046); this is the capability its per-frame chunking
+    forgoes on smoothly-varying stacks (hourly data, pressure levels).
+
+    Frame-0 candidate rules are DEVICE-decided (see ``_encode_core``
+    ``return_internal``); the temporal host assembly must mirror them.
+    Deltas use the residual layer's machinery: min/max normalization to
+    the RES_SCALE grid, fractional quantization-scale sweep folded into
+    the stored rmax, coarsest feasible cut, uncentered criterion (no mean
+    adjustment exists for delta frames).  A frame already within bound at
+    the carried reconstruction ships as a SKIP (rmin = rmax = 0, zero
+    payload, exact zero delta).
+    """
+    b, t, h, w = x.shape
+    mult = 1 << max(base_levels, res_levels)
+
+    # The error target derives from the CHUNK-global range in relative
+    # mode (reference REL->ABS semantics, c:723-726) even though frame 0's
+    # base layer is normalized by its own min/max (tighter quantization).
+    gmin, gmax = metrics.minmax(x)
+    target = jnp.where(
+        jnp.asarray(relative_mode),
+        jnp.asarray(error_target, jnp.float32) * (gmax - gmin),
+        jnp.broadcast_to(jnp.asarray(error_target, jnp.float32), (b,)))
+
+    x0 = x[:, :1]
+    min0, max0 = metrics.minmax(x0)
+    out0 = _encode_core(
+        x0, min0, max0, jnp.float32(0.0), target, base_quantile_target,
+        base_levels=base_levels, res_levels=res_levels, relative_mode=False,
+        use_centered=False, use_pallas=use_pallas, return_internal=True)
+
+    xs = jnp.moveaxis(x[:, 1:], 1, 0)[:, :, None]  # (T-1, B, 1, H, W)
+
+    def step(recon, x_t):
+        r = x_t - recon
+        skip = metrics.max_abs_error(x_t, recon) <= target  # (B,)
+        rmin = r.min(axis=(1, 2, 3))
+        rmax = r.max(axis=(1, 2, 3))
+        rrng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
+        rn = ((r - rmin[:, None, None, None]) / rrng[:, None, None, None]
+              * RES_SCALE)
+        rnp_, orig_hw = _pad2d(rn, mult)
+        yd = dwt.dwt2d(rnp_, res_levels)
+        hp_, wp_ = rnp_.shape[-2:]
+
+        # Adaptive quantization scale: unlike the residual layer (whose
+        # range the base layer already bounded to ~the target), the delta
+        # range can be arbitrarily large relative to the target, so a
+        # fixed [0,255] grid cannot always resolve the bound.  Scale the
+        # grid so the finest step resolves the target with ~4x margin
+        # (synthesis-gain headroom); the 800 cap keeps |coeff| inside the
+        # DELTA_NUM_PLANES budget (2040 * 800 * max(scale_steps) < 2^22).
+        f_dyn = jnp.clip(
+            4.0 * rrng / (RES_SCALE * jnp.maximum(target, jnp.float32(1e-30))),
+            1.0, 800.0)
+
+        cut_l, feas_l, est_l, rmax_l, q_l = [], [], [], [], []
+        for f in scale_steps:
+            fv = f_dyn * jnp.float32(f)
+            q_f = bitplane.quantize_floor(yd * fv[:, None, None, None])
+            rmax_adj = (rmin + rrng / fv).astype(jnp.float32)
+            sb = (jnp.where(rmax_adj > rmin, rmax_adj - rmin, 1.0)
+                  / RES_SCALE)
+
+            def dmetrics(rec_spatial, cut, sb=sb):
+                rec = (dwt.unpad(rec_spatial, orig_hw)
+                       * sb[:, None, None, None]
+                       + rmin[:, None, None, None])
+                return (metrics.max_abs_error(x_t, recon + rec),)
+
+            [(cut_f, feas_f, _m)], _, _ = _coarse_fine_search(
+                q_f, DELTA_NUM_PLANES, res_levels, dmetrics,
+                [lambda m: m[0] <= target], use_pallas)
+            est_f = bitplane.estimated_code_bytes(
+                q_f.reshape(b, hp_, wp_), DELTA_NUM_PLANES)
+            cut_l.append(cut_f)
+            feas_l.append(feas_f)
+            est_l.append(jnp.take_along_axis(est_f, cut_f[None], axis=0)[0])
+            rmax_l.append(rmax_adj)
+            q_l.append(q_f)
+
+        cut_s = jnp.stack(cut_l)
+        feas_s = jnp.stack(feas_l)
+        est_s = jnp.stack(est_l)
+        rmax_s = jnp.stack(rmax_l)
+        q_s = jnp.stack(q_l)
+        inf = jnp.float32(3.4e38)
+        f_idx = jnp.argmin(jnp.where(feas_s, est_s, inf), axis=0)
+        sel = lambda arr: jnp.take_along_axis(arr, f_idx[None], axis=0)[0]
+        cut = sel(cut_s).astype(jnp.int32)
+        rmax_out = sel(rmax_s)
+        qsel = jnp.take_along_axis(
+            q_s, f_idx[None, :, None, None, None], axis=0)[0]
+
+        cut4 = cut[:, None, None, None]
+        mag = jnp.abs(qsel)
+        overflow_t = (mag.max(axis=(1, 2, 3)) >= (1 << DELTA_NUM_PLANES))
+        vr_t = jnp.where(qsel < 0, -(mag >> cut4), mag >> cut4)
+        vr_t = jnp.where(skip[:, None, None, None], 0, vr_t)
+        rmin_s = jnp.where(skip, 0.0, rmin).astype(jnp.float32)
+        rmax_f = jnp.where(skip, 0.0, rmax_out).astype(jnp.float32)
+
+        # Decoder-arithmetic reconstruction of the SHIPPED delta: kept
+        # values re-expanded (<< cut), dequantized at the cut, scaled by
+        # the STORED rmin/rmax.  Zero values + rmin=rmax=0 give an exact
+        # zero delta for skipped frames.
+        q_ship = jnp.where(vr_t < 0, -((-vr_t) << cut4), vr_t << cut4)
+        spat = dwt_pallas.idwt2d_dequant(q_ship, cut, res_levels,
+                                         use_pallas=use_pallas)
+        rng_s = jnp.where(rmax_f > rmin_s, rmax_f - rmin_s, 1.0)
+        delta = (dwt.unpad(spat, orig_hw)
+                 * (rng_s / RES_SCALE)[:, None, None, None]
+                 + rmin_s[:, None, None, None])
+        recon_next = recon + delta
+        outs = {
+            "vr": vr_t,
+            "rmin": rmin_s,
+            "rmax": rmax_f,
+            "cut": cut,
+            "skip": skip,
+            "feasible": skip | feas_s.any(axis=0),
+            "maxerr": metrics.max_abs_error(x_t, recon_next),
+            "overflow": overflow_t & ~skip,
+        }
+        return recon_next, outs
+
+    _, scan_out = jax.lax.scan(step, out0["_recon"], xs)
+
+    vb0 = out0.pop("_vb")            # (B, 1, Hp, Wp)
+    vr0 = out0.pop("_vr")
+    out0.pop("_recon")
+    hp, wp = vb0.shape[-2:]
+    vr_t = jnp.moveaxis(scan_out["vr"][:, :, 0], 0, 1)  # (B, T-1, Hp, Wp)
+    layer0 = jnp.concatenate(
+        [vb0, jnp.zeros((b, t - 1, hp, wp), jnp.int32)], axis=1)
+    layer1 = jnp.concatenate([vr0, vr_t], axis=1)       # (B, T, Hp, Wp)
+    vals_comb = jnp.concatenate([layer0.reshape(-1), layer1.reshape(-1)])
+    sig_comb = jnp.stack([
+        transfer.pack_bitmap(layer0 != 0),
+        transfer.pack_bitmap(layer1 != 0),
+    ])
+
+    out = dict(out0)
+    out["const"] = gmin == gmax
+    out["overflow"] = out0["overflow"] | scan_out["overflow"].any(axis=0)
+    out["target_abs"] = target
+    out["exchange_nnz"] = (vals_comb != 0).sum(dtype=jnp.int32)
+    out["vals_comb"] = vals_comb
+    out["sig_comb"] = sig_comb
+    out["max_kept"] = jnp.maximum(jnp.abs(layer0).max(),
+                                  jnp.abs(layer1).max())
+    out["res_any"] = jnp.asarray(True)
+    # Per-delta-frame metadata, (B, T-1) so the per-chunk host view
+    # (codec._ChunkResult) slices them like every other array.
+    for k in ("rmin", "rmax", "cut", "skip", "feasible", "maxerr"):
+        out["t_" + k] = jnp.moveaxis(scan_out[k], 0, 1)
+    return out
 
 
 @functools.partial(
@@ -619,6 +838,29 @@ def decode_batch_sparse_nibble(
         base_levels=base_levels, res_levels=res_levels, out_hw=out_hw,
         has_residual=has_residual, grid_shape=grid_shape,
         use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("t_frames",))
+def temporal_accumulate(frames, t_frames: int):
+    """Per-frame temporal-entry decodes (n*T, 1, h, w) -> accumulated
+    chunk frames (n, T, h, w).
+
+    The accumulation MUST be sequential left-to-right f32 adds — that is
+    the arithmetic the encoder's closed-loop ``lax.scan`` carried when it
+    verified each frame's bound (a parallel-prefix cumsum could round
+    differently).  ``lax.scan`` guarantees exactly that order.
+    """
+    n = frames.shape[0] // t_frames
+    fr = frames[:, 0].reshape(n, t_frames, *frames.shape[2:])
+    first = fr[:, 0]
+
+    def add(c, d):
+        nxt = c + d
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(add, first, jnp.moveaxis(fr[:, 1:], 1, 0))
+    return jnp.concatenate([first[:, None], jnp.moveaxis(rest, 0, 1)],
+                           axis=1)
 
 
 def _decode_from_qflat(

@@ -44,6 +44,14 @@ FLAG_MEAN_ADJUSTED = 0x04
 # partial plane; the prefix length is implied by the payload size.  Only
 # ever produced with a zstd/store entropy payload.
 FLAG_BASE_PARTIAL = 0x08
+# Temporal (closed-loop predictive) chunk: the base/res layers describe
+# frame 0 only; frames 1..n_frames-1 are coded as error-bounded DELTAS
+# against the previous frame's reconstruction.  After the res payload the
+# stream carries n_frames-1 DeltaRecord entries (16 B each) followed by
+# their concatenated entropy payloads.  Decoders without this flag fail
+# loudly on the trailing-bytes check.  No capability in the reference
+# (its chunks are always intra-coded); see docs/FORMAT.md.
+FLAG_TEMPORAL = 0x10
 
 # magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,
@@ -100,6 +108,10 @@ class FrameHeader:
     def has_residual(self) -> bool:
         return bool(self.flags & FLAG_HAS_RESIDUAL)
 
+    @property
+    def temporal(self) -> bool:
+        return bool(self.flags & FLAG_TEMPORAL)
+
     def pack(self) -> bytes:
         return struct.pack(
             _FRAME_FMT, MAGIC_FRAME, FRAME_VERSION, self.flags, self.entropy,
@@ -148,15 +160,87 @@ def pack_frame_stream(header: FrameHeader, base_payload: bytes,
 
 def split_frame_stream(buf: bytes):
     """-> (header, base_payload, res_payload); validates exact length
-    (trailing-bytes check parity, ebcc_codec.c:1314-1317)."""
+    (trailing-bytes check parity, ebcc_codec.c:1314-1317).  Temporal
+    streams (FLAG_TEMPORAL) carry a delta section after the res payload;
+    its records/payloads are validated here and read by
+    :func:`split_temporal_section`."""
     header = FrameHeader.unpack(buf)
     off = FRAME_HEADER_SIZE
     end_base = off + header.base_comp_size
     end_res = end_base + header.res_comp_size
-    if end_res != len(buf):
+    if header.temporal:
+        if header.n_frames < 2:
+            raise StreamError("temporal stream with n_frames < 2")
+        _validate_temporal_section(buf, header, end_res)
+    elif end_res != len(buf):
         raise StreamError(
             f"payload size mismatch: header says {end_res}, have {len(buf)}")
     return header, buf[off:end_base], buf[end_base:end_res]
+
+
+# Per-delta-frame record: rmin, rmax (f32; the stored residual-style scale,
+# 0/0 for a skipped frame), cut, top (bitplane geometry like the res
+# layer's), entropy backend id, reserved, compressed payload size.
+_DELTA_FMT = "<ffBBBBI"
+DELTA_RECORD_SIZE = struct.calcsize(_DELTA_FMT)
+assert DELTA_RECORD_SIZE == 16
+
+
+@dataclasses.dataclass
+class DeltaRecord:
+    rmin: float
+    rmax: float
+    cut: int
+    top: int
+    entropy: int
+    comp_size: int
+
+    def pack(self) -> bytes:
+        return struct.pack(_DELTA_FMT, self.rmin, self.rmax, self.cut,
+                           self.top, self.entropy, 0, self.comp_size)
+
+
+def _validate_temporal_section(buf: bytes, header: FrameHeader, start: int):
+    nt = header.n_frames - 1
+    rec_end = start + nt * DELTA_RECORD_SIZE
+    if rec_end > len(buf):
+        raise StreamError("truncated temporal delta records")
+    total = 0
+    for t in range(nt):
+        (_rmin, _rmax, _cut, _top, _ent, _res, csz) = struct.unpack_from(
+            _DELTA_FMT, buf, start + t * DELTA_RECORD_SIZE)
+        total += csz
+    if rec_end + total != len(buf):
+        raise StreamError(
+            f"temporal payload size mismatch: records say "
+            f"{rec_end + total}, have {len(buf)}")
+
+
+def split_temporal_section(buf: bytes, header: FrameHeader):
+    """-> ([DeltaRecord] * (n_frames-1), [payload bytes]); call after
+    :func:`split_frame_stream` validated the stream."""
+    start = (FRAME_HEADER_SIZE + header.base_comp_size
+             + header.res_comp_size)
+    nt = header.n_frames - 1
+    records = []
+    payloads = []
+    off = start + nt * DELTA_RECORD_SIZE
+    for t in range(nt):
+        (rmin, rmax, cut, top, ent, _res, csz) = struct.unpack_from(
+            _DELTA_FMT, buf, start + t * DELTA_RECORD_SIZE)
+        records.append(DeltaRecord(rmin, rmax, cut, top, ent, csz))
+        payloads.append(buf[off:off + csz])
+        off += csz
+    return records, payloads
+
+
+def pack_temporal_stream(header: FrameHeader, base_payload: bytes,
+                         res_payload: bytes, records, delta_payloads) -> bytes:
+    assert header.temporal and len(records) == header.n_frames - 1
+    parts = [pack_frame_stream(header, base_payload, res_payload)]
+    parts.extend(r.pack() for r in records)
+    parts.extend(delta_payloads)
+    return b"".join(parts)
 
 
 @dataclasses.dataclass

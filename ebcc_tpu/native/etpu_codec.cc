@@ -45,6 +45,11 @@ constexpr uint8_t kFlagMeanAdjusted = 0x04;
  * prefix of the next-finer plane (length implied by the decompressed
  * size); header base_cut is the finer cut.  See core/stream.py. */
 constexpr uint8_t kFlagBasePartial = 0x08;
+/* Temporal (closed-loop predictive) chunk: base/res layers describe frame
+ * 0 only; a delta section (16-byte records + payloads) follows the res
+ * payload.  See core/stream.py and docs/FORMAT.md. */
+constexpr uint8_t kFlagTemporal = 0x10;
+constexpr size_t kDeltaRecordSize = 16;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
 constexpr int kBackendCab = 2;
@@ -564,14 +569,10 @@ EncodeEnv read_env() {
 
 namespace {
 
-bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
-                         size_t comp_size, bool base, int d0, int hp, int wp,
-                         Layer *L) {
-  const int num_planes = base ? h.base_nplanes : h.res_nplanes;
-  const int cut = base ? h.base_cut : h.res_cut;
-  const int top = base ? h.base_top : h.res_top;
-  const uint8_t backend =
-      base ? h.entropy : (h.res_entropy ? h.res_entropy : h.entropy);
+bool decode_layer_values_g(int num_planes, int cut, int top, uint8_t backend,
+                           bool partial, int levels, const uint8_t *payload,
+                           size_t comp_size, int d0, int hp, int wp,
+                           Layer *L) {
   const int kept = num_planes - cut - top;
   L->d0 = d0;
   L->hp = hp;
@@ -580,7 +581,6 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
   if (kept <= 0 || comp_size == 0) return true;
   const size_t wb = (size_t)wp / 8;
   const size_t plane_bytes = (size_t)d0 * hp * wb;
-  const bool partial = base && (h.flags & kFlagBasePartial);
   /* partial: last plane is a prefix of length pb implied by the raw size
    * (mirror of core/codec.py::_payload_to_values). */
   size_t raw_size = plane_bytes * (kept + 1);
@@ -609,7 +609,6 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
       return false;
     }
   } else if (backend == kBackendCab) {
-    const int levels = base ? h.base_levels : h.res_levels;
     if (!etpu_cab_decompress(payload, comp_size, kept, d0, hp, wp, levels,
                              raw.data(), raw_size)) {
       log_err("corrupt CAB payload");
@@ -637,11 +636,62 @@ bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
       mag = (mag << 1) | ((pbyte & bit) ? 1u : 0u);
     }
     /* store FULL-scale q (kept values << cut); cut <= 31 is guaranteed by
-     * parse_header (cut + top <= nplanes <= 32 and kept >= 1 here). */
+     * parse_header (cut + top <= nplanes <= 32 and kept >= 1 here) and by
+     * the delta-record validation in decode_frame. */
     const int32_t sq = (int32_t)(mag << cut);
     L->q[i] = (raw[sign_off + byte] & bit) ? -sq : sq;
   }
   return true;
+}
+
+bool decode_layer_values(const FrameHeader &h, const uint8_t *payload,
+                         size_t comp_size, bool base, int d0, int hp, int wp,
+                         Layer *L) {
+  return decode_layer_values_g(
+      base ? h.base_nplanes : h.res_nplanes, base ? h.base_cut : h.res_cut,
+      base ? h.base_top : h.res_top,
+      base ? h.entropy : (h.res_entropy ? h.res_entropy : h.entropy),
+      base && (h.flags & kFlagBasePartial),
+      base ? h.base_levels : h.res_levels, payload, comp_size, d0, hp, wp,
+      L);
+}
+
+/* One parsed temporal delta record (docs/FORMAT.md "delta section"). */
+struct DeltaRecord {
+  float rmin, rmax;
+  uint8_t cut, top, entropy;
+  uint32_t comp_size;
+  const uint8_t *payload;
+};
+
+/* Validate + locate the delta section of a temporal stream; records and
+ * payloads must exactly cover the bytes after the residual payload. */
+bool parse_delta_section(const FrameHeader &h, const uint8_t *data,
+                         size_t size, std::vector<DeltaRecord> *recs) {
+  if (h.n_frames < 2) return false;
+  const size_t nt = (size_t)h.n_frames - 1;
+  const size_t start = kHeaderSize + h.base_comp + h.res_comp;
+  if (start > size || nt > (size - start) / kDeltaRecordSize) return false;
+  size_t pay = start + nt * kDeltaRecordSize;
+  recs->resize(nt);
+  for (size_t t = 0; t < nt; ++t) {
+    const uint8_t *p = data + start + t * kDeltaRecordSize;
+    const uint8_t *end = p + kDeltaRecordSize;
+    DeltaRecord &r = (*recs)[t];
+    uint8_t reserved;
+    if (!get(p, end, &r.rmin) || !get(p, end, &r.rmax) ||
+        !get(p, end, &r.cut) || !get(p, end, &r.top) ||
+        !get(p, end, &r.entropy) || !get(p, end, &reserved) ||
+        !get(p, end, &r.comp_size))
+      return false;
+    /* Delta geometry is measured against base_nplanes (<= 32 per
+     * parse_header), which bounds the shift in decode_layer_values_g. */
+    if ((int)r.cut + (int)r.top > (int)h.base_nplanes) return false;
+    if (r.comp_size > size - pay) return false;  /* no wrapping sum */
+    r.payload = data + pay;
+    pay += r.comp_size;
+  }
+  return pay == size;
 }
 
 size_t decode_frame(const uint8_t *data, size_t size, float **out) {
@@ -651,56 +701,94 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
     return 0;
   }
   const size_t tot = (size_t)h.n_frames * h.height * h.width;
+  const bool temporal = (h.flags & kFlagTemporal) != 0;
+  std::vector<DeltaRecord> recs;
   /* parse_header guarantees base_comp + res_comp <= size - kHeaderSize
-   * without wrapping; require exact coverage (no trailing bytes). */
-  if (h.base_comp + h.res_comp != size - kHeaderSize) {
+   * without wrapping; require exact coverage (no trailing bytes) — the
+   * temporal delta section must account for every trailing byte too. */
+  if (temporal ? !parse_delta_section(h, data, size, &recs)
+               : h.base_comp + h.res_comp != size - kHeaderSize) {
     log_err("payload size mismatch");
     return 0;
   }
   *out = (float *)std::malloc(tot * sizeof(float));
   if (!*out) return 0;
-  if (h.flags & kFlagConst) {
-    for (size_t i = 0; i < tot; ++i) (*out)[i] = h.minval;
-    return tot;
-  }
   const int mult = 1 << std::max(h.base_levels, h.res_levels);
   const int hp = padded(h.height, mult), wp = padded(h.width, mult);
-  const int d0 = h.n_frames, hh = h.height, ww = h.width;
+  /* Temporal: the base/res layers cover FRAME 0 ONLY. */
+  const int d0 = temporal ? 1 : (int)h.n_frames;
+  const int hh = h.height, ww = h.width;
 
-  Layer base;
-  if (!decode_layer_values(h, data + kHeaderSize, h.base_comp, true, d0, hp,
-                           wp, &base)) {
-    std::free(*out);
-    *out = nullptr;
-    return 0;
-  }
-  std::vector<float> spatial((size_t)d0 * hp * wp);
-  reconstruct(base, h.base_cut, h.base_levels, spatial.data());
-  const float rng = h.maxval > h.minval ? h.maxval - h.minval : 1.0f;
-  for (int f = 0; f < d0; ++f)
-    for (int r = 0; r < hh; ++r)
-      for (int c = 0; c < ww; ++c)
-        (*out)[((size_t)f * hh + r) * ww + c] =
-            spatial[((size_t)f * hp + r) * wp + c] * (rng / kBaseScale) +
-            h.minval;
-
-  if (h.flags & kFlagResidual) {
-    Layer res;
-    if (!decode_layer_values(h, data + kHeaderSize + h.base_comp, h.res_comp,
-                             false, d0, hp, wp, &res)) {
+  if (h.flags & kFlagConst) {
+    /* const frame 0 (possibly inside a temporal chunk whose later frames
+     * carry deltas): fill everything, then let the accumulation below
+     * overwrite frames 1+. */
+    for (size_t i = 0; i < tot; ++i) (*out)[i] = h.minval;
+    if (!temporal) return tot;
+  } else {
+    Layer base;
+    if (!decode_layer_values(h, data + kHeaderSize, h.base_comp, true, d0,
+                             hp, wp, &base)) {
       std::free(*out);
       *out = nullptr;
       return 0;
     }
-    std::vector<float> rsp((size_t)d0 * hp * wp);
-    reconstruct(res, h.res_cut, h.res_levels, rsp.data());
-    const float rrng = h.rmax > h.rmin ? h.rmax - h.rmin : 1.0f;
+    std::vector<float> spatial((size_t)d0 * hp * wp);
+    reconstruct(base, h.base_cut, h.base_levels, spatial.data());
+    const float rng = h.maxval > h.minval ? h.maxval - h.minval : 1.0f;
     for (int f = 0; f < d0; ++f)
       for (int r = 0; r < hh; ++r)
         for (int c = 0; c < ww; ++c)
-          (*out)[((size_t)f * hh + r) * ww + c] +=
-              rsp[((size_t)f * hp + r) * wp + c] * (rrng / kResScale) +
-              h.rmin;
+          (*out)[((size_t)f * hh + r) * ww + c] =
+              spatial[((size_t)f * hp + r) * wp + c] * (rng / kBaseScale) +
+              h.minval;
+
+    if (h.flags & kFlagResidual) {
+      Layer res;
+      if (!decode_layer_values(h, data + kHeaderSize + h.base_comp,
+                               h.res_comp, false, d0, hp, wp, &res)) {
+        std::free(*out);
+        *out = nullptr;
+        return 0;
+      }
+      std::vector<float> rsp((size_t)d0 * hp * wp);
+      reconstruct(res, h.res_cut, h.res_levels, rsp.data());
+      const float rrng = h.rmax > h.rmin ? h.rmax - h.rmin : 1.0f;
+      for (int f = 0; f < d0; ++f)
+        for (int r = 0; r < hh; ++r)
+          for (int c = 0; c < ww; ++c)
+            (*out)[((size_t)f * hh + r) * ww + c] +=
+                rsp[((size_t)f * hp + r) * wp + c] * (rrng / kResScale) +
+                h.rmin;
+    }
+  }
+
+  if (temporal) {
+    /* Closed-loop accumulation: frame t = frame t-1 + decoded delta, in
+     * sequential float32 order (normative — the encoder verified each
+     * frame's bound against exactly this arithmetic; see FORMAT.md). */
+    const size_t fsz = (size_t)hh * ww;
+    std::vector<float> rsp((size_t)hp * wp);
+    for (size_t t = 0; t < recs.size(); ++t) {
+      const DeltaRecord &r = recs[t];
+      Layer dl;
+      if (!decode_layer_values_g(h.base_nplanes, r.cut, r.top, r.entropy,
+                                 false, h.res_levels, r.payload,
+                                 r.comp_size, 1, hp, wp, &dl)) {
+        std::free(*out);
+        *out = nullptr;
+        return 0;
+      }
+      reconstruct(dl, r.cut, h.res_levels, rsp.data());
+      const float drng = r.rmax > r.rmin ? r.rmax - r.rmin : 1.0f;
+      const float *prev = *out + t * fsz;
+      float *cur = *out + (t + 1) * fsz;
+      for (int rr = 0; rr < hh; ++rr)
+        for (int cc = 0; cc < ww; ++cc)
+          cur[(size_t)rr * ww + cc] =
+              prev[(size_t)rr * ww + cc] +
+              (rsp[(size_t)rr * wp + cc] * (drng / kResScale) + r.rmin);
+    }
   }
   return tot;
 }
@@ -1072,6 +1160,208 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   return blob.size();
 }
 
+/* Temporal (closed-loop predictive) encode.  Frame 0 is intra-coded by
+ * encode_frame itself and then DECODED BACK through this library's own
+ * decoder to seed the prediction chain — consistency between the carried
+ * reconstruction and what a decoder will compute is guaranteed by
+ * construction (whatever candidate/adjustment encode_frame picked).
+ * Every later frame is an error-bounded delta verified with exactly the
+ * decoder's accumulation arithmetic (decode_frame temporal loop).
+ * Mirrors kernels.encode_batch_temporal; see docs/FORMAT.md. */
+size_t encode_frame_temporal(const float *x, int T, int hh, int ww,
+                             const etpu_config_t *config, uint8_t **out) {
+  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  const int ebackend = config->entropy_backend;
+  const size_t fsz = (size_t)hh * ww;
+  const size_t tot = (size_t)T * fsz;
+
+  float gmin = x[0], gmax = x[0];
+  for (size_t i = 0; i < tot; ++i) {
+    if (std::isnan(x[i]) || std::isinf(x[i])) {
+      log_err("NaN or Inf found in data");
+      return 0;
+    }
+    gmin = std::min(gmin, x[i]);
+    gmax = std::max(gmax, x[i]);
+  }
+  if (gmin == gmax) { /* whole-chunk const: plain CONST stream */
+    FrameHeader h;
+    h.n_frames = T;
+    h.height = hh;
+    h.width = ww;
+    h.minval = gmin;
+    h.maxval = gmax;
+    h.flags = kFlagConst;
+    std::vector<uint8_t> blob;
+    pack_header(h, blob);
+    *out = (uint8_t *)std::malloc(blob.size());
+    if (!*out) return 0;
+    std::memcpy(*out, blob.data(), blob.size());
+    return blob.size();
+  }
+
+  /* REL -> ABS against the CHUNK-global range (the per-frame sub-encode
+   * below would otherwise use frame 0's range). */
+  float target = config->error;
+  etpu_config_t sub = *config;
+  sub.dims[0] = 1;
+  sub.dims[1] = (uint64_t)hh;
+  sub.dims[2] = (uint64_t)ww;
+  sub.temporal = 0;
+  if (config->residual_mode == 2) {
+    target *= (gmax - gmin);
+    sub.residual_mode = 1;
+    sub.error = target;
+  }
+
+  /* ---- frame 0: intra encode + decode-back for the prediction seed ---- */
+  uint8_t *f0 = nullptr;
+  const size_t f0_size = encode_frame(x, 1, hh, ww, &sub, &f0);
+  if (!f0_size) return 0;
+  float *recon = nullptr;
+  if (decode_frame(f0, f0_size, &recon) != fsz) {
+    std::free(f0);
+    std::free(recon);
+    log_err("temporal seed decode failed");
+    return 0;
+  }
+  FrameHeader h;
+  if (!parse_header(f0, f0_size, &h)) {
+    std::free(f0);
+    std::free(recon);
+    return 0;
+  }
+  h.n_frames = T;
+  h.flags |= kFlagTemporal;
+
+  const int mult = 1 << std::max(kBaseLevels, kResLevels);
+  const int hp = padded(hh, mult), wp = padded(ww, mult);
+  const size_t psz = (size_t)hp * wp;
+
+  /* ---- delta frames ---- */
+  std::vector<uint8_t> records;
+  std::vector<uint8_t> dpayloads;
+  std::vector<float> r(fsz), rn(fsz), rnp(psz), rsp(psz);
+  bool warned = false;
+  for (int t = 1; t < T; ++t) {
+    const float *xt = x + (size_t)t * fsz;
+    float maxr = 0, rminv = xt[0] - recon[0], rmaxv = rminv;
+    for (size_t i = 0; i < fsz; ++i) {
+      r[i] = xt[i] - recon[i];
+      maxr = std::max(maxr, std::fabs(r[i]));
+      rminv = std::min(rminv, r[i]);
+      rmaxv = std::max(rmaxv, r[i]);
+    }
+    if (maxr <= target) { /* skip frame: exact zero delta */
+      put<float>(records, 0.0f);
+      put<float>(records, 0.0f);
+      put<uint8_t>(records, 0);
+      put<uint8_t>(records, (uint8_t)kBaseNumPlanes); /* kept = 0 */
+      put<uint8_t>(records, kBackendZstd);
+      put<uint8_t>(records, 0);
+      put<uint32_t>(records, 0);
+      continue;
+    }
+    const float rrng = rmaxv > rminv ? rmaxv - rminv : 1.0f;
+    /* Adaptive quantization scale (see kernels.encode_batch_temporal):
+     * the delta range can dwarf the target; scale the [0,255] grid so
+     * the finest step resolves the bound with ~4x synthesis headroom. */
+    const float f_dyn = std::min(
+        800.0f,
+        std::max(1.0f, 4.0f * rrng /
+                           (kResScale * std::max(target, 1e-30f))));
+    const float rmax_adj = rminv + rrng / f_dyn;
+    const float drng = rmax_adj > rminv ? rmax_adj - rminv : 1.0f;
+    const float s = drng / kResScale;
+    for (size_t i = 0; i < fsz; ++i)
+      rn[i] = (r[i] - rminv) / rrng * (kResScale * f_dyn);
+    pad_frames(rn.data(), 1, hh, ww, hp, wp, rnp.data());
+    dwt2d(rnp.data(), hp, wp, kResLevels);
+    Layer dl;
+    dl.d0 = 1;
+    dl.hp = hp;
+    dl.wp = wp;
+    dl.q.resize(psz);
+    for (size_t i = 0; i < psz; ++i) dl.q[i] = (int32_t)std::trunc(rnp[i]);
+
+    /* coarsest feasible cut: verify with the DECODER's accumulation
+     * arithmetic (prev + (rsp*s + rmin)). */
+    auto feasible = [&](int c) {
+      reconstruct(dl, c, kResLevels, rsp.data());
+      for (int rr = 0; rr < hh; ++rr)
+        for (int cc = 0; cc < ww; ++cc) {
+          const size_t i = (size_t)rr * ww + cc;
+          const float cur =
+              recon[i] + (rsp[(size_t)rr * wp + cc] * s + rminv);
+          if (std::fabs(xt[i] - cur) > target) return false;
+        }
+      return true;
+    };
+    int cut = 0;
+    if (!feasible(0)) {
+      if (!warned) {
+        log_err("could not reach error target on a delta frame; shipping "
+                "best effort");
+        warned = true;
+      }
+    } else {
+      int lo = 0, hi = kBaseNumPlanes - 1;
+      if (feasible(hi)) {
+        lo = hi;
+      } else {
+        while (hi - lo > 1) {
+          const int mid = (lo + hi) / 2;
+          if (feasible(mid))
+            lo = mid;
+          else
+            hi = mid;
+        }
+      }
+      cut = lo;
+    }
+
+    std::vector<uint8_t> payload, comp;
+    int top = 0, kept = 0;
+    uint8_t used = kBackendZstd;
+    build_payload(dl, cut, kBaseNumPlanes, &payload, &top, &kept);
+    if (!entropy_encode(payload, level, ebackend, {kept, 1, hp, wp,
+                                                   kResLevels},
+                        &comp, &used)) {
+      std::free(f0);
+      std::free(recon);
+      return 0;
+    }
+    put<float>(records, rminv);
+    put<float>(records, rmax_adj);
+    put<uint8_t>(records, (uint8_t)cut);
+    put<uint8_t>(records, (uint8_t)std::max(0, top));
+    put<uint8_t>(records, used);
+    put<uint8_t>(records, 0);
+    put<uint32_t>(records, (uint32_t)comp.size());
+    dpayloads.insert(dpayloads.end(), comp.begin(), comp.end());
+
+    /* carry the reconstruction forward (decoder arithmetic, sequential) */
+    reconstruct(dl, cut, kResLevels, rsp.data());
+    for (int rr = 0; rr < hh; ++rr)
+      for (int cc = 0; cc < ww; ++cc) {
+        const size_t i = (size_t)rr * ww + cc;
+        recon[i] = recon[i] + (rsp[(size_t)rr * wp + cc] * s + rminv);
+      }
+  }
+  std::free(recon);
+
+  std::vector<uint8_t> blob;
+  pack_header(h, blob);
+  blob.insert(blob.end(), f0 + kHeaderSize, f0 + f0_size);
+  std::free(f0);
+  blob.insert(blob.end(), records.begin(), records.end());
+  blob.insert(blob.end(), dpayloads.begin(), dpayloads.end());
+  *out = (uint8_t *)std::malloc(blob.size());
+  if (!*out) return 0;
+  std::memcpy(*out, blob.data(), blob.size());
+  return blob.size();
+}
+
 bool layout(const uint64_t dims[3], int *d0, int *hh, int *ww) {
   const int64_t a = (int64_t)dims[0], b = (int64_t)dims[1],
                 c = (int64_t)dims[2];
@@ -1092,6 +1382,11 @@ bool layout(const uint64_t dims[3], int *d0, int *hh, int *ww) {
 
 }  // namespace
 
+/* Capability sentinel for ebcc_tpu.native.load()'s staleness check: its
+ * presence means this build understands temporal streams (and everything
+ * older).  Bump the sentinel name when the ABI/format grows again. */
+extern "C" int etpu_has_temporal(void) { return 1; }
+
 size_t etpu_encode(const float *data, const etpu_config_t *config,
                    uint8_t **out) {
   int d0, hh, ww;
@@ -1099,6 +1394,8 @@ size_t etpu_encode(const float *data, const etpu_config_t *config,
     log_err("invalid dims");
     return 0;
   }
+  if (config->temporal && d0 > 1 && config->residual_mode != 0)
+    return encode_frame_temporal(data, d0, hh, ww, config, out);
   return encode_frame(data, d0, hh, ww, config, out);
 }
 

@@ -34,6 +34,9 @@ typedef struct {
   uint64_t chunk_dims[3]; /* zeros => whole array as one chunk */
   int32_t zstd_level;     /* <=0 => default */
   int32_t entropy_backend; /* 0/1 zstd, 2 CAB arithmetic, 3 auto (best-of) */
+  int32_t temporal;       /* !=0: closed-loop predictive coding along the
+                             chunk's leading axis (error-bounded modes,
+                             multi-frame chunks only; see docs/FORMAT.md) */
 } etpu_config_t;
 
 /* Decode one ETPU frame stream (or dispatch an ETPK container).

@@ -65,6 +65,14 @@ int populate_config(etpu_config_t *config, size_t cd_nelmts,
                  config->residual_mode);
     return 0;
   }
+  /* Optional flags word after the mode/error values (TPU-build extension,
+   * mirrors api/filter_wrapper.py): bit0 = temporal predictive coding. */
+  const size_t nxt = (config->residual_mode != 0) ? 5 : 4;
+  if (cd_nelmts > nxt) {
+    const unsigned int fl = cd_values[nxt];
+    if ((fl & 0x1u) && config->residual_mode != 0 && config->dims[0] > 1)
+      config->temporal = 1;
+  }
   return 1;
 }
 

@@ -91,11 +91,18 @@ def main():
     print("| backend | size MB | CR (f32) | CR (f64-equiv) | RMSE | max err "
           "| encode+decode s |")
     print("|---|---|---|---|---|---|---|")
-    for backend in ("zstd", "cab", "auto"):
+    # Temporal rows predict each level from the previous level's
+    # reconstruction (chunk = the whole stack) — the capability the
+    # reference's per-level chunking forgoes; intra rows mirror the
+    # reference's recorded per-level configuration exactly.
+    for backend, temporal in (("zstd", False), ("cab", False),
+                              ("auto", False), ("zstd", True),
+                              ("cab", True)):
         config = CodecConfig(dims=data.shape, base_cr=30,
                              residual_mode=RESIDUAL_MAX_ERROR, error=target,
-                             chunk_dims=(1, 721, 1440),
-                             entropy_backend=backend)
+                             chunk_dims=(data.shape if temporal
+                                         else (1, 721, 1440)),
+                             entropy_backend=backend, temporal=temporal)
         t0 = time.perf_counter()
         blob = ebcc_tpu.encode_chunked(data, config)
         out = ebcc_tpu.decode_chunked(blob)
@@ -106,7 +113,8 @@ def main():
         assert maxe <= target, (maxe, target)
         mb = len(blob) / 1e6
         cr32 = data.nbytes / len(blob)
-        print(f"| {backend} | {mb:.2f} | {cr32:.2f} | {2 * cr32:.2f} "
+        name = backend + (" temporal" if temporal else "")
+        print(f"| {name} | {mb:.2f} | {cr32:.2f} | {2 * cr32:.2f} "
               f"| {rmse:.3f} | {maxe:.3f} | {dt:.1f} |")
     print(f"\nreference recorded at this operating point "
           f"(data/logs.txt:17-20): 1.81 MB, RMSE 1.608, max 9.979, "

@@ -1,0 +1,292 @@
+"""Temporal (closed-loop predictive) mode tests.
+
+No reference counterpart — the reference intra-codes every chunk
+(ebcc_codec.c:1007-1046).  The contract under test: per-frame max-error
+bound EXACT on every frame (closed-loop prediction from reconstructions,
+so quantization error must not accumulate), self-describing streams, CR
+gain on temporally-correlated stacks, and robustness of the delta section
+parser.
+"""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+from ebcc_tpu import (
+    CodecConfig,
+    RESIDUAL_MAX_ERROR,
+    RESIDUAL_NONE,
+    RESIDUAL_RELATIVE_ERROR,
+    decode,
+    decode_chunked,
+    encode,
+    encode_chunked,
+)
+from ebcc_tpu.core import stream
+
+
+def _subpixel_shift(a, s):
+    i = int(np.floor(s))
+    f = np.float32(s - i)
+    return (1 - f) * np.roll(a, i, axis=1) + f * np.roll(a, i + 1, axis=1)
+
+
+@pytest.fixture(scope="module")
+def drifting_stack(base_test_data):
+    """(8, 181, 360) stack: the real frame advected sub-pixel per step
+    plus a slow drift — the hourly-reanalysis shape temporal prediction
+    exists for."""
+    crop = base_test_data[:181, :360]
+    return np.stack([_subpixel_shift(crop, 0.7 * t) + 0.12 * t
+                     for t in range(8)]).astype(np.float32)
+
+
+def _temporal_cfg(shape, err=0.1, **kw):
+    return CodecConfig(dims=shape, residual_mode=RESIDUAL_MAX_ERROR,
+                       error=err, temporal=True, **kw)
+
+
+class TestTemporalRoundTrip:
+    def test_bound_exact_every_frame(self, drifting_stack):
+        err = 0.1
+        blob = encode(drifting_stack, _temporal_cfg(drifting_stack.shape, err))
+        out = decode(blob)
+        per_frame = np.abs(out - drifting_stack).max(axis=(1, 2))
+        assert (per_frame <= err).all(), per_frame
+
+    def test_stream_is_temporal_and_smaller(self, drifting_stack):
+        err = 0.1
+        blob_t = encode(drifting_stack,
+                        _temporal_cfg(drifting_stack.shape, err))
+        blob_i = encode(drifting_stack, CodecConfig(
+            dims=drifting_stack.shape, residual_mode=RESIDUAL_MAX_ERROR,
+            error=err))
+        blob_pf = encode_chunked(drifting_stack, CodecConfig(
+            dims=drifting_stack.shape, residual_mode=RESIDUAL_MAX_ERROR,
+            error=err, chunk_dims=(1, *drifting_stack.shape[1:])))
+        hd, _, _ = stream.split_frame_stream(blob_t)
+        assert hd.temporal and hd.n_frames == drifting_stack.shape[0]
+        # the whole point: prediction beats intra on correlated stacks —
+        # both the joint multi-frame chunk and the reference-style
+        # per-frame chunking (measured ~1.4x / ~1.7x here)
+        assert len(blob_t) < 0.85 * len(blob_i)
+        assert len(blob_t) < 0.75 * len(blob_pf)
+
+    def test_relative_mode(self, drifting_stack):
+        cfg = CodecConfig(dims=drifting_stack.shape,
+                          residual_mode=RESIDUAL_RELATIVE_ERROR,
+                          error=1e-3, temporal=True)
+        blob = encode(drifting_stack, cfg)
+        out = decode(blob)
+        rng = float(drifting_stack.max() - drifting_stack.min())
+        assert np.abs(out - drifting_stack).max() <= 1e-3 * rng
+
+    def test_large_delta_range_vs_tight_target(self, base_test_data):
+        """Deltas much larger than the target (the adaptive-quantization
+        regime: a fixed [0,255] delta grid cannot resolve this bound)."""
+        crop = base_test_data[:96, :128]
+        frames = np.stack([crop + 50.0 * t for t in range(5)])
+        # add structure so the delta is not constant
+        frames += np.linspace(0, 1, 96 * 128, dtype=np.float32).reshape(
+            1, 96, 128) * np.arange(5, dtype=np.float32)[:, None, None]
+        err = 0.05
+        blob = encode(frames, _temporal_cfg(frames.shape, err))
+        out = decode(blob)
+        assert np.abs(out - frames).max() <= err
+
+    def test_static_frames_ship_skips(self, medium_frame):
+        """Identical frames after frame 0 must cost almost nothing."""
+        frames = np.repeat(medium_frame[None], 6, axis=0).copy()
+        err = 0.1
+        blob_t = encode(frames, _temporal_cfg(frames.shape, err))
+        blob_1 = encode(medium_frame[None], CodecConfig(
+            dims=(1, *medium_frame.shape),
+            residual_mode=RESIDUAL_MAX_ERROR, error=err))
+        records, payloads = stream.split_temporal_section(
+            blob_t, stream.split_frame_stream(blob_t)[0])
+        assert all(r.comp_size == 0 and r.rmin == 0.0 and r.rmax == 0.0
+                   for r in records)
+        # 5 skip frames cost 5 records (16 B each) over the intra stream
+        assert len(blob_t) <= len(blob_1) + 5 * stream.DELTA_RECORD_SIZE
+        out = decode(blob_t)
+        assert np.abs(out - frames).max() <= err
+
+    def test_const_chunk(self):
+        frames = np.full((4, 64, 64), 2.5, np.float32)
+        blob = encode(frames, _temporal_cfg(frames.shape, 0.01))
+        hd, _, _ = stream.split_frame_stream(blob)
+        assert hd.const_field and not hd.temporal
+        out = decode(blob)
+        assert (out == 2.5).all()
+
+    def test_single_frame_chunk_falls_back_to_intra(self, medium_frame):
+        data = medium_frame[None]
+        cfg_t = _temporal_cfg(data.shape, 0.1)
+        cfg_i = CodecConfig(dims=data.shape,
+                            residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
+        blob_t = encode(data, cfg_t)
+        assert blob_t == encode(data, cfg_i)
+
+    def test_rate_mode_rejects_temporal(self):
+        with pytest.raises(ValueError):
+            CodecConfig(dims=(4, 64, 64), residual_mode=RESIDUAL_NONE,
+                        temporal=True)
+
+
+class TestTemporalChunked:
+    def test_chunked_container(self, drifting_stack):
+        err = 0.1
+        cfg = _temporal_cfg(drifting_stack.shape, err,
+                            chunk_dims=(4, 181, 360))
+        blob = encode_chunked(drifting_stack, cfg)
+        out = decode_chunked(blob)
+        assert out.shape == drifting_stack.shape
+        assert np.abs(out - drifting_stack).max() <= err
+
+    def test_mixed_const_and_temporal_chunks(self):
+        """A container can hold const chunks (plain streams) next to
+        temporal chunks; batched decode must handle the mix."""
+        rng = np.random.default_rng(3)
+        a = np.cumsum(rng.normal(size=(4, 64, 64)), axis=0)
+        import scipy.ndimage as ndi
+        a = ndi.gaussian_filter(a, (0, 3, 3)).astype(np.float32)
+        data = np.concatenate([a, np.full((4, 64, 64), 1.5, np.float32)],
+                              axis=2)  # (4, 64, 128): right half const
+        cfg = _temporal_cfg(data.shape, 0.05, chunk_dims=(4, 64, 64))
+        blob = encode_chunked(data, cfg)
+        out = decode_chunked(blob)
+        assert np.abs(out - data).max() <= 0.05
+        assert (out[:, :, 64:] == 1.5).all()
+
+    def test_no_state_leak_across_batch_entries(self, drifting_stack):
+        """Identical chunks encoded in ONE batch must yield byte-identical
+        streams (the temporal scan carries per-chunk state; any cross-entry
+        leak would desync them).  Note: byte-identity across DIFFERENT
+        batch shapes is not part of the contract — XLA may compile
+        ulp-different float arithmetic per shape, and temporal feeds
+        reconstructions back into the data path (the bound still holds on
+        every route because each program verifies it with its own
+        arithmetic)."""
+        err = 0.1
+        half = drifting_stack[:, :, :180]
+        data = np.concatenate([half, half], axis=2)  # two identical chunks
+        cfg = _temporal_cfg(data.shape, err, chunk_dims=(8, 181, 180))
+        blob = encode_chunked(data, cfg)
+        _, streams = stream.iter_chunked(blob)
+        assert streams[0] == streams[1]
+        out = decode_chunked(blob)
+        assert np.abs(out - data).max() <= err
+
+
+@pytest.fixture(scope="module")
+def native():
+    import subprocess
+
+    from ebcc_tpu import native as native_mod
+    try:
+        native_mod.load()
+    except (RuntimeError, FileNotFoundError,
+            subprocess.CalledProcessError):
+        pytest.skip("native toolchain unavailable")
+    return native_mod
+
+
+class TestTemporalNative:
+    """The native C++ codec carries the full temporal capability: encode
+    (closed-loop, self-seeded by decoding its own frame-0 stream), decode
+    (sequential accumulation), and cross-codec parity with the device
+    programs at the documented ulp tolerance — ulps accumulate over the
+    prediction chain, so the budget scales with T."""
+
+    ATOL = 1e-3
+
+    def test_native_roundtrip_bound_exact(self, native, drifting_stack):
+        err = 0.1
+        cfg = _temporal_cfg(drifting_stack.shape, err)
+        blob = native.native_encode(drifting_stack, cfg)
+        hd, _, _ = stream.split_frame_stream(blob)
+        assert hd.temporal
+        out = native.native_decode(blob).reshape(drifting_stack.shape)
+        assert np.abs(out - drifting_stack).max() <= err
+
+    def test_native_encode_jax_decode(self, native, drifting_stack):
+        err = 0.1
+        blob = native.native_encode(
+            drifting_stack, _temporal_cfg(drifting_stack.shape, err))
+        out = decode(blob)
+        assert np.abs(out - drifting_stack).max() <= err + self.ATOL
+
+    def test_jax_encode_native_decode(self, native, drifting_stack):
+        err = 0.1
+        blob = encode(drifting_stack,
+                      _temporal_cfg(drifting_stack.shape, err))
+        out = native.native_decode(blob).reshape(drifting_stack.shape)
+        assert np.abs(out - drifting_stack).max() <= err + self.ATOL
+
+    def test_native_const_frame0_nonconst_chunk(self, native,
+                                                drifting_stack):
+        """Native may intra-code a const FRAME 0 inside a live chunk
+        (const+temporal stream); both decoders must handle it."""
+        err = 0.1
+        data = drifting_stack.copy()
+        data[0] = 7.25
+        blob = native.native_encode(data, _temporal_cfg(data.shape, err))
+        hd, _, _ = stream.split_frame_stream(blob)
+        assert hd.temporal and hd.const_field
+        nat = native.native_decode(blob).reshape(data.shape)
+        assert np.abs(nat - data).max() <= err
+        jx = decode(blob)
+        assert np.abs(jx - data).max() <= err + self.ATOL
+
+    def test_native_relative_mode_uses_global_range(self, native,
+                                                    drifting_stack):
+        cfg = CodecConfig(dims=drifting_stack.shape,
+                          residual_mode=RESIDUAL_RELATIVE_ERROR,
+                          error=1e-3, temporal=True)
+        blob = native.native_encode(drifting_stack, cfg)
+        out = native.native_decode(blob).reshape(drifting_stack.shape)
+        rng = float(drifting_stack.max() - drifting_stack.min())
+        assert np.abs(out - drifting_stack).max() <= 1e-3 * rng
+
+    def test_native_routing_on_temporal_config(self, native,
+                                               drifting_stack,
+                                               monkeypatch):
+        """EBCC_ENCODE/DECODE_BACKEND=native must route temporal encodes
+        through the native codec (it is a full-capability mirror)."""
+        err = 0.1
+        monkeypatch.setenv("EBCC_ENCODE_BACKEND", "native")
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        cfg = _temporal_cfg(drifting_stack.shape, err)
+        blob = encode(drifting_stack, cfg)
+        assert blob == native.native_encode(drifting_stack, cfg)
+        out = decode(blob)
+        assert np.abs(out - drifting_stack).max() <= err
+
+
+class TestTemporalRobustDecode:
+    def _blob(self, drifting_stack):
+        return encode(drifting_stack, _temporal_cfg(drifting_stack.shape,
+                                                    0.1))
+
+    def test_truncated_delta_section(self, drifting_stack):
+        blob = self._blob(drifting_stack)
+        with pytest.raises(stream.StreamError):
+            decode(blob[:-7])
+
+    def test_trailing_garbage(self, drifting_stack):
+        blob = self._blob(drifting_stack)
+        with pytest.raises(stream.StreamError):
+            decode(blob + b"xx")
+
+    def test_record_field_flips_never_crash(self, drifting_stack):
+        blob = bytearray(self._blob(drifting_stack))
+        hd = stream.split_frame_stream(bytes(blob))[0]
+        start = (stream.FRAME_HEADER_SIZE + hd.base_comp_size
+                 + hd.res_comp_size)
+        for off in range(start, start + stream.DELTA_RECORD_SIZE * 2):
+            mutated = bytearray(blob)
+            mutated[off] ^= 0xFF
+            try:
+                decode(bytes(mutated))
+            except (stream.StreamError, ValueError):
+                pass  # raising is fine; crashing/hanging is not
