@@ -178,6 +178,43 @@ class TestTemporalChunked:
         assert np.abs(out - data).max() <= err
 
 
+class TestTemporalAlternateRoutes:
+    """Every encode route must carry temporal configs byte-identically to
+    encode_chunked — sharded SPMD and the streaming file pipeline both
+    flow through the same device program + assembly."""
+
+    @pytest.fixture()
+    def stack16(self, drifting_stack):
+        # (8, 128, 256) -> 16 chunks of (4, 64, 64)
+        return np.ascontiguousarray(drifting_stack[:, :128, :256])
+
+    def _cfg(self, data):
+        return _temporal_cfg(data.shape, 0.1, chunk_dims=(4, 64, 64))
+
+    def test_sharded_byte_identical(self, stack16):
+        jax = pytest.importorskip("jax")
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices (virtual CPU mesh)")
+        from ebcc_tpu.parallel import (decode_chunked_sharded,
+                                       encode_chunked_sharded)
+        cfg = self._cfg(stack16)
+        blob_s = encode_chunked_sharded(stack16, cfg)
+        assert blob_s == encode_chunked(stack16, cfg)
+        out = decode_chunked_sharded(blob_s)
+        assert np.abs(out - stack16).max() <= 0.1
+
+    def test_streaming_pipeline_byte_identical(self, stack16):
+        import io as _io
+
+        from ebcc_tpu.io import pipeline
+        cfg = self._cfg(stack16)
+        buf = _io.BytesIO()
+        pipeline.compress_stream(stack16, cfg, buf)
+        assert buf.getvalue() == encode_chunked(stack16, cfg)
+        out = pipeline.decompress_stream(_io.BytesIO(buf.getvalue()))
+        assert np.abs(out - stack16).max() <= 0.1
+
+
 @pytest.fixture(scope="module")
 def native():
     import subprocess
