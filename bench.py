@@ -318,6 +318,39 @@ def _device_main():
         print("device-compute proxy unavailable: %r" % (e,),
               file=sys.stderr)
 
+    # Temporal (closed-loop predictive) mode on the leading 8 frames of the
+    # same stack: the archival configuration for correlated data (one
+    # multi-frame chunk, every frame after the first coded as an
+    # error-bounded delta against the previous frame's reconstruction).
+    # Reported as a CR pair (temporal vs intra on identical data/bound) —
+    # throughput is the headline's job.
+    temporal_cr = None
+    temporal_intra_cr = None
+    try:
+        if ERROR_MODE != "max" or os.environ.get(
+                "EBCC_BENCH_TEMPORAL", "1") != "1":
+            raise ValueError("temporal extra disabled")
+        tn = min(8, N_FRAMES)
+        tdata = np.ascontiguousarray(data[:tn])
+        tcfg = CodecConfig(
+            dims=tdata.shape, residual_mode=RESIDUAL_MAX_ERROR,
+            error=ERROR_TARGET, chunk_dims=tdata.shape, temporal=True,
+            zstd_level=config.zstd_level,
+            entropy_backend=config.entropy_backend)
+        icfg = CodecConfig(
+            dims=tdata.shape, base_cr=30, residual_mode=RESIDUAL_MAX_ERROR,
+            error=ERROR_TARGET, chunk_dims=(1, H, W),
+            zstd_level=config.zstd_level,
+            entropy_backend=config.entropy_backend)
+        tblob = ebcc_tpu.encode_chunked(tdata, tcfg)
+        tout = ebcc_tpu.decode_chunked(tblob)
+        assert float(np.abs(tout - tdata).max()) <= ERROR_TARGET
+        temporal_cr = tdata.nbytes / len(tblob)
+        temporal_intra_cr = tdata.nbytes / len(
+            ebcc_tpu.encode_chunked(tdata, icfg))
+    except Exception as e:
+        print("temporal extra unavailable: %r" % (e,), file=sys.stderr)
+
     # Serial native C++ codec on one frame: a MEASURED on-this-machine
     # stand-in for the reference's serial C codec (same algorithm family,
     # same serial per-chunk shape; the reference itself cannot be built
@@ -371,6 +404,10 @@ def _device_main():
         "host_decode_pts_per_s": round(n_points / (t2 - t1), 1),
         "link_up_mbps": round(up, 1),
         "link_down_mbps": round(down, 1),
+        "temporal_compression_ratio": round(temporal_cr, 2)
+        if temporal_cr else None,
+        "temporal_intra_compression_ratio": round(temporal_intra_cr, 2)
+        if temporal_intra_cr else None,
         "native_serial_pts_per_s": round(native_pts, 1) if native_pts else None,
         "native_host_roundtrip_pts_per_s": round(native_host_pts, 1)
         if native_host_pts else None,
