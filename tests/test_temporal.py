@@ -127,6 +127,27 @@ class TestTemporalRoundTrip:
         blob_t = encode(data, cfg_t)
         assert blob_t == encode(data, cfg_i)
 
+    @pytest.mark.parametrize("backend", ["cab", "auto"])
+    def test_entropy_backends_on_delta_payloads(self, drifting_stack,
+                                                backend):
+        """Delta payloads flow through the same per-layer entropy choice as
+        the base/residual layers; CAB must round-trip them and win bytes on
+        this stack."""
+        err = 0.1
+        blob = encode(drifting_stack,
+                      _temporal_cfg(drifting_stack.shape, err,
+                                    entropy_backend=backend))
+        blob_z = encode(drifting_stack,
+                        _temporal_cfg(drifting_stack.shape, err))
+        out = decode(blob)
+        assert np.abs(out - drifting_stack).max() <= err
+        assert len(blob) < len(blob_z)
+        from ebcc_tpu.core import entropy
+        records, _ = stream.split_temporal_section(
+            blob, stream.split_frame_stream(blob)[0])
+        assert any(r.entropy == entropy.BACKEND_NATIVE_CAB for r in records
+                   if r.comp_size)
+
     def test_rate_mode_rejects_temporal(self):
         with pytest.raises(ValueError):
             CodecConfig(dims=(4, 64, 64), residual_mode=RESIDUAL_NONE,
