@@ -1625,8 +1625,13 @@ def encode_chunked_compat(data: np.ndarray, config: CodecConfig,
     compat = CodecConfig(**{**config.__dict__})
     if all(c == 0 for c in compat.chunk_dims):
         d = compat.dims
+        # Temporal prediction runs along the chunk's leading axis, so the
+        # reference's per-frame default tiles would silently disable it;
+        # default to 8-frame groups instead (CR/random-access tradeoff —
+        # set chunk_dims explicitly for longer prediction chains).
+        lead = min(d[0], 8) if compat.temporal else 1
         compat.chunk_dims = (
-            1,
+            lead,
             1024 if d[1] > cfg.MAX_INTERNAL_IMAGE_DIM else d[1],
             1024 if d[2] > cfg.MAX_INTERNAL_IMAGE_DIM else d[2])
         logger.info("compat chunk dimensions: %s", compat.chunk_dims)

@@ -199,6 +199,22 @@ class TestTemporalChunked:
         assert np.abs(out - data).max() <= err
 
 
+def test_compat_default_tiles_keep_temporal_active(drifting_stack):
+    """encode_chunked_compat's reference-parity default is per-frame tiles,
+    which would silently disable temporal prediction — with temporal=True
+    the default leading chunk dim must span frames (the CLI path)."""
+    from ebcc_tpu import encode_chunked_compat
+    err = 0.1
+    cfg = CodecConfig(dims=drifting_stack.shape,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=err,
+                      temporal=True)
+    blob = encode_chunked_compat(drifting_stack, cfg)
+    hd, _, _ = stream.split_frame_stream(stream.iter_chunked(blob)[1][0])
+    assert hd.temporal
+    out = decode_chunked(blob)
+    assert np.abs(out - drifting_stack).max() <= err
+
+
 class TestTemporalAlternateRoutes:
     """Every encode route must carry temporal configs byte-identically to
     encode_chunked — sharded SPMD and the streaming file pipeline both
