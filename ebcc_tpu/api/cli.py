@@ -91,7 +91,8 @@ def _compress_main(args) -> int:
                          residual_mode=mode, error=err,
                          chunk_dims=tuple(args.chunk_dims or (0, 0, 0)),
                          entropy_backend=args.entropy,
-                         temporal=bool(args.temporal))
+                         temporal=bool(args.temporal),
+                         allow_nan=bool(args.allow_nan))
     blob = encode_chunked_compat(data, config)
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -135,6 +136,9 @@ def main(argv=None) -> int:
     cp.add_argument("--temporal", action="store_true",
                     help="closed-loop predictive coding along the chunk's "
                          "leading axis (error-bounded modes only)")
+    cp.add_argument("--allow-nan", action="store_true",
+                    help="mask NaN samples (restored on decode; bound "
+                         "applies to valid samples) instead of failing")
     cp.add_argument("--entropy", choices=("zstd", "cab", "auto"),
                     default="zstd",
                     help="entropy backend: cab/auto trade encode time for "

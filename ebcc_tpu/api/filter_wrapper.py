@@ -52,6 +52,7 @@ _MODE_BY_NAME = {
 # cd_values[5] flags word (TPU-build extension; absent = 0 keeps the
 # reference's 4/5-value layouts valid).
 FLAGS_TEMPORAL = 0x1
+FLAGS_ALLOW_NAN = 0x2
 
 
 class EBCC_Filter(Mapping):
@@ -62,11 +63,17 @@ class EBCC_Filter(Mapping):
 
     def __init__(self, base_cr: float, height: int, width: int,
                  residual_opt: Optional[Tuple[str, float]],
-                 data_dim: int = 2, temporal_chunk: int = 0):
+                 data_dim: int = 2, temporal_chunk: int = 0,
+                 allow_nan: bool = False):
         """``temporal_chunk`` (TPU-build extension, no reference
         counterpart): >1 makes each HDF5 chunk span that many leading-dim
         frames coded with closed-loop temporal prediction (requires an
-        error-bounded ``residual_opt``; see config.CodecConfig.temporal)."""
+        error-bounded ``residual_opt``; see config.CodecConfig.temporal).
+
+        ``allow_nan`` (TPU-build extension): accept NaN samples — they are
+        masked out of the encode and restored on decode; the error bound
+        applies to the valid samples (see config.CodecConfig.allow_nan).
+        The reference filter hard-exits on NaN input."""
         assert height > 0 and width > 0
         base_cr = float(base_cr)
         self.base_cr = base_cr
@@ -75,6 +82,7 @@ class EBCC_Filter(Mapping):
         self.residual_opt = residual_opt or ("none", 0)
         self.data_dim = int(data_dim)
         self.temporal_chunk = int(temporal_chunk)
+        self.allow_nan = bool(allow_nan)
 
         opts = [self.height, self.width, float_to_uint32(base_cr)]
         name, val = self.residual_opt
@@ -86,13 +94,18 @@ class EBCC_Filter(Mapping):
         opts.append(mode)
         if mode != cfg.RESIDUAL_NONE:
             opts.append(float_to_uint32(float(val)))
+        flags = 0
         if self.temporal_chunk > 1:
             if mode == cfg.RESIDUAL_NONE:
                 raise ValueError(
                     "temporal_chunk requires an error-bounded residual_opt")
             if self.data_dim < 3:
                 raise ValueError("temporal_chunk requires data_dim >= 3")
-            opts.append(FLAGS_TEMPORAL)  # cd_values[5]: flags word
+            flags |= FLAGS_TEMPORAL
+        if self.allow_nan:
+            flags |= FLAGS_ALLOW_NAN
+        if flags:
+            opts.append(flags)  # flags word after the mode/error values
         self.hdf_filter_opts = tuple(opts)
         lead = self.temporal_chunk if self.temporal_chunk > 1 else 1
         self.chunks = (*[1] * (self.data_dim - 3), lead,
@@ -162,4 +175,5 @@ def populate_config(cd_values, buf_size_bytes: int) -> CodecConfig:
     temporal = bool(flags & FLAGS_TEMPORAL) and n_frames > 1
 
     return CodecConfig(dims=(n_frames, height, width), base_cr=base_cr,
-                       residual_mode=mode, error=error, temporal=temporal)
+                       residual_mode=mode, error=error, temporal=temporal,
+                       allow_nan=bool(flags & FLAGS_ALLOW_NAN))

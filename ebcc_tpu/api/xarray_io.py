@@ -61,12 +61,17 @@ def compress_dataarray(da, path: str, name: Optional[str] = None, *,
                        base_cr: float = 30.0,
                        error: Optional[float] = None,
                        relative_error: Optional[float] = None,
+                       allow_nan: bool = False,
+                       temporal_chunk: int = 0,
                        mode: str = "w") -> None:
     """Write one DataArray to ``path`` through the ETPU HDF5 filter.
 
     The trailing two dims are the spatial (height, width) plane — the same
     contract as the filter itself; leading dims become frames.  Coordinates
     become dimension-scale datasets so netCDF readers see a normal file.
+    ``allow_nan`` masks NaN samples (xarray's usual missing-value encoding)
+    instead of failing; ``temporal_chunk`` > 1 groups that many leading-dim
+    frames per chunk with closed-loop temporal prediction.
     """
     _require("xarray")
     h5py = _require("h5py")
@@ -79,7 +84,8 @@ def compress_dataarray(da, path: str, name: Optional[str] = None, *,
     filt = EBCC_Filter(base_cr=base_cr, height=data.shape[-2],
                        width=data.shape[-1],
                        residual_opt=_residual_opt(error, relative_error),
-                       data_dim=data.ndim)
+                       data_dim=data.ndim, allow_nan=allow_nan,
+                       temporal_chunk=temporal_chunk)
     pdir = _plugin_dir()
     if pdir:
         h5py.h5pl.append(pdir.encode())
@@ -103,7 +109,9 @@ def compress_dataset(ds, path: str, *,
                      variables: Optional[Sequence[str]] = None,
                      base_cr: float = 30.0,
                      error: Optional[float] = None,
-                     relative_error: Optional[float] = None) -> None:
+                     relative_error: Optional[float] = None,
+                     allow_nan: bool = False,
+                     temporal_chunk: int = 0) -> None:
     """Write every (selected) >=2-D float variable of an xarray Dataset
     through the filter; other variables are stored uncompressed."""
     _require("xarray")
@@ -117,6 +125,8 @@ def compress_dataset(ds, path: str, *,
     for v in variables:
         compress_dataarray(ds[v], path, v, base_cr=base_cr, error=error,
                            relative_error=relative_error,
+                           allow_nan=allow_nan,
+                           temporal_chunk=temporal_chunk,
                            mode="w" if first else "a")
         first = False
     with h5py.File(path, "a" if not first else "w") as f:

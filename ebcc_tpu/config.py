@@ -90,6 +90,13 @@ class CodecConfig:
     # meaningful with an error-bounded residual mode; no reference
     # counterpart (its chunks are always intra-coded).
     temporal: bool = False
+    # Masked-data support (beyond reference, which hard-exits on NaN,
+    # check_nan_inf ebcc_codec.c:598-605): accept NaN samples — each chunk
+    # is encoded with NaNs replaced by a per-frame fill value (mean of the
+    # valid samples) and carries an entropy-coded bitmap of the invalid
+    # positions; decode restores NaN there.  The error bound applies to
+    # the VALID samples.  Inf still raises (it is junk, not a mask).
+    allow_nan: bool = False
 
     def __post_init__(self):
         self.dims = tuple(int(d) for d in self.dims)

@@ -23,6 +23,7 @@ backs the sharded multi-device encoder in ``ebcc_tpu.parallel``.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -783,6 +784,104 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
             return list(pool.map(fn, range(n_chunks)))
 
 
+def _mask_fill_check(x_batch: np.ndarray, allow_nan: bool):
+    """Input gate shared by every host entry point -> (finite batch, masks).
+
+    Without ``allow_nan``: parity with the reference's ``check_nan_inf``
+    (ebcc_codec.c:598-605; raise instead of hard-exit).  With it (beyond
+    reference): NaN samples are masked out — replaced by their frame's
+    valid-sample mean so the encoder sees finite data (valid samples are
+    untouched, so the shipped bound holds on them unchanged) — and the
+    boolean invalid bitmap is returned for the stream's mask section
+    (``stream.FLAG_MASKED``).  Inf always raises: it is junk, not a mask.
+    ``masks`` is None when nothing was masked."""
+    if not allow_nan:
+        if not np.isfinite(x_batch).all():
+            raise ValueError("NaN or Inf found in data")
+        return x_batch, None
+    m = np.isnan(x_batch)
+    if not m.any():
+        if not np.isfinite(x_batch).all():
+            raise ValueError("Inf found in data")
+        return x_batch, None
+    if np.isinf(x_batch).any():
+        raise ValueError("Inf found in data")
+    cnt = (~m).sum(axis=(2, 3))
+    s = np.where(m, 0.0, x_batch).sum(axis=(2, 3), dtype=np.float64)
+    fill = np.divide(s, np.maximum(cnt, 1)).astype(np.float32)
+    return np.where(m, fill[:, :, None, None], x_batch), m
+
+
+def _append_mask_sections(streams: List[bytes], masks,
+                          zstd_level: int) -> List[bytes]:
+    """Append a mask section (and set FLAG_MASKED) to each assembled
+    stream whose chunk actually carries invalid samples.  ``masks`` is the
+    (B, d0, h, w) bitmap from :func:`_mask_fill_check` (or None).  Works on
+    any backend's output — the section is a trailing add-on the assembly
+    paths never need to know about."""
+    if masks is None:
+        return streams
+    out = []
+    for i, s in enumerate(streams):
+        mi = masks[i]
+        if not mi.any():
+            out.append(s)
+            continue
+        packed = np.packbits(mi.reshape(-1)).tobytes()
+        ent_id = entropy.default_backend()
+        z = entropy.compress(packed, ent_id, zstd_level)
+        if len(z) >= len(packed):
+            z, ent_id = packed, entropy.BACKEND_STORE
+        out.append(stream.append_mask_section(s, ent_id, z))
+    return out
+
+
+def _apply_nan_masks_host(out: np.ndarray, nan_masks) -> np.ndarray:
+    """Restore NaN at masked positions (host arrays, in place)."""
+    if nan_masks is None:
+        return out
+    n, d0, h, w = out.shape
+    for i, p in enumerate(nan_masks):
+        if p is None:
+            continue
+        m = np.unpackbits(np.frombuffer(p, np.uint8),
+                          count=d0 * h * w).astype(bool)
+        out[i][m.reshape(d0, h, w)] = np.nan
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _nan_where_program():
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _nan_where(out, packed):
+        n = out.shape[0]
+        sz = out.shape[1] * out.shape[2] * out.shape[3]
+        bits = (packed[:, :, None]
+                >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+        m = bits.reshape(n, -1)[:, :sz].reshape(out.shape)
+        return jnp.where(m.astype(bool), jnp.float32(np.nan), out)
+
+    return _nan_where
+
+
+def _apply_nan_masks_device(out, nan_masks):
+    """Restore NaN at masked positions on a device-resident batch: upload
+    the packed bitmaps (masked chunks only are non-zero) and apply one
+    jitted where.  Used by the device-resident decode paths."""
+    if nan_masks is None:
+        return out
+    n, d0, h, w = out.shape
+    need = (d0 * h * w + 7) // 8
+    packed = np.zeros((n, need), np.uint8)
+    for i, p in enumerate(nan_masks):
+        if p is not None:
+            packed[i] = np.frombuffer(p, np.uint8, count=need)
+    transfer.count_up(packed.nbytes)
+    return _nan_where_program()(out, jax.device_put(packed))
+
+
 def _temporal_active(config: CodecConfig, n_frames: int) -> bool:
     """Temporal coding applies when requested AND the chunk actually
     carries a multi-frame leading axis (single-frame chunks fall back to
@@ -960,18 +1059,20 @@ def encode(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _layout(config.dims)
     x = data.reshape(1, n_frames, h, w)
     logger.info("%s", config.describe())
+    x, masks = _mask_fill_check(x, config.allow_nan)
     nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
-        if not np.isfinite(x).all():
-            raise ValueError("NaN or Inf found in data")
-        return nm.native_encode(x, config)
-    return _encode_chunk_batch(x, config, opts)[0]
+        s = nm.native_encode(x, config)
+    else:
+        s = _encode_chunk_batch(x, config, opts, skip_finite_check=True)[0]
+    return _append_mask_sections([s], masks, config.zstd_level)[0]
 
 
 def _parse_streams(streams):
     headers = []
     payloads = []
     temporal_parts = []
+    mask_payloads = []
     for s in streams:
         hd, basep, resp = stream.split_frame_stream(s)
         # Sanity caps before any allocation sized from header fields
@@ -988,6 +1089,17 @@ def _parse_streams(streams):
         # a non-const chunk) — the delta records still apply.
         temporal_parts.append(stream.split_temporal_section(s, hd)
                               if hd.temporal else ([], []))
+        if hd.masked:
+            ent_id, mp = stream.split_mask_section(s, hd)
+            if ent_id not in (entropy.BACKEND_STORE, entropy.BACKEND_ZSTD):
+                raise stream.StreamError("invalid mask section backend")
+            need = (hd.n_frames * hd.height * hd.width + 7) // 8
+            raw = entropy.decompress(mp, ent_id, need)
+            if len(raw) != need:
+                raise stream.StreamError("mask section size mismatch")
+            mask_payloads.append(raw)
+        else:
+            mask_payloads.append(None)
     h0 = headers[0]
     key = (h0.n_frames, h0.height, h0.width, h0.base_levels, h0.res_levels,
            h0.base_nplanes, h0.res_nplanes)
@@ -1003,7 +1115,9 @@ def _parse_streams(streams):
               if hd.temporal or not hd.const_field}
     if len(tflags) > 1:
         raise stream.StreamError("inconsistent temporal flags across chunks")
-    return headers, payloads, temporal_parts
+    if all(m is None for m in mask_payloads):
+        mask_payloads = None
+    return headers, payloads, temporal_parts, mask_payloads
 
 
 def _decode_streams_device(streams: List[bytes], sharding=None):
@@ -1018,7 +1132,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    headers, payloads, temporal_parts = _parse_streams(streams)
+    headers, payloads, temporal_parts, nan_masks = _parse_streams(streams)
     h0 = headers[0]
     n = len(headers)
     d0, h, w = h0.n_frames, h0.height, h0.width
@@ -1289,7 +1403,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 out = kernels.decode_batch_sparse_nibble(
                     jax.device_put(bytes_u8), jax.device_put(ints),
                     jax.device_put(floats), cap=cap, **kw)
-                return _finish(out), const_mask, _chunk_minval
+                return _finish(out), const_mask, _chunk_minval, nan_masks
         if use_bytes:
             g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(
                 idx, vals)
@@ -1315,7 +1429,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 jax.device_put(bytes_u8), jax.device_put(ints),
                 jax.device_put(floats), cap=cap, gcap=gcap, vcap=vcap,
                 wcap=wcap, **kw)
-            return _finish(out), const_mask, _chunk_minval
+            return _finish(out), const_mask, _chunk_minval, nan_masks
         if use_bitmap:
             sigb = np.zeros(2 * ne * sc, np.uint8)
             sigb[idx] = 1
@@ -1326,7 +1440,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             out = kernels.decode_batch_sparse_bitmap(
                 jax.device_put(packed), jax.device_put(pv),
                 *(jax.device_put(a) for a in scalars), **kw)
-            return _finish(out), const_mask, _chunk_minval
+            return _finish(out), const_mask, _chunk_minval, nan_masks
         idx_up = transfer.pad_index(idx.astype(np.int32), cap, -1)
         pv = padded_vals()
         transfer.count_up(idx_up.nbytes + pv.nbytes
@@ -1342,17 +1456,17 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             args = ([jax.device_put(a, repl) for a in args[:2]]
                     + [jax.device_put(a, sharding) for a in args[2:]])
         out = kernels.decode_batch_sparse(*args, **kw)
-    return _finish(out), const_mask, _chunk_minval
+    return _finish(out), const_mask, _chunk_minval, nan_masks
 
 
 def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
     """Host-resident decode: :func:`_decode_streams_device` + fetch."""
-    out, const_mask, minval = _decode_streams_device(streams, sharding)
+    out, const_mask, minval, nanm = _decode_streams_device(streams, sharding)
     transfer.count_down(out.nbytes)
     out = np.array(jax.device_get(out))  # copy: device_get can be read-only
     if const_mask.any():
         out[const_mask] = minval[const_mask, None, None, None]
-    return out
+    return _apply_nan_masks_host(out, nanm)
 
 
 def encode_frames_device(x_dev, config: CodecConfig,
@@ -1389,8 +1503,8 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
     ``max_batch`` pipelines host-side parsing/entropy decode of sub-batch
     k+1 under the device work of sub-batch k."""
     if max_batch is None or len(streams) <= max_batch:
-        out, const_mask, minval = _decode_streams_device(streams)
-        return out
+        out, _, _, nanm = _decode_streams_device(streams)
+        return _apply_nan_masks_device(out, nanm)
     from concurrent.futures import ThreadPoolExecutor
 
     batches = [streams[s:s + max_batch]
@@ -1401,11 +1515,11 @@ def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):
         futs = [worker.submit(_decode_streams_device, b)
                 for b in batches[:depth]]
         for i in range(len(batches)):
-            out, _, _ = futs[i].result()
+            out, _, _, nanm = futs[i].result()
             if i + depth < len(batches):
                 futs.append(worker.submit(_decode_streams_device,
                                           batches[i + depth]))
-            outs.append(out)
+            outs.append(_apply_nan_masks_device(out, nanm))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -1427,8 +1541,8 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
     b, n_frames, h, w = x_dev.shape
     if max_batch is None or b <= max_batch:
         streams = _encode_chunk_batch(x_dev, config, opts)
-        out, _, _ = _decode_streams_device(streams)
-        return streams, out
+        out, _, _, nanm = _decode_streams_device(streams)
+        return streams, _apply_nan_masks_device(out, nanm)
 
     slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
@@ -1452,7 +1566,8 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
                                       backend, error_mode, sl.shape[0])
             streams_out.extend(streams)
             dec_futs.append(decoder.submit(_decode_streams_device, streams))
-        outs = [f.result()[0] for f in dec_futs]
+        outs = [_apply_nan_masks_device(f.result()[0], f.result()[3])
+                for f in dec_futs]
     return streams_out, jnp.concatenate(outs, axis=0)
 
 
@@ -1577,8 +1692,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
 
     chunk_cfg = config.per_chunk(chunk_dims)
 
-    if not np.isfinite(chunks).all():
-        raise ValueError("NaN or Inf found in data")
+    chunks, masks = _mask_fill_check(chunks, config.allow_nan)
 
     nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
@@ -1590,6 +1704,8 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 streams_out = list(pool.map(
                     lambda c: nm.native_encode(c, chunk_cfg), chunks))
+        streams_out = _append_mask_sections(streams_out, masks,
+                                            config.zstd_level)
         header = stream.ChunkedHeader(
             dims=tuple(config.dims), chunk_dims=chunk_dims,
             num_chunks=num_chunks, chunk_size=chunk_size)
@@ -1608,6 +1724,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
 
     streams_out = _pipeline_encode_slices(slices, counts_per, chunk_cfg,
                                           opts, n_frames, h, w)
+    streams_out = _append_mask_sections(streams_out, masks, config.zstd_level)
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,
@@ -1636,9 +1753,17 @@ def encode_chunked_compat(data: np.ndarray, config: CodecConfig,
             1024 if d[2] > cfg.MAX_INTERNAL_IMAGE_DIM else d[2])
         logger.info("compat chunk dimensions: %s", compat.chunk_dims)
     if compat.residual_mode == cfg.RESIDUAL_RELATIVE_ERROR:
-        if not np.isfinite(data).all():
-            raise ValueError("NaN or Inf found in data")
-        rng = float(data.max() - data.min())
+        if compat.allow_nan:
+            if np.isinf(data).any():
+                raise ValueError("Inf found in data")
+            rng = float(np.nanmax(data) - np.nanmin(data))
+            if not np.isfinite(rng):
+                raise ValueError("relative mode needs at least one valid "
+                                 "sample to derive the range")
+        else:
+            if not np.isfinite(data).all():
+                raise ValueError("NaN or Inf found in data")
+            rng = float(data.max() - data.min())
         compat.error = compat.error * rng
         compat.residual_mode = cfg.RESIDUAL_MAX_ERROR
     return encode_chunked(data, compat, opts)
@@ -1686,14 +1811,14 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
     with ThreadPoolExecutor(max_workers=1) as worker:
         fut = worker.submit(_decode_streams_device, batches[0])
         for i in range(len(batches)):
-            out, const_mask, minval = fut.result()
+            out, const_mask, minval, nanm = fut.result()
             if i + 1 < len(batches):
                 fut = worker.submit(_decode_streams_device, batches[i + 1])
             with stage(f"dec: output fetch batch {i}"):
                 arr = np.array(jax.device_get(out))
             if const_mask.any():
                 arr[const_mask] = minval[const_mask, None, None, None]
-            decoded.append(arr)
+            decoded.append(_apply_nan_masks_host(arr, nanm))
     chunks = np.concatenate(decoded, axis=0)
     chunks = chunks.reshape(header.num_chunks, *header.chunk_dims)
     return _scatter_chunks(chunks, header.dims, header.chunk_dims, counts)

@@ -52,6 +52,14 @@ FLAG_BASE_PARTIAL = 0x08
 # loudly on the trailing-bytes check.  No capability in the reference
 # (its chunks are always intra-coded); see docs/FORMAT.md.
 FLAG_TEMPORAL = 0x10
+# Masked chunk (allow_nan): the stream's samples were encoded with every
+# NaN input replaced by a per-frame fill value, and the stream's LAST
+# section (after the temporal delta section, when present) is an
+# entropy-coded packbits bitmap of the invalid samples — decoders restore
+# NaN at those positions.  The error bound therefore applies to the VALID
+# samples (the reference has no counterpart: it hard-exits on NaN input,
+# check_nan_inf, ebcc_codec.c:598-605).  See docs/FORMAT.md.
+FLAG_MASKED = 0x20
 
 # magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,
@@ -112,6 +120,10 @@ class FrameHeader:
     def temporal(self) -> bool:
         return bool(self.flags & FLAG_TEMPORAL)
 
+    @property
+    def masked(self) -> bool:
+        return bool(self.flags & FLAG_MASKED)
+
     def pack(self) -> bytes:
         return struct.pack(
             _FRAME_FMT, MAGIC_FRAME, FRAME_VERSION, self.flags, self.entropy,
@@ -168,13 +180,16 @@ def split_frame_stream(buf: bytes):
     off = FRAME_HEADER_SIZE
     end_base = off + header.base_comp_size
     end_res = end_base + header.res_comp_size
+    end = end_res
     if header.temporal:
         if header.n_frames < 2:
             raise StreamError("temporal stream with n_frames < 2")
-        _validate_temporal_section(buf, header, end_res)
-    elif end_res != len(buf):
+        end = _validate_temporal_section(buf, header, end_res)
+    if header.masked:
+        end = _validate_mask_section(buf, end)
+    if end != len(buf):
         raise StreamError(
-            f"payload size mismatch: header says {end_res}, have {len(buf)}")
+            f"payload size mismatch: header says {end}, have {len(buf)}")
     return header, buf[off:end_base], buf[end_base:end_res]
 
 
@@ -200,7 +215,9 @@ class DeltaRecord:
                            self.top, self.entropy, 0, self.comp_size)
 
 
-def _validate_temporal_section(buf: bytes, header: FrameHeader, start: int):
+def _validate_temporal_section(buf: bytes, header: FrameHeader,
+                               start: int) -> int:
+    """-> section end offset (exclusive)."""
     nt = header.n_frames - 1
     rec_end = start + nt * DELTA_RECORD_SIZE
     if rec_end > len(buf):
@@ -210,10 +227,11 @@ def _validate_temporal_section(buf: bytes, header: FrameHeader, start: int):
         (_rmin, _rmax, _cut, _top, _ent, _res, csz) = struct.unpack_from(
             _DELTA_FMT, buf, start + t * DELTA_RECORD_SIZE)
         total += csz
-    if rec_end + total != len(buf):
+    if rec_end + total > len(buf):
         raise StreamError(
             f"temporal payload size mismatch: records say "
             f"{rec_end + total}, have {len(buf)}")
+    return rec_end + total
 
 
 def split_temporal_section(buf: bytes, header: FrameHeader):
@@ -241,6 +259,57 @@ def pack_temporal_stream(header: FrameHeader, base_payload: bytes,
     parts.extend(r.pack() for r in records)
     parts.extend(delta_payloads)
     return b"".join(parts)
+
+
+# Mask section (FLAG_MASKED), always the LAST section of a stream:
+# u8 entropy backend id, 3 reserved bytes, u32 compressed size, payload.
+# The payload entropy-decodes to ``ceil(n_frames*height*width / 8)`` bytes
+# of np.packbits(bitorder="big") over the row-major invalid-sample bitmap.
+_MASK_SECTION_FMT = "<BBBBI"
+MASK_SECTION_HEADER_SIZE = struct.calcsize(_MASK_SECTION_FMT)
+assert MASK_SECTION_HEADER_SIZE == 8
+
+
+def _validate_mask_section(buf: bytes, start: int) -> int:
+    """-> section end offset (exclusive)."""
+    if start + MASK_SECTION_HEADER_SIZE > len(buf):
+        raise StreamError("truncated mask section header")
+    (_ent, _r0, _r1, _r2, csz) = struct.unpack_from(_MASK_SECTION_FMT, buf,
+                                                    start)
+    end = start + MASK_SECTION_HEADER_SIZE + csz
+    if end > len(buf):
+        raise StreamError("truncated mask section payload")
+    return end
+
+
+def mask_section_start(buf: bytes, header: FrameHeader) -> int:
+    start = (FRAME_HEADER_SIZE + header.base_comp_size
+             + header.res_comp_size)
+    if header.temporal:
+        start = _validate_temporal_section(buf, header, start)
+    return start
+
+
+def split_mask_section(buf: bytes, header: FrameHeader):
+    """-> (entropy backend id, compressed payload bytes); call after
+    :func:`split_frame_stream` validated the stream."""
+    start = mask_section_start(buf, header)
+    (ent, _r0, _r1, _r2, csz) = struct.unpack_from(_MASK_SECTION_FMT, buf,
+                                                   start)
+    off = start + MASK_SECTION_HEADER_SIZE
+    return ent, buf[off:off + csz]
+
+
+def append_mask_section(stream_bytes: bytes, entropy_id: int,
+                        payload: bytes) -> bytes:
+    """Set FLAG_MASKED on an assembled stream and append its mask section.
+    Valid on any assembled ETPU stream: the flags byte is at a fixed offset
+    and no header field covers the trailing sections."""
+    b = bytearray(stream_bytes)
+    b[5] |= FLAG_MASKED
+    b += struct.pack(_MASK_SECTION_FMT, entropy_id, 0, 0, 0, len(payload))
+    b += payload
+    return bytes(b)
 
 
 @dataclasses.dataclass

@@ -74,14 +74,16 @@ def compress_stream(data, config: CodecConfig, out: IO[bytes],
             if i0 + 1 < counts[0]:
                 fut = reader.submit(_slab_chunks, data, config, chunk_dims,
                                     counts, i0 + 1)
-            if not np.isfinite(chunks).all():
-                raise ValueError("NaN or Inf found in data")
             batch = chunks.reshape(-1, n_frames, h, w)
+            batch, nan_masks = _codec._mask_fill_check(batch,
+                                                       config.allow_nan)
             slices = [batch[s:s + max_batch]
                       for s in range(0, len(batch), max_batch)]
             counts_per = [s.shape[0] for s in slices]
             streams = _codec._pipeline_encode_slices(
                 slices, counts_per, chunk_cfg, opts, n_frames, h, w)
+            streams = _codec._append_mask_sections(streams, nan_masks,
+                                                   config.zstd_level)
             for s in streams:
                 written += out.write(struct.pack("<Q", len(s)))
                 written += out.write(s)

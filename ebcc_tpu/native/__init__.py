@@ -38,6 +38,7 @@ class _ConfigStruct(ctypes.Structure):
         ("zstd_level", ctypes.c_int32),
         ("entropy_backend", ctypes.c_int32),
         ("temporal", ctypes.c_int32),
+        ("allow_nan", ctypes.c_int32),
     ]
 
 
@@ -97,11 +98,11 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
-    if not hasattr(lib, "etpu_has_temporal"):  # newest symbol
+    if not hasattr(lib, "etpu_has_mask"):  # newest symbol
         if Path(p).parent == BUILD_DIR and auto_build:
             p = build(force=True)
             lib = ctypes.CDLL(str(p))
-        if not hasattr(lib, "etpu_has_temporal"):
+        if not hasattr(lib, "etpu_has_mask"):
             raise RuntimeError(
                 f"native library at {p} is too old for this package "
                 "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "
@@ -174,6 +175,7 @@ def _make_config(config) -> _ConfigStruct:
     c.entropy_backend = {"zstd": 1, "cab": 2, "auto": 3}.get(
         getattr(config, "entropy_backend", "zstd"), 1)
     c.temporal = 1 if getattr(config, "temporal", False) else 0
+    c.allow_nan = 1 if getattr(config, "allow_nan", False) else 0
     return c
 
 

@@ -21,6 +21,7 @@ extern "C" size_t etpu_cab_decompress(const uint8_t *, size_t, int, int, int,
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
+#include <limits>
 #include <cstdlib>
 #include <cstring>
 #include <new>
@@ -49,6 +50,12 @@ constexpr uint8_t kFlagBasePartial = 0x08;
  * 0 only; a delta section (16-byte records + payloads) follows the res
  * payload.  See core/stream.py and docs/FORMAT.md. */
 constexpr uint8_t kFlagTemporal = 0x10;
+/* Masked chunk (allow_nan): NaN input samples were replaced by a per-frame
+ * fill before encoding; the stream's LAST section (after the delta section
+ * when temporal) is an entropy-coded packbits bitmap (MSB-first) of the
+ * invalid positions — decode restores NaN there.  Beyond reference (which
+ * hard-exits on NaN, check_nan_inf ebcc_codec.c:598-605). */
+constexpr uint8_t kFlagMasked = 0x20;
 constexpr size_t kDeltaRecordSize = 16;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
@@ -664,10 +671,11 @@ struct DeltaRecord {
   const uint8_t *payload;
 };
 
-/* Validate + locate the delta section of a temporal stream; records and
- * payloads must exactly cover the bytes after the residual payload. */
+/* Validate + locate the delta section of a temporal stream; *end_out
+ * receives the section's end offset (a mask section may follow). */
 bool parse_delta_section(const FrameHeader &h, const uint8_t *data,
-                         size_t size, std::vector<DeltaRecord> *recs) {
+                         size_t size, std::vector<DeltaRecord> *recs,
+                         size_t *end_out) {
   if (h.n_frames < 2) return false;
   const size_t nt = (size_t)h.n_frames - 1;
   const size_t start = kHeaderSize + h.base_comp + h.res_comp;
@@ -691,7 +699,26 @@ bool parse_delta_section(const FrameHeader &h, const uint8_t *data,
     r.payload = data + pay;
     pay += r.comp_size;
   }
-  return pay == size;
+  *end_out = pay;
+  return true;
+}
+
+/* Validate + locate the mask section (kFlagMasked): 8-byte header
+ * (entropy id, 3 reserved, u32 comp size) + payload, starting at *end
+ * (the end of the preceding sections); *end advances past it. */
+bool parse_mask_section(const uint8_t *data, size_t size, size_t *end,
+                        uint8_t *ent, const uint8_t **payload,
+                        size_t *comp_size) {
+  if (*end > size || size - *end < 8) return false;
+  const uint8_t *p = data + *end;
+  *ent = p[0];
+  uint32_t csz;
+  std::memcpy(&csz, p + 4, 4);
+  if (csz > size - *end - 8) return false; /* no wrapping sum */
+  *payload = p + 8;
+  *comp_size = csz;
+  *end += 8 + (size_t)csz;
+  return true;
 }
 
 size_t decode_frame(const uint8_t *data, size_t size, float **out) {
@@ -702,12 +729,25 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
   }
   const size_t tot = (size_t)h.n_frames * h.height * h.width;
   const bool temporal = (h.flags & kFlagTemporal) != 0;
+  const bool masked = (h.flags & kFlagMasked) != 0;
   std::vector<DeltaRecord> recs;
   /* parse_header guarantees base_comp + res_comp <= size - kHeaderSize
-   * without wrapping; require exact coverage (no trailing bytes) — the
-   * temporal delta section must account for every trailing byte too. */
-  if (temporal ? !parse_delta_section(h, data, size, &recs)
-               : h.base_comp + h.res_comp != size - kHeaderSize) {
+   * without wrapping; every section must account for every trailing byte
+   * (temporal delta section, then the mask section when present). */
+  size_t sect_end = kHeaderSize + h.base_comp + h.res_comp;
+  if (temporal && !parse_delta_section(h, data, size, &recs, &sect_end)) {
+    log_err("payload size mismatch");
+    return 0;
+  }
+  uint8_t mask_ent = 0;
+  const uint8_t *mask_payload = nullptr;
+  size_t mask_csz = 0;
+  if (masked && !parse_mask_section(data, size, &sect_end, &mask_ent,
+                                    &mask_payload, &mask_csz)) {
+    log_err("truncated mask section");
+    return 0;
+  }
+  if (sect_end != size) {
     log_err("payload size mismatch");
     return 0;
   }
@@ -722,9 +762,8 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
   if (h.flags & kFlagConst) {
     /* const frame 0 (possibly inside a temporal chunk whose later frames
      * carry deltas): fill everything, then let the accumulation below
-     * overwrite frames 1+. */
+     * overwrite frames 1+ (the mask restore at the end still applies). */
     for (size_t i = 0; i < tot; ++i) (*out)[i] = h.minval;
-    if (!temporal) return tot;
   } else {
     Layer base;
     if (!decode_layer_values(h, data + kHeaderSize, h.base_comp, true, d0,
@@ -789,6 +828,29 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
               prev[(size_t)rr * ww + cc] +
               (rsp[(size_t)rr * wp + cc] * (drng / kResScale) + r.rmin);
     }
+  }
+  if (masked) {
+    /* Restore NaN at the masked positions (np.packbits MSB-first order). */
+    const size_t nbytes = (tot + 7) / 8;
+    std::vector<uint8_t> bm(nbytes);
+    bool ok;
+    if (mask_ent == kBackendZstd) {
+      ok = zstd_unpack(mask_payload, mask_csz, bm.data(), nbytes);
+    } else if (mask_ent == 0) {
+      ok = mask_csz == nbytes;
+      if (ok) std::memcpy(bm.data(), mask_payload, nbytes);
+    } else {
+      ok = false;
+    }
+    if (!ok) {
+      log_err("corrupt mask section");
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
+    const float qnan = std::numeric_limits<float>::quiet_NaN();
+    for (size_t i = 0; i < tot; ++i)
+      if (bm[i >> 3] & (uint8_t)(0x80u >> (i & 7))) (*out)[i] = qnan;
   }
   return tot;
 }
@@ -1380,12 +1442,80 @@ bool layout(const uint64_t dims[3], int *d0, int *hh, int *ww) {
   return true;
 }
 
+/* Dispatch one chunk to the temporal or intra encoder. */
+size_t encode_dispatch(const float *data, int d0, int hh, int ww,
+                       const etpu_config_t *config, uint8_t **out) {
+  if (config->temporal && d0 > 1 && config->residual_mode != 0)
+    return encode_frame_temporal(data, d0, hh, ww, config, out);
+  return encode_frame(data, d0, hh, ww, config, out);
+}
+
+/* allow_nan wrapper (mirrors codec._mask_fill_check/_append_mask_sections):
+ * fill NaNs with their frame's valid-sample mean (double accumulation,
+ * like the Python side), encode the filled chunk, then set kFlagMasked and
+ * append the entropy-coded invalid bitmap as the stream's last section.
+ * Valid samples are untouched, so the bound holds on them unchanged.
+ * Caller guarantees the chunk contains at least one NaN. */
+size_t encode_masked(const float *data, int d0, int hh, int ww,
+                     const etpu_config_t *config, uint8_t **out) {
+  const size_t fsz = (size_t)hh * ww;
+  const size_t tot = (size_t)d0 * fsz;
+  std::vector<float> filled(data, data + tot);
+  std::vector<uint8_t> bitmap((tot + 7) / 8, 0);
+  for (int f = 0; f < d0; ++f) {
+    const float *src = data + (size_t)f * fsz;
+    double s = 0;
+    size_t cnt = 0;
+    for (size_t i = 0; i < fsz; ++i)
+      if (!std::isnan(src[i])) {
+        s += src[i];
+        ++cnt;
+      }
+    const float fill = cnt ? (float)(s / (double)cnt) : 0.0f;
+    float *dst = filled.data() + (size_t)f * fsz;
+    for (size_t i = 0; i < fsz; ++i)
+      if (std::isnan(src[i])) {
+        dst[i] = fill;
+        const size_t gi = (size_t)f * fsz + i;
+        bitmap[gi >> 3] |= (uint8_t)(0x80u >> (gi & 7));
+      }
+  }
+  /* Inf survives the fill and is rejected by the inner encoder's
+   * check_nan_inf-parity scan (it is junk, not a mask). */
+  uint8_t *inner = nullptr;
+  const size_t isz = encode_dispatch(filled.data(), d0, hh, ww, config,
+                                     &inner);
+  if (!isz) return 0;
+  std::vector<uint8_t> comp;
+  uint8_t ent = (uint8_t)kBackendZstd;
+  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  if (!zstd_pack(bitmap.data(), bitmap.size(), level, &comp) ||
+      comp.size() >= bitmap.size()) {
+    comp.assign(bitmap.begin(), bitmap.end());
+    ent = 0; /* store */
+  }
+  std::vector<uint8_t> blob(inner, inner + isz);
+  std::free(inner);
+  blob[5] |= kFlagMasked;
+  put<uint8_t>(blob, ent);
+  put<uint8_t>(blob, 0);
+  put<uint8_t>(blob, 0);
+  put<uint8_t>(blob, 0);
+  put<uint32_t>(blob, (uint32_t)comp.size());
+  blob.insert(blob.end(), comp.begin(), comp.end());
+  *out = (uint8_t *)std::malloc(blob.size());
+  if (!*out) return 0;
+  std::memcpy(*out, blob.data(), blob.size());
+  return blob.size();
+}
+
 }  // namespace
 
-/* Capability sentinel for ebcc_tpu.native.load()'s staleness check: its
- * presence means this build understands temporal streams (and everything
- * older).  Bump the sentinel name when the ABI/format grows again. */
+/* Capability sentinels for ebcc_tpu.native.load()'s staleness check: the
+ * NEWEST one's presence means this build understands every current stream
+ * feature.  Bump/add a sentinel when the ABI/format grows again. */
 extern "C" int etpu_has_temporal(void) { return 1; }
+extern "C" int etpu_has_mask(void) { return 1; }
 
 size_t etpu_encode(const float *data, const etpu_config_t *config,
                    uint8_t **out) {
@@ -1394,9 +1524,13 @@ size_t etpu_encode(const float *data, const etpu_config_t *config,
     log_err("invalid dims");
     return 0;
   }
-  if (config->temporal && d0 > 1 && config->residual_mode != 0)
-    return encode_frame_temporal(data, d0, hh, ww, config, out);
-  return encode_frame(data, d0, hh, ww, config, out);
+  if (config->allow_nan) {
+    const size_t tot = (size_t)d0 * hh * ww;
+    for (size_t i = 0; i < tot; ++i)
+      if (std::isnan(data[i]))
+        return encode_masked(data, d0, hh, ww, config, out);
+  }
+  return encode_dispatch(data, d0, hh, ww, config, out);
 }
 
 /* ------------------------------------------------------------------ */

@@ -37,6 +37,10 @@ typedef struct {
   int32_t temporal;       /* !=0: closed-loop predictive coding along the
                              chunk's leading axis (error-bounded modes,
                              multi-frame chunks only; see docs/FORMAT.md) */
+  int32_t allow_nan;      /* !=0: NaN samples are masked out of the encode
+                             (per-frame mean fill + mask section) and
+                             restored on decode; bound applies to valid
+                             samples.  Inf still errors. */
 } etpu_config_t;
 
 /* Decode one ETPU frame stream (or dispatch an ETPK container).

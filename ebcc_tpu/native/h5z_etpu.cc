@@ -66,12 +66,14 @@ int populate_config(etpu_config_t *config, size_t cd_nelmts,
     return 0;
   }
   /* Optional flags word after the mode/error values (TPU-build extension,
-   * mirrors api/filter_wrapper.py): bit0 = temporal predictive coding. */
+   * mirrors api/filter_wrapper.py): bit0 = temporal predictive coding,
+   * bit1 = allow_nan (mask NaN samples instead of failing). */
   const size_t nxt = (config->residual_mode != 0) ? 5 : 4;
   if (cd_nelmts > nxt) {
     const unsigned int fl = cd_values[nxt];
     if ((fl & 0x1u) && config->residual_mode != 0 && config->dims[0] > 1)
       config->temporal = 1;
+    if (fl & 0x2u) config->allow_nan = 1;
   }
   return 1;
 }

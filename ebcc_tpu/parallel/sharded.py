@@ -51,11 +51,6 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
         mesh = mesh_lib.make_mesh()
 
     data = np.asarray(data, dtype=np.float32).reshape(config.dims)
-    # Same input contract as the host path (and the reference, which
-    # hard-exits): NaN/Inf must raise here, before device_put — the device
-    # kernels would silently produce a garbage stream.
-    if not np.isfinite(data).all():
-        raise ValueError("NaN or Inf found in data")
     chunk_dims = tuple(config.chunk_dims)
     if all(c == 0 for c in chunk_dims):
         chunk_dims = tuple(config.dims)
@@ -66,6 +61,11 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     chunks = _codec._gather_chunks(data, chunk_dims, counts)
     n_frames, h, w = _codec._layout(chunk_dims)
     chunks = chunks.reshape(num_chunks, n_frames, h, w)
+    # Same input contract as the host path (and the reference, which
+    # hard-exits): NaN/Inf must raise (or, with allow_nan, fill+mask) here,
+    # before device_put — the device kernels would silently produce a
+    # garbage stream.
+    chunks, nan_masks = _codec._mask_fill_check(chunks, config.allow_nan)
 
     # Pad the batch to a multiple of the mesh size and shard the chunk axis.
     padded_n = mesh_lib.pad_batch_to_mesh(num_chunks, mesh)
@@ -87,6 +87,8 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     streams = _codec._assemble_batch(
         out_np, chunk_cfg, opts, n_frames, h, w, backend, error_mode,
         num_chunks)
+    streams = _codec._append_mask_sections(streams, nan_masks,
+                                           config.zstd_level)
 
     header = stream.ChunkedHeader(
         dims=tuple(config.dims), chunk_dims=chunk_dims,
