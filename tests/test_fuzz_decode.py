@@ -22,6 +22,35 @@ def valid_stream(request):
     return encode(data, config), data
 
 
+@pytest.fixture(scope="module")
+def tm_stream():
+    """A temporal + masked stream: exercises the delta-record and
+    mask-section parsers on top of the frame layers."""
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    base = (270 + 10 * np.sin(yy / 9) * np.cos(xx / 7)).astype(np.float32)
+    data = np.stack([np.roll(base, t, axis=1) + 0.1 * t for t in range(4)])
+    data[:, (yy - 30) ** 2 + (xx - 30) ** 2 < 150] = np.nan
+    config = CodecConfig(dims=data.shape, residual_mode=RESIDUAL_MAX_ERROR,
+                         error=0.05, temporal=True, allow_nan=True)
+    return encode(data, config), data
+
+
+def test_temporal_masked_byte_flips(tm_stream):
+    blob, _ = tm_stream
+    rng = np.random.default_rng(10)
+    positions = list(rng.integers(0, len(blob), 40)) + list(
+        range(len(blob) - 12, len(blob)))
+    for pos in positions:
+        mutated = bytearray(blob)
+        mutated[int(pos)] ^= int(rng.integers(1, 256))
+        try:
+            out = decode(bytes(mutated))
+            assert out.size > 0
+        except Exception:
+            pass
+
+
 def test_truncations(valid_stream):
     blob, _ = valid_stream
     rng = np.random.default_rng(1)
@@ -120,6 +149,23 @@ class TestNativeDecoderFuzz:
             buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
             try:
                 native.native_decode(buf)
+            except Exception:
+                pass
+
+    def test_native_temporal_masked_fuzz(self, native, tm_stream):
+        """Byte flips anywhere in a temporal+masked stream (header, delta
+        records, delta payloads, mask section) must fail loudly or decode
+        to a plausible array — never crash, hang, or over-allocate."""
+        blob, data = tm_stream
+        rng = np.random.default_rng(9)
+        positions = list(rng.integers(0, len(blob), 40)) + list(
+            range(len(blob) - 12, len(blob)))  # dense over the mask section
+        for pos in positions:
+            bad = bytearray(blob)
+            bad[int(pos)] ^= int(rng.integers(1, 256))
+            try:
+                out = native.native_decode(bytes(bad))
+                assert out.size <= 16 * data.size
             except Exception:
                 pass
 
