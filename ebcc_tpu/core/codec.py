@@ -962,10 +962,13 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     x_batch: (B, n_frames, h, w) float32 (numpy or device array).
     """
     is_np = isinstance(x_batch, np.ndarray)
-    if is_np and not skip_finite_check and not np.isfinite(x_batch).all():
+    masks = None
+    if is_np and not skip_finite_check:
         # parity: reference check_nan_inf hard-exits (ebcc_codec.c:598-605);
-        # we raise instead of killing the process.
-        raise ValueError("NaN or Inf found in data")
+        # we raise instead — or, with allow_nan, fill + collect the mask
+        # bitmaps for the trailing sections.  Device-array inputs skip this
+        # (callers own the check; allow_nan is a host-input feature).
+        x_batch, masks = _mask_fill_check(x_batch, config.allow_nan)
 
     b, n_frames, h, w = x_batch.shape
     hp, wp = _padded_hw(h, w, max(config.base_levels, config.residual_levels))
@@ -979,8 +982,9 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
     out = encode_batch_device(xb, config, opts)
     out_np = _fetch_encode_outputs(out, error_mode)
-    return _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
-                           error_mode, b)
+    streams = _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
+                              error_mode, b)
+    return _append_mask_sections(streams, masks, config.zstd_level)
 
 
 def _pipeline_encode_slices(slices, counts, config: CodecConfig,
@@ -1478,9 +1482,11 @@ def encode_frames_device(x_dev, config: CodecConfig,
     device).  Only compressed-domain data crosses the host link.  Returns
     one ETPU stream per batch entry.
 
-    Input contract: callers own the NaN/Inf check — this path takes device
-    arrays, so the host-side ``np.isfinite`` gate applied by the numpy entry
-    points cannot run here, and non-finite input yields a garbage stream.
+    Input contract: callers own the NaN/Inf check for DEVICE arrays — the
+    host-side ``np.isfinite`` gate (and the ``allow_nan`` mask/fill, a
+    host-input feature) cannot run on them, and non-finite device input
+    yields a garbage stream.  Numpy inputs get the full gate, including
+    ``allow_nan`` masking.
 
     ``max_batch`` splits the batch into sub-batches run through the 2-stage
     pipeline (device+link work for slice k+1 overlaps host entropy coding
@@ -1489,10 +1495,14 @@ def encode_frames_device(x_dev, config: CodecConfig,
     b, n_frames, h, w = x_dev.shape
     if max_batch is None or b <= max_batch:
         return _encode_chunk_batch(x_dev, config, opts)
+    masks = None
+    if isinstance(x_dev, np.ndarray):
+        x_dev, masks = _mask_fill_check(x_dev, config.allow_nan)
     slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
     counts = [s.shape[0] for s in slices]
-    return _pipeline_encode_slices(slices, counts, config, opts,
-                                   n_frames, h, w)
+    streams = _pipeline_encode_slices(slices, counts, config, opts,
+                                      n_frames, h, w)
+    return _append_mask_sections(streams, masks, config.zstd_level)
 
 
 def decode_frames_device(streams: List[bytes], max_batch: Optional[int] = None):

@@ -207,6 +207,22 @@ class TestMaskedChunked:
         ref = np.stack([crop + t for t in range(4)])
         assert np.abs(out[valid] - ref[valid]).max() <= 0.1
 
+    def test_encode_frames_device_numpy_input(self, coast):
+        """Numpy input through the frames-device entry gets the full gate
+        (mask/fill + sections), with and without the pipelined split."""
+        from ebcc_tpu.core import codec as codec_mod
+        crop, mask = coast
+        batch = np.stack([crop[None]] * 3).copy()  # (3, 1, h, w)
+        batch[:, 0][:, mask] = np.nan
+        cfg = _masked_cfg((1, *crop.shape))
+        for mb in (None, 2):
+            streams = codec_mod.encode_frames_device(batch, cfg,
+                                                     max_batch=mb)
+            assert all(stream.split_frame_stream(s)[0].masked
+                       for s in streams)
+            out = decode(streams[0])
+            assert np.isnan(out[0][mask]).all()
+
     def test_device_resident_decode_restores_nan(self, coast):
         """decode_frames_device applies the mask ON DEVICE."""
         crop, mask = coast
