@@ -1147,11 +1147,12 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     # frame's reconstruction — the exact arithmetic the encoder's closed
     # prediction loop carried (kernels.encode_batch_temporal).
     temporal = any(hd.temporal for hd in headers)
-    if temporal and sharding is not None:
-        # The SPMD layout shards the chunk axis; temporal entries carry a
-        # cross-entry dependency within each chunk, so fall back to the
-        # single-device program (still correct, just not mesh-sharded).
-        sharding = None
+    # Temporal streams stay SPMD under chunk-axis sharding: entries are
+    # laid out chunk-major (j = chunk * T + frame) and the sharded caller
+    # pads the CHUNK count to a mesh multiple, so shard boundaries always
+    # land on chunk boundaries and each device scans its own chunks'
+    # accumulation locally (verified: tests/test_temporal.py sharded
+    # decode asserts the bound on an 8-device mesh).
     t_frames = d0 if temporal else 1
     ent_d0 = 1 if temporal else d0
     ne = n * t_frames

@@ -240,6 +240,35 @@ class TestTemporalAlternateRoutes:
         out = decode_chunked_sharded(blob_s)
         assert np.abs(out - stack16).max() <= 0.1
 
+    def test_sharded_decode_is_spmd(self, stack16):
+        """Temporal decode must stay sharded (entries are chunk-major, so
+        mesh-padded chunk counts align shard boundaries to chunks): the
+        device output must have >1 addressable shard, each holding whole
+        chunks."""
+        jax = pytest.importorskip("jax")
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices (virtual CPU mesh)")
+        from ebcc_tpu.core import codec as codec_mod
+        from ebcc_tpu.core import stream as stream_mod
+        from ebcc_tpu.parallel import encode_chunked_sharded
+        from ebcc_tpu.parallel import mesh as mesh_lib
+        cfg = self._cfg(stack16)
+        blob = encode_chunked_sharded(stack16, cfg)
+        hdr, streams = stream_mod.iter_chunked(blob)
+        mesh = mesh_lib.make_mesh()
+        out, _, _, _ = codec_mod._decode_streams_device(
+            list(streams), sharding=mesh_lib.batch_sharding(mesh))
+        shards = out.addressable_shards
+        assert len(shards) == len(jax.devices())
+        # each shard holds WHOLE chunks: (chunks/devices, T, h, w)
+        assert all(s.data.shape[1:] == (4, 64, 64) for s in shards)
+        counts = codec_mod._chunk_grid(hdr.dims, hdr.chunk_dims)
+        chunks = np.asarray(out)[: len(streams)].reshape(
+            len(streams), *hdr.chunk_dims)
+        full = codec_mod._scatter_chunks(chunks, hdr.dims, hdr.chunk_dims,
+                                         counts)
+        assert np.abs(full - stack16).max() <= 0.1
+
     def test_streaming_pipeline_byte_identical(self, stack16):
         import io as _io
 
