@@ -33,6 +33,7 @@ from .config import (  # noqa: F401
 from .core.codec import (  # noqa: F401
     decode,
     decode_chunked,
+    decode_chunked_region,
     decode_frames_device,
     encode,
     encode_chunked,

@@ -1812,8 +1812,73 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
         return _scatter_chunks(chunks, header.dims, header.chunk_dims,
                                counts)
 
-    # Pipeline: parse/entropy-decode/upload of batch k+1 overlaps the
-    # device work and output fetch of batch k.
+    return _decode_chunk_subset(header, chunk_streams, counts,
+                                header.dims, max_batch)
+
+
+def decode_chunked_region(buf: bytes, region,
+                          max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray:
+    """Random-access decode of a sub-region from an ETPK container.
+
+    ``region`` is a 3-tuple of ``(start, stop)`` pairs (or slices with
+    step 1) in the container's logical dims; only the chunks intersecting
+    the region are parsed, entropy-decoded, and sent through the device —
+    the capability chunk independence exists for (the reference leans on
+    HDF5 chunking for this; a standalone ETPK gets it here).  Returns an
+    array of the region's shape.
+    """
+    if buf[:4] != stream.MAGIC_CHUNKED:
+        raise stream.StreamError("region decode needs an ETPK container")
+    header, chunk_streams = stream.iter_chunked(buf)
+    counts = _chunk_grid(header.dims, header.chunk_dims)
+    if int(np.prod(counts)) != header.num_chunks:
+        raise stream.StreamError("inconsistent chunk metadata")
+    n_frames_c, h_c, w_c = _layout(header.chunk_dims)
+    hp_c, wp_c = _padded_hw(h_c, w_c, 5)
+    max_batch = min(max_batch, _max_safe_batch(n_frames_c * hp_c * wp_c))
+
+    bounds = []
+    for d, r in enumerate(region):
+        if isinstance(r, slice):
+            if r.step not in (None, 1):
+                raise ValueError("region slices must have step 1")
+            lo = 0 if r.start is None else int(r.start)
+            hi = header.dims[d] if r.stop is None else int(r.stop)
+        else:
+            lo, hi = (int(r[0]), int(r[1]))
+        if not 0 <= lo < hi <= header.dims[d]:
+            raise ValueError(
+                f"region {region} outside dims {header.dims} (axis {d})")
+        bounds.append((lo, hi))
+
+    # chunk index ranges intersecting the region, per axis
+    crange = [range(lo // c, -(-hi // c))
+              for (lo, hi), c in zip(bounds, header.chunk_dims)]
+    ids = [
+        (i0 * counts[1] + i1) * counts[2] + i2
+        for i0 in crange[0] for i1 in crange[1] for i2 in crange[2]
+    ]
+    sub_streams = [chunk_streams[i] for i in ids]
+    sub_counts = tuple(len(r) for r in crange)
+    origin = tuple(r.start * c for r, c in zip(crange, header.chunk_dims))
+    covered = tuple(len(r) * c for r, c in zip(crange, header.chunk_dims))
+    # Decode the covering chunk block, then crop to the exact region.
+    # Chunks at the container's edge decode to full chunk_dims (they were
+    # encoded edge-replicated); clamp the covered extent to the dims.
+    block_dims = tuple(min(o + cv, d) - o for o, cv, d
+                       in zip(origin, covered, header.dims))
+    block = _decode_chunk_subset(header, sub_streams, sub_counts,
+                                 block_dims, max_batch)
+    sl = tuple(slice(lo - o, hi - o) for (lo, hi), o in zip(bounds, origin))
+    return np.ascontiguousarray(block[sl])
+
+
+def _decode_chunk_subset(header, chunk_streams, counts, out_dims,
+                         max_batch) -> np.ndarray:
+    """Decode a chunk-stream list laid out on a ``counts`` grid into an
+    array of ``out_dims`` (the grid's coverage, clipped to the container's
+    dims).  The pipeline overlaps parse/entropy-decode/upload of batch k+1
+    with the device work and output fetch of batch k."""
     from concurrent.futures import ThreadPoolExecutor
 
     batches = [chunk_streams[s:s + max_batch]
@@ -1831,5 +1896,5 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
                 arr[const_mask] = minval[const_mask, None, None, None]
             decoded.append(_apply_nan_masks_host(arr, nanm))
     chunks = np.concatenate(decoded, axis=0)
-    chunks = chunks.reshape(header.num_chunks, *header.chunk_dims)
-    return _scatter_chunks(chunks, header.dims, header.chunk_dims, counts)
+    chunks = chunks.reshape(len(chunk_streams), *header.chunk_dims)
+    return _scatter_chunks(chunks, out_dims, header.chunk_dims, counts)

@@ -126,3 +126,86 @@ def decompress_stream(inp: IO[bytes], max_batch: int =
                       _codec.DEFAULT_MAX_BATCH) -> np.ndarray:
     """Decode an ETPK container from a readable binary stream."""
     return _codec.decode_chunked(inp.read(), max_batch=max_batch)
+
+
+def _append_precheck(header, data: np.ndarray):
+    d0, d1, d2 = header.dims
+    c0, c1, c2 = header.chunk_dims
+    if data.ndim == 2:
+        data = data[None]
+    if data.ndim != 3 or data.shape[1:] != (d1, d2):
+        raise ValueError(
+            f"appended data must be (*, {d1}, {d2}); got {data.shape}")
+    if d0 % c0 != 0:
+        raise ValueError(
+            "container's leading dim is not chunk-aligned (its last chunk "
+            "group was edge-padded); cannot append without re-encoding")
+    return data
+
+
+def append_chunked(buf: bytes, data, config: CodecConfig,
+                   opts: Optional[EncodeOptions] = None) -> bytes:
+    """Append frames along the leading axis of an existing ETPK container
+    (growing archives: hourly data arrives, the container grows).
+
+    Chunk independence makes this exact: the new frames are encoded as
+    fresh chunk groups with the container's own chunk dims and
+    concatenated after the existing records; only the 80-byte header
+    changes.  ``config`` supplies the codec knobs (bound, backends,
+    temporal, allow_nan) — the container does not record them; dims and
+    chunk_dims are taken from the container.  The container's leading dim
+    must be a multiple of its leading chunk dim (true whenever it was
+    written whole-chunks; otherwise its final chunk group was edge-padded
+    and appending would duplicate those frames).
+    """
+    import dataclasses
+
+    header, chunk_streams = stream.iter_chunked(buf)
+    data = _append_precheck(header, np.asarray(data, np.float32))
+    sub_cfg = dataclasses.replace(
+        config, dims=(data.shape[0], *header.dims[1:]),
+        chunk_dims=tuple(header.chunk_dims))
+    from ..core.codec import encode_chunked
+
+    _, new_streams = stream.iter_chunked(encode_chunked(data, sub_cfg, opts))
+    new_header = stream.ChunkedHeader(
+        dims=(header.dims[0] + data.shape[0], *header.dims[1:]),
+        chunk_dims=tuple(header.chunk_dims),
+        num_chunks=header.num_chunks + len(new_streams),
+        chunk_size=header.chunk_size)
+    return stream.pack_chunked(new_header,
+                               list(chunk_streams) + list(new_streams))
+
+
+def append_chunked_file(path: str, data, config: CodecConfig,
+                        opts: Optional[EncodeOptions] = None) -> int:
+    """In-place file append: new chunk records are written at the end and
+    only the fixed 80-byte header is rewritten — O(new data), not
+    O(container).  Same contract as :func:`append_chunked`.  Returns bytes
+    appended."""
+    import dataclasses
+    import struct
+
+    with open(path, "r+b") as f:
+        header = stream.ChunkedHeader.unpack(f.read(stream.CHUNKED_HEADER_SIZE))
+        data = _append_precheck(header, np.asarray(data, np.float32))
+        sub_cfg = dataclasses.replace(
+            config, dims=(data.shape[0], *header.dims[1:]),
+            chunk_dims=tuple(header.chunk_dims))
+        from ..core.codec import encode_chunked
+
+        _, new_streams = stream.iter_chunked(
+            encode_chunked(data, sub_cfg, opts))
+        f.seek(0, 2)
+        written = 0
+        for s in new_streams:
+            written += f.write(struct.pack("<Q", len(s)))
+            written += f.write(s)
+        new_header = stream.ChunkedHeader(
+            dims=(header.dims[0] + data.shape[0], *header.dims[1:]),
+            chunk_dims=tuple(header.chunk_dims),
+            num_chunks=header.num_chunks + len(new_streams),
+            chunk_size=header.chunk_size)
+        f.seek(0)
+        f.write(new_header.pack())
+    return written
