@@ -104,11 +104,24 @@ def _compress_main(args) -> int:
 def _decompress_main(args) -> int:
     import numpy as np
 
-    from .. import decode_chunked
+    from .. import decode_chunked, decode_chunked_region
 
     with open(args.input, "rb") as f:
         blob = f.read()
-    out = decode_chunked(blob)
+    if args.region:
+        try:
+            region = tuple(
+                (int(a), int(b))
+                for a, b in (part.split(":") for part in
+                             args.region.split(",")))
+            if len(region) != 3:
+                raise ValueError
+        except ValueError:
+            print("--region must be t0:t1,y0:y1,x0:x1", file=sys.stderr)
+            return 2
+        out = decode_chunked_region(blob, region)
+    else:
+        out = decode_chunked(blob)
     np.save(args.output, out)
     print(f"{args.input}: -> {out.shape} float32", file=sys.stderr)
     return 0
@@ -147,6 +160,9 @@ def main(argv=None) -> int:
     dp = sub.add_parser("decompress", help="decompress to a .npy array file")
     dp.add_argument("input")
     dp.add_argument("output")
+    dp.add_argument("--region", default=None,
+                    help="random-access sub-region 't0:t1,y0:y1,x0:x1' "
+                         "(decodes only the chunks it touches)")
 
     args = parser.parse_args(argv)
     if args.cmd == "spec":

@@ -1867,8 +1867,21 @@ def decode_chunked_region(buf: bytes, region,
     # encoded edge-replicated); clamp the covered extent to the dims.
     block_dims = tuple(min(o + cv, d) - o for o, cv, d
                        in zip(origin, covered, header.dims))
-    block = _decode_chunk_subset(header, sub_streams, sub_counts,
-                                 block_dims, max_batch)
+    nm = _native_decoder()
+    if nm is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(os.cpu_count() or 1, len(sub_streams)))
+        with stage("dec: native region"):
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                parts = list(pool.map(nm.native_decode, sub_streams))
+        chunks = np.stack(parts).reshape(len(sub_streams),
+                                         *header.chunk_dims)
+        block = _scatter_chunks(chunks, block_dims, header.chunk_dims,
+                                sub_counts)
+    else:
+        block = _decode_chunk_subset(header, sub_streams, sub_counts,
+                                     block_dims, max_batch)
     sl = tuple(slice(lo - o, hi - o) for (lo, hi), o in zip(bounds, origin))
     return np.ascontiguousarray(block[sl])
 

@@ -76,6 +76,17 @@ class TestRegionDecode:
         with pytest.raises(stream.StreamError):
             decode_chunked_region(b"ETPU" + b"\0" * 100, ((0, 1),) * 3)
 
+    def test_native_route(self, container, monkeypatch):
+        blob, data, _ = container
+        from ebcc_tpu import native as native_mod
+        try:
+            native_mod.load()
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        sub = decode_chunked_region(blob, ((1, 3), (30, 90), (50, 150)))
+        assert np.abs(sub - data[1:3, 30:90, 50:150]).max() <= 0.1 + 1e-3
+
     def test_temporal_container(self, container):
         _, data, _ = container
         tcfg = CodecConfig(dims=data.shape, residual_mode=RESIDUAL_MAX_ERROR,
