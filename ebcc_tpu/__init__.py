@@ -28,6 +28,7 @@ from .config import (  # noqa: F401
     EncodeOptions,
     RESIDUAL_MAX_ERROR,
     RESIDUAL_NONE,
+    RESIDUAL_POINTWISE_RELATIVE_ERROR,
     RESIDUAL_RELATIVE_ERROR,
 )
 from .core.codec import (  # noqa: F401

@@ -70,6 +70,7 @@ def _compress_main(args) -> int:
 
     from .. import CodecConfig, encode_chunked_compat
     from ..config import (RESIDUAL_MAX_ERROR, RESIDUAL_NONE,
+                          RESIDUAL_POINTWISE_RELATIVE_ERROR,
                           RESIDUAL_RELATIVE_ERROR)
 
     data = np.load(args.input).astype(np.float32)
@@ -81,11 +82,13 @@ def _compress_main(args) -> int:
         mode, err = RESIDUAL_MAX_ERROR, args.max_error
     elif args.relative_error is not None:
         mode, err = RESIDUAL_RELATIVE_ERROR, args.relative_error
+    elif args.pointwise_relative_error is not None:
+        mode, err = (RESIDUAL_POINTWISE_RELATIVE_ERROR,
+                     args.pointwise_relative_error)
     else:
         mode, err = RESIDUAL_NONE, 0.0
     if args.temporal and mode == RESIDUAL_NONE:
-        print("--temporal requires --max-error or --relative-error",
-              file=sys.stderr)
+        print("--temporal requires an error-bounded mode", file=sys.stderr)
         return 2
     config = CodecConfig(dims=data.shape, base_cr=args.base_cr,
                          residual_mode=mode, error=err,
@@ -145,6 +148,9 @@ def main(argv=None) -> int:
     cp.add_argument("--base-cr", type=float, default=30.0)
     cp.add_argument("--max-error", type=float, default=None)
     cp.add_argument("--relative-error", type=float, default=None)
+    cp.add_argument("--pointwise-relative-error", type=float, default=None,
+                    help="bound |out-in| <= f*|in| on EVERY sample "
+                         "(strictly positive data only)")
     cp.add_argument("--chunk-dims", type=int, nargs=3, default=None)
     cp.add_argument("--temporal", action="store_true",
                     help="closed-loop predictive coding along the chunk's "

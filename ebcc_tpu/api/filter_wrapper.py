@@ -47,6 +47,9 @@ _MODE_BY_NAME = {
     "none": cfg.RESIDUAL_NONE,
     "max_error_target": cfg.RESIDUAL_MAX_ERROR,
     "relative_error_target": cfg.RESIDUAL_RELATIVE_ERROR,
+    # TPU-build extension (the reference enum stops at relative):
+    # |x̂-x| <= err*|x| pointwise; strictly positive data only.
+    "pointwise_relative_error_target": cfg.RESIDUAL_POINTWISE_RELATIVE_ERROR,
 }
 
 # cd_values[5] flags word (TPU-build extension; absent = 0 keeps the
@@ -164,7 +167,8 @@ def populate_config(cd_values, buf_size_bytes: int) -> CodecConfig:
     mode = cd_values[3]
     error = 0.0
     nxt = 4
-    if mode in (cfg.RESIDUAL_MAX_ERROR, cfg.RESIDUAL_RELATIVE_ERROR):
+    if mode in (cfg.RESIDUAL_MAX_ERROR, cfg.RESIDUAL_RELATIVE_ERROR,
+                cfg.RESIDUAL_POINTWISE_RELATIVE_ERROR):
         if len(cd_values) < 5:
             raise ValueError("error-bounded mode requires 5 cd_values")
         error = uint32_to_float(cd_values[4])

@@ -35,9 +35,20 @@ MAX_INTERNAL_IMAGE_DIM = 2047  # parity: EBCC_MAX_INTERNAL_IMAGE_DIM (ebcc_codec
 RESIDUAL_NONE = 0
 RESIDUAL_MAX_ERROR = 1
 RESIDUAL_RELATIVE_ERROR = 2
+# Beyond reference (its enum stops at 2, ebcc_codec.h:23-27): POINTWISE
+# relative bound |x̂ - x| <= error * |x| on every sample — the bound
+# magnitude-spanning fields (humidity, ozone, precipitation) need, where
+# a range-relative bound lets small values drown.  Requires strictly
+# positive data; implemented as a log-domain MAX_ERROR encode with target
+# log1p(error) minus the float32 log/exp margin (stream flag bit6,
+# docs/FORMAT.md), so the existing scans guarantee the bound exactly and
+# temporal/allow_nan compose unchanged.
+RESIDUAL_POINTWISE_RELATIVE_ERROR = 3
 
 _RESIDUAL_NAMES = {RESIDUAL_NONE: "NONE", RESIDUAL_MAX_ERROR: "MAX_ERROR",
-                   RESIDUAL_RELATIVE_ERROR: "RELATIVE_ERROR"}
+                   RESIDUAL_RELATIVE_ERROR: "RELATIVE_ERROR",
+                   RESIDUAL_POINTWISE_RELATIVE_ERROR:
+                       "POINTWISE_RELATIVE_ERROR"}
 
 # Static bitplane counts. Base coefficients live on a [0, 65535] scale
 # (parity with the reference's uint16 quantization, ebcc_codec.c:686-689).
@@ -110,6 +121,10 @@ class CodecConfig:
         if self.temporal and self.residual_mode == RESIDUAL_NONE:
             raise ValueError(
                 "temporal coding requires an error-bounded residual mode")
+        if (self.residual_mode == RESIDUAL_POINTWISE_RELATIVE_ERROR
+                and not 0.0 < self.error < 1.0):
+            raise ValueError(
+                "pointwise-relative mode needs an error fraction in (0, 1)")
 
     def per_chunk(self, chunk_dims: Tuple[int, int, int]) -> "CodecConfig":
         """The config for encoding ONE chunk of this dataset: same codec

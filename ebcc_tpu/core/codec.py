@@ -882,6 +882,59 @@ def _apply_nan_masks_device(out, nan_masks):
     return _nan_where_program()(out, jax.device_put(packed))
 
 
+# Float32 safety margin for the log-domain bound: the encoder's log
+# rounds within ~1 ulp of |log x| (an ABSOLUTE log-domain error scaling
+# with the magnitude, <= 89 for any finite positive f32) and the
+# decoder's exp adds ~1 ulp relative — both sides included, doubled for
+# safety.  A FIXED conservative constant (not data-dependent) so every
+# encode route — including the streaming pipeline, which never sees the
+# global data — derives the identical internal target and stays
+# byte-compatible; mirrored in native/etpu_codec.cc.
+_LOG_MARGIN = 1.3e-7 * (89.0 + 2.0)
+
+
+def _log_transform_check(x_batch, config: CodecConfig):
+    """Pointwise-relative preprocessing -> (log-domain batch, internal
+    MAX_ERROR config).  No-op for every other mode.
+
+    ``|x̂/x - 1| <= eps`` for every sample follows from bounding the log
+    reconstruction by ``log1p(eps)`` (the binding side: ``e^T <= 1+eps``
+    implies ``e^-T >= 1/(1+eps) > 1-eps``) minus the float32 log/exp
+    margin; the existing MAX_ERROR scans then guarantee it exactly, and
+    temporal prediction (ratio prediction in the log domain) and NaN
+    masking compose unchanged.  Requires strictly positive finite data
+    (call after the allow_nan fill)."""
+    if config.residual_mode != cfg.RESIDUAL_POINTWISE_RELATIVE_ERROR:
+        return x_batch, config
+    import dataclasses
+
+    if isinstance(x_batch, np.ndarray):
+        if not (x_batch > 0).all():
+            raise ValueError(
+                "pointwise-relative mode requires strictly positive data")
+        y = np.log(x_batch, dtype=np.float32)
+    else:
+        # Device arrays: the caller owns the positivity contract (like the
+        # NaN/Inf check).
+        y = jnp.log(x_batch)
+    target = float(np.log1p(config.error)) - _LOG_MARGIN
+    if target <= 0:
+        raise ValueError(
+            f"error {config.error} too small to guarantee in float32 at "
+            "this magnitude range")
+    internal = dataclasses.replace(
+        config, residual_mode=cfg.RESIDUAL_MAX_ERROR, error=target)
+    return y, internal
+
+
+def _set_log_flags(streams: List[bytes], config: CodecConfig,
+                   orig_config: CodecConfig) -> List[bytes]:
+    """Mark streams produced by a log-domain encode (decoders apply exp)."""
+    if orig_config.residual_mode != cfg.RESIDUAL_POINTWISE_RELATIVE_ERROR:
+        return streams
+    return [stream.set_flag(s, stream.FLAG_LOG_DOMAIN) for s in streams]
+
+
 def _temporal_active(config: CodecConfig, n_frames: int) -> bool:
     """Temporal coding applies when requested AND the chunk actually
     carries a multi-frame leading axis (single-frame chunks fall back to
@@ -963,12 +1016,14 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     """
     is_np = isinstance(x_batch, np.ndarray)
     masks = None
+    orig_config = config
     if is_np and not skip_finite_check:
         # parity: reference check_nan_inf hard-exits (ebcc_codec.c:598-605);
         # we raise instead — or, with allow_nan, fill + collect the mask
         # bitmaps for the trailing sections.  Device-array inputs skip this
         # (callers own the check; allow_nan is a host-input feature).
         x_batch, masks = _mask_fill_check(x_batch, config.allow_nan)
+    x_batch, config = _log_transform_check(x_batch, config)
 
     b, n_frames, h, w = x_batch.shape
     hp, wp = _padded_hw(h, w, max(config.base_levels, config.residual_levels))
@@ -984,6 +1039,7 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     out_np = _fetch_encode_outputs(out, error_mode)
     streams = _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
                               error_mode, b)
+    streams = _set_log_flags(streams, config, orig_config)
     return _append_mask_sections(streams, masks, config.zstd_level)
 
 
@@ -1192,8 +1248,16 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             res_cut[j + t] = rec.cut
 
     # Host-side const fill wants one minval per CHUNK (the entry axis is
-    # per-frame when temporal).
-    _chunk_minval = minval[::t_frames].copy() if temporal else minval
+    # per-frame when temporal).  Log-domain chunks (pointwise-relative
+    # mode) store log values: exp them for the const fill, and apply the
+    # device-side exp as the last arithmetic step in _finish below.
+    _chunk_minval = minval[::t_frames].copy() if temporal else minval.copy()
+    log_flags = np.array([hd.log_domain for hd in headers], bool)
+    if log_flags.any():
+        with np.errstate(over="ignore"):
+            _chunk_minval = np.where(
+                log_flags, np.exp(_chunk_minval), _chunk_minval
+            ).astype(np.float32)
 
     def _decompress_layer(hd, payload, which):
         """One chunk layer -> (raw bytes, kept, pb) where pb = bytes
@@ -1355,10 +1419,17 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
 
     def _finish(out_dev):
         """Temporal entries -> accumulated frames (n, T, h, w); intra
-        batches pass through."""
-        if not temporal:
-            return out_dev
-        return kernels.temporal_accumulate(out_dev, t_frames=t_frames)
+        batches pass through.  Log-domain chunks get their exp here (the
+        decoder's final arithmetic step, matching the encoder's verified
+        criterion)."""
+        if temporal:
+            out_dev = kernels.temporal_accumulate(out_dev, t_frames=t_frames)
+        if log_flags.any():
+            fl = log_flags[:, None, None, None]
+            fl_dev = (jax.device_put(fl, sharding) if sharding is not None
+                      else jax.device_put(fl))
+            out_dev = jnp.where(fl_dev, jnp.exp(out_dev), out_dev)
+        return out_dev
 
     # Upload-leg representation: byte-coded gaps + zigzag values (~2 B per
     # significant coefficient, transfer.byte_pack_sparse_host) is the
@@ -1497,12 +1568,15 @@ def encode_frames_device(x_dev, config: CodecConfig,
     if max_batch is None or b <= max_batch:
         return _encode_chunk_batch(x_dev, config, opts)
     masks = None
+    orig_config = config
     if isinstance(x_dev, np.ndarray):
         x_dev, masks = _mask_fill_check(x_dev, config.allow_nan)
+    x_dev, config = _log_transform_check(x_dev, config)
     slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
     counts = [s.shape[0] for s in slices]
     streams = _pipeline_encode_slices(slices, counts, config, opts,
                                       n_frames, h, w)
+    streams = _set_log_flags(streams, config, orig_config)
     return _append_mask_sections(streams, masks, config.zstd_level)
 
 
@@ -1555,6 +1629,8 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
         out, _, _, nanm = _decode_streams_device(streams)
         return streams, _apply_nan_masks_device(out, nanm)
 
+    orig_config = config
+    x_dev, config = _log_transform_check(x_dev, config)
     slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
     backend = entropy.backend_id(config)
@@ -1575,6 +1651,7 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
                 futs.append(fetcher.submit(run_batch, slices[i + depth]))
             streams = _assemble_batch(out_np, config, opts, n_frames, h, w,
                                       backend, error_mode, sl.shape[0])
+            streams = _set_log_flags(streams, config, orig_config)
             streams_out.extend(streams)
             dec_futs.append(decoder.submit(_decode_streams_device, streams))
         outs = [_apply_nan_masks_device(f.result()[0], f.result()[3])
@@ -1722,6 +1799,8 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
             num_chunks=num_chunks, chunk_size=chunk_size)
         return stream.pack_chunked(header, streams_out)
 
+    chunks, chunk_cfg = _log_transform_check(chunks, chunk_cfg)
+
     slices, counts_per = [], []
     for start in range(0, num_chunks, max_batch):
         sl = chunks[start:start + max_batch]
@@ -1735,6 +1814,7 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
 
     streams_out = _pipeline_encode_slices(slices, counts_per, chunk_cfg,
                                           opts, n_frames, h, w)
+    streams_out = _set_log_flags(streams_out, chunk_cfg, config)
     streams_out = _append_mask_sections(streams_out, masks, config.zstd_level)
 
     header = stream.ChunkedHeader(

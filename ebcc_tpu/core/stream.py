@@ -60,6 +60,12 @@ FLAG_TEMPORAL = 0x10
 # samples (the reference has no counterpart: it hard-exits on NaN input,
 # check_nan_inf, ebcc_codec.c:598-605).  See docs/FORMAT.md.
 FLAG_MASKED = 0x20
+# Log-domain chunk (pointwise-relative mode): the payloads encode
+# log(x) under a max-error bound of log1p(eps) minus the float32 log/exp
+# margin; decoders apply exp() as the final arithmetic step (before the
+# NaN restore, whose positions are exp-invariant), which guarantees
+# |x̂ - x| <= eps * |x| on every sample.  No reference counterpart.
+FLAG_LOG_DOMAIN = 0x40
 
 # magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,
@@ -123,6 +129,10 @@ class FrameHeader:
     @property
     def masked(self) -> bool:
         return bool(self.flags & FLAG_MASKED)
+
+    @property
+    def log_domain(self) -> bool:
+        return bool(self.flags & FLAG_LOG_DOMAIN)
 
     def pack(self) -> bytes:
         return struct.pack(
@@ -298,6 +308,14 @@ def split_mask_section(buf: bytes, header: FrameHeader):
                                                    start)
     off = start + MASK_SECTION_HEADER_SIZE
     return ent, buf[off:off + csz]
+
+
+def set_flag(stream_bytes: bytes, flag: int) -> bytes:
+    """OR a flag bit into an assembled ETPU stream (the flags byte sits at
+    a fixed offset and no header field depends on it)."""
+    b = bytearray(stream_bytes)
+    b[5] |= flag
+    return bytes(b)
 
 
 def append_mask_section(stream_bytes: bytes, entropy_id: int,

@@ -56,6 +56,14 @@ constexpr uint8_t kFlagTemporal = 0x10;
  * invalid positions — decode restores NaN there.  Beyond reference (which
  * hard-exits on NaN, check_nan_inf ebcc_codec.c:598-605). */
 constexpr uint8_t kFlagMasked = 0x20;
+/* Log-domain chunk (pointwise-relative mode 3): payloads encode log(x)
+ * under a max-error bound of log1p(eps) - kLogMargin; decode applies
+ * exp() as the final arithmetic step, guaranteeing |x̂-x| <= eps*|x| on
+ * every sample.  Beyond reference (its enum stops at range-relative). */
+constexpr uint8_t kFlagLogDomain = 0x40;
+/* Mirrors codec.py _LOG_MARGIN: f32 log/exp rounding on both sides, the
+ * log leg scaling with |log x| <= 89 for any finite positive float. */
+constexpr float kLogMargin = 1.3e-7f * (89.0f + 2.0f);
 constexpr size_t kDeltaRecordSize = 16;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
@@ -829,6 +837,11 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
               (rsp[(size_t)rr * wp + cc] * (drng / kResScale) + r.rmin);
     }
   }
+  if (h.flags & kFlagLogDomain) {
+    /* Pointwise-relative streams: exp() is the decoder's final arithmetic
+     * step (before the NaN restore, whose positions are exp-invariant). */
+    for (size_t i = 0; i < tot; ++i) (*out)[i] = std::exp((*out)[i]);
+  }
   if (masked) {
     /* Restore NaN at the masked positions (np.packbits MSB-first order). */
     const size_t nbytes = (tot + 7) / 8;
@@ -1442,9 +1455,40 @@ bool layout(const uint64_t dims[3], int *d0, int *hh, int *ww) {
   return true;
 }
 
-/* Dispatch one chunk to the temporal or intra encoder. */
+size_t encode_dispatch(const float *data, int d0, int hh, int ww,
+                       const etpu_config_t *config, uint8_t **out);
+
+/* Pointwise-relative (mode 3) wrapper: encode log(x) as MAX_ERROR at
+ * log1p(eps) - kLogMargin and set kFlagLogDomain (mirrors codec.py
+ * _log_transform_check).  Requires strictly positive finite data. */
+size_t encode_log_domain(const float *data, int d0, int hh, int ww,
+                         const etpu_config_t *config, uint8_t **out) {
+  const size_t tot = (size_t)d0 * hh * ww;
+  std::vector<float> y(tot);
+  for (size_t i = 0; i < tot; ++i) {
+    if (!(data[i] > 0.0f) || !std::isfinite(data[i])) {
+      log_err("pointwise-relative mode requires strictly positive data");
+      return 0;
+    }
+    y[i] = std::log(data[i]);
+  }
+  etpu_config_t sub = *config;
+  sub.residual_mode = 1;
+  sub.error = std::log1p(config->error) - kLogMargin;
+  if (!(sub.error > 0.0f)) {
+    log_err("pointwise-relative error too small to guarantee in float32");
+    return 0;
+  }
+  const size_t isz = encode_dispatch(y.data(), d0, hh, ww, &sub, out);
+  if (isz) (*out)[5] |= kFlagLogDomain;
+  return isz;
+}
+
+/* Dispatch one chunk to the log-domain, temporal, or intra encoder. */
 size_t encode_dispatch(const float *data, int d0, int hh, int ww,
                        const etpu_config_t *config, uint8_t **out) {
+  if (config->residual_mode == 3)
+    return encode_log_domain(data, d0, hh, ww, config, out);
   if (config->temporal && d0 > 1 && config->residual_mode != 0)
     return encode_frame_temporal(data, d0, hh, ww, config, out);
   return encode_frame(data, d0, hh, ww, config, out);
@@ -1516,6 +1560,7 @@ size_t encode_masked(const float *data, int d0, int hh, int ww,
  * feature.  Bump/add a sentinel when the ABI/format grows again. */
 extern "C" int etpu_has_temporal(void) { return 1; }
 extern "C" int etpu_has_mask(void) { return 1; }
+extern "C" int etpu_has_logdomain(void) { return 1; }
 
 size_t etpu_encode(const float *data, const etpu_config_t *config,
                    uint8_t **out) {

@@ -54,7 +54,7 @@ int populate_config(etpu_config_t *config, size_t cd_nelmts,
   config->dims[2] = width;
   config->base_cr = bits_to_float(cd_values[2]);
   config->residual_mode = (int32_t)cd_values[3];
-  if (config->residual_mode == 1 || config->residual_mode == 2) {
+  if (config->residual_mode >= 1 && config->residual_mode <= 3) {
     if (cd_nelmts < 5) {
       std::fprintf(stderr, "[etpu-h5z] error-bounded mode needs 5 values\n");
       return 0;

@@ -42,9 +42,14 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     laid out over the mesh, one jitted program encodes every shard in
     parallel, and the (host-side) stream assembly walks the gathered result.
 
-    Single-host semantics are identical to the unsharded path; multi-host
-    deployments call this per-process with ``jax.distributed`` initialized
-    and write per-host chunk subsets (see parallel/mesh.py notes).
+    Semantics match the unsharded path; byte-level output is identical in
+    practice on smooth data (pinned by tests) but NOT contractual — XLA
+    may compile ulp-different f32 arithmetic per sharding layout, and a
+    half-ulp straddle can flip a floor-quantized coefficient.  The
+    contract is the error bound, which the sharded program verifies with
+    its own arithmetic.  Multi-host deployments call this per-process with
+    ``jax.distributed`` initialized and write per-host chunk subsets (see
+    parallel/mesh.py notes).
     """
     opts = opts or EncodeOptions.from_env()
     if mesh is None:
@@ -66,6 +71,8 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     # before device_put — the device kernels would silently produce a
     # garbage stream.
     chunks, nan_masks = _codec._mask_fill_check(chunks, config.allow_nan)
+    chunk_cfg = config.per_chunk(chunk_dims)
+    chunks, chunk_cfg = _codec._log_transform_check(chunks, chunk_cfg)
 
     # Pad the batch to a multiple of the mesh size and shard the chunk axis.
     padded_n = mesh_lib.pad_batch_to_mesh(num_chunks, mesh)
@@ -74,8 +81,6 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
         chunks = np.concatenate([chunks, pad], axis=0)
     sharding = mesh_lib.batch_sharding(mesh)
     xb = jax.device_put(chunks, sharding)
-
-    chunk_cfg = config.per_chunk(chunk_dims)
 
     from ..config import RESIDUAL_NONE
     from ..core import entropy, stream
@@ -87,6 +92,7 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     streams = _codec._assemble_batch(
         out_np, chunk_cfg, opts, n_frames, h, w, backend, error_mode,
         num_chunks)
+    streams = _codec._set_log_flags(streams, chunk_cfg, config)
     streams = _codec._append_mask_sections(streams, nan_masks,
                                            config.zstd_level)
 

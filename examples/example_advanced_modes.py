@@ -75,6 +75,19 @@ def main():
           f"err {ok:.4f} <= {err}; stream {len(blob)} B")
     assert ok <= err
 
+    # --- pointwise-relative bound on a magnitude-spanning field ---
+    from ebcc_tpu import RESIDUAL_POINTWISE_RELATIVE_ERROR
+    rng = np.random.default_rng(0)
+    hum = np.exp(rng.uniform(-12, -2, (1, 256, 512))).astype(np.float32)
+    eps = 1e-2
+    pcfg = CodecConfig(dims=hum.shape, error=eps,
+                       residual_mode=RESIDUAL_POINTWISE_RELATIVE_ERROR)
+    pout = ebcc_tpu.decode(ebcc_tpu.encode(hum, pcfg))
+    rel = (np.abs(pout - hum) / hum).max()
+    print(f"pointwise-relative: field spans {hum.min():.1e}..{hum.max():.1e}, "
+          f"max |out/in - 1| = {rel:.4f} <= {eps}")
+    assert rel <= eps
+
     # --- both at once ---
     fstack = frames.copy()
     fstack[:, mask] = np.nan
