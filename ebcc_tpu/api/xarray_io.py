@@ -47,20 +47,29 @@ def _plugin_dir() -> Optional[str]:
     return native_mod.FILTER_DIR
 
 
-def _residual_opt(error: Optional[float], relative_error: Optional[float]
+def _residual_opt(error: Optional[float], relative_error: Optional[float],
+                  pointwise_relative_error: Optional[float] = None
                   ) -> Tuple[str, float]:
-    if (error is None) == (relative_error is None):
-        raise ValueError("pass exactly one of error= (absolute bound) or "
-                         "relative_error= (fraction of the value range)")
+    given = [v for v in (error, relative_error, pointwise_relative_error)
+             if v is not None]
+    if len(given) != 1:
+        raise ValueError(
+            "pass exactly one of error= (absolute bound), relative_error= "
+            "(fraction of the value range), or pointwise_relative_error= "
+            "(fraction of each value; strictly positive data)")
     if error is not None:
         return ("max_error_target", float(error))
-    return ("relative_error_target", float(relative_error))
+    if relative_error is not None:
+        return ("relative_error_target", float(relative_error))
+    return ("pointwise_relative_error_target",
+            float(pointwise_relative_error))
 
 
 def compress_dataarray(da, path: str, name: Optional[str] = None, *,
                        base_cr: float = 30.0,
                        error: Optional[float] = None,
                        relative_error: Optional[float] = None,
+                       pointwise_relative_error: Optional[float] = None,
                        allow_nan: bool = False,
                        temporal_chunk: int = 0,
                        mode: str = "w") -> None:
@@ -83,7 +92,8 @@ def compress_dataarray(da, path: str, name: Optional[str] = None, *,
     var = name or da.name or "data"
     filt = EBCC_Filter(base_cr=base_cr, height=data.shape[-2],
                        width=data.shape[-1],
-                       residual_opt=_residual_opt(error, relative_error),
+                       residual_opt=_residual_opt(error, relative_error,
+                                                  pointwise_relative_error),
                        data_dim=data.ndim, allow_nan=allow_nan,
                        temporal_chunk=temporal_chunk)
     pdir = _plugin_dir()
@@ -110,6 +120,7 @@ def compress_dataset(ds, path: str, *,
                      base_cr: float = 30.0,
                      error: Optional[float] = None,
                      relative_error: Optional[float] = None,
+                     pointwise_relative_error: Optional[float] = None,
                      allow_nan: bool = False,
                      temporal_chunk: int = 0) -> None:
     """Write every (selected) >=2-D float variable of an xarray Dataset
@@ -125,6 +136,7 @@ def compress_dataset(ds, path: str, *,
     for v in variables:
         compress_dataarray(ds[v], path, v, base_cr=base_cr, error=error,
                            relative_error=relative_error,
+                           pointwise_relative_error=pointwise_relative_error,
                            allow_nan=allow_nan,
                            temporal_chunk=temporal_chunk,
                            mode="w" if first else "a")
