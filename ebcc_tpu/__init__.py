@@ -26,6 +26,7 @@ from .config import (  # noqa: F401
     RES_NUM_PLANES,
     CodecConfig,
     EncodeOptions,
+    RESIDUAL_LOSSLESS,
     RESIDUAL_MAX_ERROR,
     RESIDUAL_NONE,
     RESIDUAL_POINTWISE_RELATIVE_ERROR,

@@ -85,6 +85,9 @@ def _compress_main(args) -> int:
     elif args.pointwise_relative_error is not None:
         mode, err = (RESIDUAL_POINTWISE_RELATIVE_ERROR,
                      args.pointwise_relative_error)
+    elif args.lossless:
+        from ..config import RESIDUAL_LOSSLESS
+        mode, err = RESIDUAL_LOSSLESS, 0.0
     else:
         mode, err = RESIDUAL_NONE, 0.0
     if args.temporal and mode == RESIDUAL_NONE:
@@ -151,6 +154,8 @@ def main(argv=None) -> int:
     cp.add_argument("--pointwise-relative-error", type=float, default=None,
                     help="bound |out-in| <= f*|in| on EVERY sample "
                          "(strictly positive data only)")
+    cp.add_argument("--lossless", action="store_true",
+                    help="bit-exact float32 round trip (NaN/Inf included)")
     cp.add_argument("--chunk-dims", type=int, nargs=3, default=None)
     cp.add_argument("--temporal", action="store_true",
                     help="closed-loop predictive coding along the chunk's "

@@ -47,10 +47,15 @@ _MODE_BY_NAME = {
     "none": cfg.RESIDUAL_NONE,
     "max_error_target": cfg.RESIDUAL_MAX_ERROR,
     "relative_error_target": cfg.RESIDUAL_RELATIVE_ERROR,
-    # TPU-build extension (the reference enum stops at relative):
-    # |x̂-x| <= err*|x| pointwise; strictly positive data only.
+    # TPU-build extensions (the reference enum stops at relative):
+    # |x̂-x| <= err*|x| pointwise (strictly positive data only), and
+    # bit-exact lossless (no error value).
     "pointwise_relative_error_target": cfg.RESIDUAL_POINTWISE_RELATIVE_ERROR,
+    "lossless": cfg.RESIDUAL_LOSSLESS,
 }
+
+# Modes that carry no error value in cd_values.
+_NO_ERROR_MODES = (cfg.RESIDUAL_NONE, cfg.RESIDUAL_LOSSLESS)
 
 # cd_values[5] flags word (TPU-build extension; absent = 0 keeps the
 # reference's 4/5-value layouts valid).
@@ -95,11 +100,11 @@ class EBCC_Filter(Mapping):
                 "'none', 'max_error_target' or 'relative_error_target'")
         mode = _MODE_BY_NAME[name]
         opts.append(mode)
-        if mode != cfg.RESIDUAL_NONE:
+        if mode not in _NO_ERROR_MODES:
             opts.append(float_to_uint32(float(val)))
         flags = 0
         if self.temporal_chunk > 1:
-            if mode == cfg.RESIDUAL_NONE:
+            if mode in _NO_ERROR_MODES:
                 raise ValueError(
                     "temporal_chunk requires an error-bounded residual_opt")
             if self.data_dim < 3:
@@ -173,10 +178,11 @@ def populate_config(cd_values, buf_size_bytes: int) -> CodecConfig:
             raise ValueError("error-bounded mode requires 5 cd_values")
         error = uint32_to_float(cd_values[4])
         nxt = 5
-    elif mode != cfg.RESIDUAL_NONE:
+    elif mode not in _NO_ERROR_MODES:
         raise ValueError(f"invalid residual mode {mode}")
     flags = cd_values[nxt] if len(cd_values) > nxt else 0
-    temporal = bool(flags & FLAGS_TEMPORAL) and n_frames > 1
+    temporal = (bool(flags & FLAGS_TEMPORAL) and n_frames > 1
+                and mode not in _NO_ERROR_MODES)
 
     return CodecConfig(dims=(n_frames, height, width), base_cr=base_cr,
                        residual_mode=mode, error=error, temporal=temporal,

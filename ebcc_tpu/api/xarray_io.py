@@ -48,15 +48,18 @@ def _plugin_dir() -> Optional[str]:
 
 
 def _residual_opt(error: Optional[float], relative_error: Optional[float],
-                  pointwise_relative_error: Optional[float] = None
-                  ) -> Tuple[str, float]:
+                  pointwise_relative_error: Optional[float] = None,
+                  lossless: bool = False) -> Tuple[str, float]:
     given = [v for v in (error, relative_error, pointwise_relative_error)
-             if v is not None]
+             if v is not None] + ([0] if lossless else [])
     if len(given) != 1:
         raise ValueError(
             "pass exactly one of error= (absolute bound), relative_error= "
-            "(fraction of the value range), or pointwise_relative_error= "
-            "(fraction of each value; strictly positive data)")
+            "(fraction of the value range), pointwise_relative_error= "
+            "(fraction of each value; strictly positive data), or "
+            "lossless=True (bit-exact)")
+    if lossless:
+        return ("lossless", 0)
     if error is not None:
         return ("max_error_target", float(error))
     if relative_error is not None:
@@ -70,6 +73,7 @@ def compress_dataarray(da, path: str, name: Optional[str] = None, *,
                        error: Optional[float] = None,
                        relative_error: Optional[float] = None,
                        pointwise_relative_error: Optional[float] = None,
+                       lossless: bool = False,
                        allow_nan: bool = False,
                        temporal_chunk: int = 0,
                        mode: str = "w") -> None:
@@ -93,7 +97,8 @@ def compress_dataarray(da, path: str, name: Optional[str] = None, *,
     filt = EBCC_Filter(base_cr=base_cr, height=data.shape[-2],
                        width=data.shape[-1],
                        residual_opt=_residual_opt(error, relative_error,
-                                                  pointwise_relative_error),
+                                                  pointwise_relative_error,
+                                                  lossless),
                        data_dim=data.ndim, allow_nan=allow_nan,
                        temporal_chunk=temporal_chunk)
     pdir = _plugin_dir()
@@ -121,6 +126,7 @@ def compress_dataset(ds, path: str, *,
                      error: Optional[float] = None,
                      relative_error: Optional[float] = None,
                      pointwise_relative_error: Optional[float] = None,
+                     lossless: bool = False,
                      allow_nan: bool = False,
                      temporal_chunk: int = 0) -> None:
     """Write every (selected) >=2-D float variable of an xarray Dataset
@@ -137,6 +143,7 @@ def compress_dataset(ds, path: str, *,
         compress_dataarray(ds[v], path, v, base_cr=base_cr, error=error,
                            relative_error=relative_error,
                            pointwise_relative_error=pointwise_relative_error,
+                           lossless=lossless,
                            allow_nan=allow_nan,
                            temporal_chunk=temporal_chunk,
                            mode="w" if first else "a")

@@ -882,6 +882,94 @@ def _apply_nan_masks_device(out, nan_masks):
     return _nan_where_program()(out, jax.device_put(packed))
 
 
+def _f32_to_ordered_u32(x: np.ndarray) -> np.ndarray:
+    """Order-preserving bijection float32 bits -> uint32 (negative floats
+    map below positives; every bit pattern, incl. NaN/Inf, round-trips)."""
+    b = x.reshape(-1).view(np.uint32)
+    return np.where(b & 0x80000000, ~b, b | 0x80000000).astype(np.uint32)
+
+
+def _ordered_u32_to_f32(u: np.ndarray) -> np.ndarray:
+    b = np.where(u & 0x80000000, u & 0x7FFFFFFF, ~u).astype(np.uint32)
+    return b.view(np.float32)
+
+
+def _lossless_encode_frames(x_batch: np.ndarray,
+                            config: CodecConfig) -> List[bytes]:
+    """Bit-exact coder (RESIDUAL_LOSSLESS): per chunk, map the float bits
+    to order-preserving uint32, 1-D wrapping-delta in row-major order,
+    entropy-code (the delta stream is where zstd finds the structure —
+    measured better than byte-shuffle variants on ERA5, docs/RESULTS.md).
+    NaN/Inf pass through bit-exactly; no finite check applies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    x_batch = np.ascontiguousarray(x_batch, dtype=np.float32)
+    b = x_batch.shape[0]
+    d0, h, w = x_batch.shape[1:]
+
+    def one(i):
+        u = _f32_to_ordered_u32(x_batch[i])
+        d = np.empty_like(u)
+        d[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=d[1:])  # uint32 wraparound
+        raw = d.tobytes()
+        ent_id = entropy.default_backend()
+        payload = entropy.compress(raw, ent_id, config.zstd_level)
+        if len(payload) >= len(raw):
+            payload, ent_id = raw, entropy.BACKEND_STORE
+        header = stream.FrameHeader(
+            flags=stream.FLAG_LOSSLESS, entropy=ent_id,
+            n_frames=d0, height=h, width=w,
+            minval=0.0, maxval=0.0, rmin=0.0, rmax=0.0,
+            base_levels=0, res_levels=0, base_nplanes=0, base_cut=0,
+            base_top=0, res_nplanes=0, res_cut=0, res_top=0,
+            base_comp_size=len(payload), res_comp_size=0)
+        return stream.pack_frame_stream(header, payload, b"")
+
+    if b <= 1:
+        return [one(i) for i in range(b)]
+    with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, b)) as p:
+        return list(p.map(one, range(b)))
+
+
+def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
+    """-> (N, d0, h, w) float32, bit-exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    h0 = headers[0]
+    n = len(streams)
+    sz = h0.n_frames * h0.height * h0.width
+
+    for hd in headers:
+        if (hd.height > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
+                or hd.width > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
+                or hd.n_frames > 1 << 20):
+            raise stream.StreamError("implausible ETPU header dimensions")
+        if (hd.n_frames, hd.height, hd.width) != (h0.n_frames, h0.height,
+                                                  h0.width):
+            raise stream.StreamError("inconsistent chunk stream shapes")
+
+    def one(i):
+        hd = headers[i]
+        payload = streams[i][stream.FRAME_HEADER_SIZE:
+                             stream.FRAME_HEADER_SIZE + hd.base_comp_size]
+        raw = entropy.decompress(payload, hd.entropy, sz * 4)
+        if len(raw) != sz * 4:
+            raise stream.StreamError("lossless payload size mismatch")
+        d = np.frombuffer(raw, np.uint32)
+        u = (np.cumsum(d, dtype=np.uint64) & 0xFFFFFFFF).astype(np.uint32)
+        return _ordered_u32_to_f32(u).reshape(
+            hd.n_frames, hd.height, hd.width)
+
+    if n <= 1:
+        parts = [one(i) for i in range(n)]
+    else:
+        with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1,
+                                                n)) as p:
+            parts = list(p.map(one, range(n)))
+    return np.stack(parts)
+
+
 # Float32 safety margin for the log-domain bound: the encoder's log
 # rounds within ~1 ulp of |log x| (an ABSOLUTE log-domain error scaling
 # with the magnitude, <= 89 for any finite positive f32) and the
@@ -1015,6 +1103,10 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     x_batch: (B, n_frames, h, w) float32 (numpy or device array).
     """
     is_np = isinstance(x_batch, np.ndarray)
+    if config.residual_mode == cfg.RESIDUAL_LOSSLESS:
+        xb = (np.asarray(jax.device_get(x_batch)) if not is_np
+              else x_batch)
+        return _lossless_encode_frames(xb, config)
     masks = None
     orig_config = config
     if is_np and not skip_finite_check:
@@ -1119,6 +1211,11 @@ def encode(data: np.ndarray, config: CodecConfig,
     n_frames, h, w = _layout(config.dims)
     x = data.reshape(1, n_frames, h, w)
     logger.info("%s", config.describe())
+    if config.residual_mode == cfg.RESIDUAL_LOSSLESS:
+        nm = _native_encoder(opts, config, n_frames)
+        if nm is not None:
+            return nm.native_encode(x, config)
+        return _lossless_encode_frames(x, config)[0]
     x, masks = _mask_fill_check(x, config.allow_nan)
     nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
@@ -1192,6 +1289,11 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    lossless_arr = _maybe_lossless_batch(streams)
+    if lossless_arr is not None:
+        n = lossless_arr.shape[0]
+        return (jax.device_put(lossless_arr), np.zeros(n, bool),
+                np.zeros(n, np.float32), None)
     headers, payloads, temporal_parts, nan_masks = _parse_streams(streams)
     h0 = headers[0]
     n = len(headers)
@@ -1535,8 +1637,24 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
     return _finish(out), const_mask, _chunk_minval, nan_masks
 
 
+def _maybe_lossless_batch(streams: List[bytes]):
+    """-> decoded (N, d0, h, w) array when the batch is lossless streams,
+    else None (cheap flags-byte peek; mixed batches are rejected)."""
+    if not streams or len(streams[0]) <= 5 or not (
+            streams[0][5] & stream.FLAG_LOSSLESS):
+        return None
+    headers = [stream.split_frame_stream(s)[0] for s in streams]
+    if not all(hd.lossless for hd in headers):
+        raise stream.StreamError("mixed lossless/lossy batch")
+    return _lossless_decode_streams(headers, streams)
+
+
 def _decode_streams(streams: List[bytes], sharding=None) -> np.ndarray:
-    """Host-resident decode: :func:`_decode_streams_device` + fetch."""
+    """Host-resident decode: :func:`_decode_streams_device` + fetch.
+    Lossless batches decode entirely on host (no device bounce)."""
+    arr = _maybe_lossless_batch(streams)
+    if arr is not None:
+        return arr
     out, const_mask, minval, nanm = _decode_streams_device(streams, sharding)
     transfer.count_down(out.nbytes)
     out = np.array(jax.device_get(out))  # copy: device_get can be read-only
@@ -1780,6 +1898,22 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
 
     chunk_cfg = config.per_chunk(chunk_dims)
 
+    if config.residual_mode == cfg.RESIDUAL_LOSSLESS:
+        nm = _native_encoder(opts, config, n_frames)
+        if nm is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = max(1, min(os.cpu_count() or 1, num_chunks))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                streams_out = list(pool.map(
+                    lambda c: nm.native_encode(c, chunk_cfg), chunks))
+        else:
+            streams_out = _lossless_encode_frames(chunks, chunk_cfg)
+        header = stream.ChunkedHeader(
+            dims=tuple(config.dims), chunk_dims=chunk_dims,
+            num_chunks=num_chunks, chunk_size=chunk_size)
+        return stream.pack_chunked(header, streams_out)
+
     chunks, masks = _mask_fill_check(chunks, config.allow_nan)
 
     nm = _native_encoder(opts, config, n_frames)
@@ -1971,7 +2105,12 @@ def _decode_chunk_subset(header, chunk_streams, counts, out_dims,
     """Decode a chunk-stream list laid out on a ``counts`` grid into an
     array of ``out_dims`` (the grid's coverage, clipped to the container's
     dims).  The pipeline overlaps parse/entropy-decode/upload of batch k+1
-    with the device work and output fetch of batch k."""
+    with the device work and output fetch of batch k.  Lossless chunks
+    decode entirely on host."""
+    arr = _maybe_lossless_batch(chunk_streams)
+    if arr is not None:
+        chunks = arr.reshape(len(chunk_streams), *header.chunk_dims)
+        return _scatter_chunks(chunks, out_dims, header.chunk_dims, counts)
     from concurrent.futures import ThreadPoolExecutor
 
     batches = [chunk_streams[s:s + max_batch]

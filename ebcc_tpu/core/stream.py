@@ -66,6 +66,12 @@ FLAG_MASKED = 0x20
 # NaN restore, whose positions are exp-invariant), which guarantees
 # |x̂ - x| <= eps * |x| on every sample.  No reference counterpart.
 FLAG_LOG_DOMAIN = 0x40
+# Lossless chunk (RESIDUAL_LOSSLESS): the base payload is the chunk's
+# float32 bits, order-preserving-mapped to uint32, 1-D wrapping-delta
+# coded in row-major order, entropy-coded (header entropy byte; zstd or
+# store).  No residual payload; min/max fields 0; NaN/Inf round-trip
+# bit-exactly.  No reference counterpart.  See docs/FORMAT.md.
+FLAG_LOSSLESS = 0x80
 
 # magic, version, flags, entropy (base layer), res_entropy,
 # n_frames, height, width, reserved2,
@@ -133,6 +139,10 @@ class FrameHeader:
     @property
     def log_domain(self) -> bool:
         return bool(self.flags & FLAG_LOG_DOMAIN)
+
+    @property
+    def lossless(self) -> bool:
+        return bool(self.flags & FLAG_LOSSLESS)
 
     def pack(self) -> bytes:
         return struct.pack(

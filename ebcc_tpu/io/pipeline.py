@@ -22,7 +22,7 @@ from typing import IO, Optional
 
 import numpy as np
 
-from ..config import CodecConfig, EncodeOptions
+from ..config import RESIDUAL_LOSSLESS, CodecConfig, EncodeOptions
 from ..core import codec as _codec
 from ..core import stream
 from ..utils.logging import logger
@@ -75,17 +75,22 @@ def compress_stream(data, config: CodecConfig, out: IO[bytes],
                 fut = reader.submit(_slab_chunks, data, config, chunk_dims,
                                     counts, i0 + 1)
             batch = chunks.reshape(-1, n_frames, h, w)
-            batch, nan_masks = _codec._mask_fill_check(batch,
-                                                       config.allow_nan)
-            batch, slab_cfg = _codec._log_transform_check(batch, chunk_cfg)
-            slices = [batch[s:s + max_batch]
-                      for s in range(0, len(batch), max_batch)]
-            counts_per = [s.shape[0] for s in slices]
-            streams = _codec._pipeline_encode_slices(
-                slices, counts_per, slab_cfg, opts, n_frames, h, w)
-            streams = _codec._set_log_flags(streams, slab_cfg, chunk_cfg)
-            streams = _codec._append_mask_sections(streams, nan_masks,
-                                                   config.zstd_level)
+            if config.residual_mode == RESIDUAL_LOSSLESS:
+                streams = _codec._lossless_encode_frames(batch, chunk_cfg)
+            else:
+                batch, nan_masks = _codec._mask_fill_check(
+                    batch, config.allow_nan)
+                batch, slab_cfg = _codec._log_transform_check(batch,
+                                                              chunk_cfg)
+                slices = [batch[s:s + max_batch]
+                          for s in range(0, len(batch), max_batch)]
+                counts_per = [s.shape[0] for s in slices]
+                streams = _codec._pipeline_encode_slices(
+                    slices, counts_per, slab_cfg, opts, n_frames, h, w)
+                streams = _codec._set_log_flags(streams, slab_cfg,
+                                                chunk_cfg)
+                streams = _codec._append_mask_sections(
+                    streams, nan_masks, config.zstd_level)
             for s in streams:
                 written += out.write(struct.pack("<Q", len(s)))
                 written += out.write(s)

@@ -98,11 +98,11 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
-    if not hasattr(lib, "etpu_has_logdomain"):  # newest symbol
+    if not hasattr(lib, "etpu_has_lossless"):  # newest symbol
         if Path(p).parent == BUILD_DIR and auto_build:
             p = build(force=True)
             lib = ctypes.CDLL(str(p))
-        if not hasattr(lib, "etpu_has_logdomain"):
+        if not hasattr(lib, "etpu_has_lossless"):
             raise RuntimeError(
                 f"native library at {p} is too old for this package "
                 "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "

@@ -61,6 +61,10 @@ constexpr uint8_t kFlagMasked = 0x20;
  * exp() as the final arithmetic step, guaranteeing |x̂-x| <= eps*|x| on
  * every sample.  Beyond reference (its enum stops at range-relative). */
 constexpr uint8_t kFlagLogDomain = 0x40;
+/* Lossless chunk (mode 4): base payload = order-preserving-mapped f32
+ * bits, 1-D wrapping-delta coded, entropy-coded; bit-exact round trip
+ * (NaN/Inf included).  Beyond reference. */
+constexpr uint8_t kFlagLossless = 0x80;
 /* Mirrors codec.py _LOG_MARGIN: f32 log/exp rounding on both sides, the
  * log leg scaling with |log x| <= 89 for any finite positive float. */
 constexpr float kLogMargin = 1.3e-7f * (89.0f + 2.0f);
@@ -761,6 +765,38 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
   }
   *out = (float *)std::malloc(tot * sizeof(float));
   if (!*out) return 0;
+  if (h.flags & kFlagLossless) {
+    /* Bit-exact decode: entropy-decode the delta stream, wrapping cumsum,
+     * inverse order-preserving map.  Returns directly (lossless never
+     * combines with the other flags). */
+    std::vector<uint8_t> raw(tot * 4);
+    bool ok;
+    if (h.entropy == kBackendZstd) {
+      ok = zstd_unpack(data + kHeaderSize, h.base_comp, raw.data(),
+                       raw.size());
+    } else if (h.entropy == 0) {
+      ok = h.base_comp == raw.size();
+      if (ok) std::memcpy(raw.data(), data + kHeaderSize, raw.size());
+    } else {
+      ok = false;
+    }
+    if (!ok) {
+      log_err("corrupt lossless payload");
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
+    uint32_t acc = 0;
+    for (size_t i = 0; i < tot; ++i) {
+      uint32_t dv;
+      std::memcpy(&dv, raw.data() + 4 * i, 4);
+      acc += dv; /* wraparound cumsum */
+      const uint32_t b =
+          (acc & 0x80000000u) ? (acc & 0x7FFFFFFFu) : ~acc;
+      std::memcpy(*out + i, &b, 4);
+    }
+    return tot;
+  }
   const int mult = 1 << std::max(h.base_levels, h.res_levels);
   const int hp = padded(h.height, mult), wp = padded(h.width, mult);
   /* Temporal: the base/res layers cover FRAME 0 ONLY. */
@@ -1484,9 +1520,53 @@ size_t encode_log_domain(const float *data, int d0, int hh, int ww,
   return isz;
 }
 
-/* Dispatch one chunk to the log-domain, temporal, or intra encoder. */
+/* Bit-exact lossless coder (mode 4; mirrors codec._lossless_encode_frames):
+ * order-preserving f32->u32 map, wrapping 1-D delta, zstd-or-store. */
+size_t encode_lossless(const float *data, int d0, int hh, int ww,
+                       const etpu_config_t *config, uint8_t **out) {
+  const size_t tot = (size_t)d0 * hh * ww;
+  std::vector<uint32_t> d(tot);
+  uint32_t prev = 0;
+  for (size_t i = 0; i < tot; ++i) {
+    uint32_t b;
+    std::memcpy(&b, data + i, 4);
+    const uint32_t u = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+    d[i] = u - prev; /* uint32 wraparound; i==0 stores u itself */
+    prev = u;
+  }
+  const uint8_t *raw = reinterpret_cast<const uint8_t *>(d.data());
+  const size_t rawn = tot * 4;
+  std::vector<uint8_t> comp;
+  uint8_t ent = (uint8_t)kBackendZstd;
+  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  if (!zstd_pack(raw, rawn, level, &comp) || comp.size() >= rawn) {
+    comp.assign(raw, raw + rawn);
+    ent = 0; /* store */
+  }
+  FrameHeader h;
+  h.flags = kFlagLossless;
+  h.entropy = ent;
+  h.n_frames = (uint32_t)d0;
+  h.height = (uint32_t)hh;
+  h.width = (uint32_t)ww;
+  h.base_levels = h.res_levels = 0;
+  h.base_nplanes = h.res_nplanes = 0;
+  h.base_comp = comp.size();
+  std::vector<uint8_t> blob;
+  pack_header(h, blob);
+  blob.insert(blob.end(), comp.begin(), comp.end());
+  *out = (uint8_t *)std::malloc(blob.size());
+  if (!*out) return 0;
+  std::memcpy(*out, blob.data(), blob.size());
+  return blob.size();
+}
+
+/* Dispatch one chunk to the lossless, log-domain, temporal, or intra
+ * encoder. */
 size_t encode_dispatch(const float *data, int d0, int hh, int ww,
                        const etpu_config_t *config, uint8_t **out) {
+  if (config->residual_mode == 4)
+    return encode_lossless(data, d0, hh, ww, config, out);
   if (config->residual_mode == 3)
     return encode_log_domain(data, d0, hh, ww, config, out);
   if (config->temporal && d0 > 1 && config->residual_mode != 0)
@@ -1561,6 +1641,7 @@ size_t encode_masked(const float *data, int d0, int hh, int ww,
 extern "C" int etpu_has_temporal(void) { return 1; }
 extern "C" int etpu_has_mask(void) { return 1; }
 extern "C" int etpu_has_logdomain(void) { return 1; }
+extern "C" int etpu_has_lossless(void) { return 1; }
 
 size_t etpu_encode(const float *data, const etpu_config_t *config,
                    uint8_t **out) {
@@ -1569,7 +1650,9 @@ size_t etpu_encode(const float *data, const etpu_config_t *config,
     log_err("invalid dims");
     return 0;
   }
-  if (config->allow_nan) {
+  /* Lossless round-trips every bit pattern (NaN included) — the masked
+   * wrapper must not fill them. */
+  if (config->allow_nan && config->residual_mode != 4) {
     const size_t tot = (size_t)d0 * hh * ww;
     for (size_t i = 0; i < tot; ++i)
       if (std::isnan(data[i]))

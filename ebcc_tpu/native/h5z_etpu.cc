@@ -60,18 +60,21 @@ int populate_config(etpu_config_t *config, size_t cd_nelmts,
       return 0;
     }
     config->error = bits_to_float(cd_values[4]);
-  } else if (config->residual_mode != 0) {
+  } else if (config->residual_mode != 0 && config->residual_mode != 4) {
     std::fprintf(stderr, "[etpu-h5z] invalid residual mode %d\n",
                  config->residual_mode);
     return 0;
   }
   /* Optional flags word after the mode/error values (TPU-build extension,
    * mirrors api/filter_wrapper.py): bit0 = temporal predictive coding,
-   * bit1 = allow_nan (mask NaN samples instead of failing). */
-  const size_t nxt = (config->residual_mode != 0) ? 5 : 4;
+   * bit1 = allow_nan (mask NaN samples instead of failing).  Modes 0
+   * (rate) and 4 (lossless) carry no error value. */
+  const int err_modes = (config->residual_mode >= 1 &&
+                         config->residual_mode <= 3);
+  const size_t nxt = err_modes ? 5 : 4;
   if (cd_nelmts > nxt) {
     const unsigned int fl = cd_values[nxt];
-    if ((fl & 0x1u) && config->residual_mode != 0 && config->dims[0] > 1)
+    if ((fl & 0x1u) && err_modes && config->dims[0] > 1)
       config->temporal = 1;
     if (fl & 0x2u) config->allow_nan = 1;
   }

@@ -70,8 +70,22 @@ def encode_chunked_sharded(data: np.ndarray, config: CodecConfig,
     # hard-exits): NaN/Inf must raise (or, with allow_nan, fill+mask) here,
     # before device_put — the device kernels would silently produce a
     # garbage stream.
-    chunks, nan_masks = _codec._mask_fill_check(chunks, config.allow_nan)
     chunk_cfg = config.per_chunk(chunk_dims)
+    from ..config import RESIDUAL_LOSSLESS
+
+    if config.residual_mode == RESIDUAL_LOSSLESS:
+        # No device program to shard: the lossless coder is host-side
+        # (thread-parallel over chunks) and the container matches
+        # encode_chunked exactly.
+        from ..core import stream as _stream
+
+        streams = _codec._lossless_encode_frames(chunks, chunk_cfg)
+        header = _stream.ChunkedHeader(
+            dims=tuple(config.dims), chunk_dims=chunk_dims,
+            num_chunks=num_chunks, chunk_size=int(np.prod(chunk_dims)))
+        return _stream.pack_chunked(header, streams)
+
+    chunks, nan_masks = _codec._mask_fill_check(chunks, config.allow_nan)
     chunks, chunk_cfg = _codec._log_transform_check(chunks, chunk_cfg)
 
     # Pad the batch to a multiple of the mesh size and shard the chunk axis.

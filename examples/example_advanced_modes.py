@@ -88,6 +88,17 @@ def main():
           f"max |out/in - 1| = {rel:.4f} <= {eps}")
     assert rel <= eps
 
+    # --- lossless: bit-exact round trip (NaN/Inf included) ---
+    from ebcc_tpu import RESIDUAL_LOSSLESS
+    exact = frame[None].copy()
+    exact[0, 0, 0] = np.nan
+    lcfg = CodecConfig(dims=exact.shape, residual_mode=RESIDUAL_LOSSLESS)
+    lblob = ebcc_tpu.encode(exact, lcfg)
+    lout = ebcc_tpu.decode(lblob)
+    assert np.array_equal(lout.view(np.uint32), exact.view(np.uint32))
+    print(f"lossless: bit-exact (incl. the NaN), "
+          f"CR {exact.nbytes / len(lblob):.2f}")
+
     # --- both at once ---
     fstack = frames.copy()
     fstack[:, mask] = np.nan
