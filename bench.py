@@ -351,6 +351,31 @@ def _device_main():
     except Exception as e:
         print("temporal extra unavailable: %r" % (e,), file=sys.stderr)
 
+    # Lossless mode (bit-exact, host coder): ratio + throughput on the
+    # same frames — the archival what-if alongside the lossy headline.
+    lossless_cr = None
+    lossless_pts = None
+    try:
+        if os.environ.get("EBCC_BENCH_LOSSLESS", "1") != "1":
+            raise ValueError("lossless extra disabled")
+        from ebcc_tpu import RESIDUAL_LOSSLESS
+        ln = min(8, N_FRAMES)
+        ldata = np.ascontiguousarray(data[:ln])
+        lcfg = CodecConfig(dims=ldata.shape,
+                           residual_mode=RESIDUAL_LOSSLESS,
+                           chunk_dims=(1, H, W),
+                           zstd_level=config.zstd_level)
+        lblob = ebcc_tpu.encode_chunked(ldata, lcfg)  # warm
+        lt0 = time.perf_counter()
+        lblob = ebcc_tpu.encode_chunked(ldata, lcfg)
+        lout = ebcc_tpu.decode_chunked(lblob)
+        dt = time.perf_counter() - lt0
+        assert np.array_equal(lout.view(np.uint32), ldata.view(np.uint32))
+        lossless_cr = ldata.nbytes / len(lblob)
+        lossless_pts = ldata.size / dt
+    except Exception as e:
+        print("lossless extra unavailable: %r" % (e,), file=sys.stderr)
+
     # Serial native C++ codec on one frame: a MEASURED on-this-machine
     # stand-in for the reference's serial C codec (same algorithm family,
     # same serial per-chunk shape; the reference itself cannot be built
@@ -406,6 +431,10 @@ def _device_main():
         "link_down_mbps": round(down, 1),
         "temporal_compression_ratio": round(temporal_cr, 2)
         if temporal_cr else None,
+        "lossless_compression_ratio": round(lossless_cr, 2)
+        if lossless_cr else None,
+        "lossless_roundtrip_pts_per_s": round(lossless_pts, 1)
+        if lossless_pts else None,
         "temporal_intra_compression_ratio": round(temporal_intra_cr, 2)
         if temporal_intra_cr else None,
         "native_serial_pts_per_s": round(native_pts, 1) if native_pts else None,
