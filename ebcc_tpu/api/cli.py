@@ -90,7 +90,9 @@ def _compress_main(args) -> int:
         mode, err = RESIDUAL_LOSSLESS, 0.0
     else:
         mode, err = RESIDUAL_NONE, 0.0
-    if args.temporal and mode == RESIDUAL_NONE:
+    if args.temporal and mode not in (RESIDUAL_MAX_ERROR,
+                                      RESIDUAL_RELATIVE_ERROR,
+                                      RESIDUAL_POINTWISE_RELATIVE_ERROR):
         print("--temporal requires an error-bounded mode", file=sys.stderr)
         return 2
     config = CodecConfig(dims=data.shape, base_cr=args.base_cr,
@@ -122,10 +124,11 @@ def _decompress_main(args) -> int:
                              args.region.split(",")))
             if len(region) != 3:
                 raise ValueError
-        except ValueError:
-            print("--region must be t0:t1,y0:y1,x0:x1", file=sys.stderr)
+            out = decode_chunked_region(blob, region)
+        except ValueError as e:
+            print(f"--region must be t0:t1,y0:y1,x0:x1 within the "
+                  f"container dims ({e})", file=sys.stderr)
             return 2
-        out = decode_chunked_region(blob, region)
     else:
         out = decode_chunked(blob)
     np.save(args.output, out)

@@ -97,7 +97,7 @@ class EBCC_Filter(Mapping):
         if name not in _MODE_BY_NAME:
             raise ValueError(
                 f"Unknown residual_type {name!r}, has to be one of "
-                "'none', 'max_error_target' or 'relative_error_target'")
+                + ", ".join(repr(k) for k in _MODE_BY_NAME))
         mode = _MODE_BY_NAME[name]
         opts.append(mode)
         if mode not in _NO_ERROR_MODES:

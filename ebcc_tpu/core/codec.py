@@ -392,18 +392,31 @@ def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
     t_cut = np.asarray(res.t_cut)
     t_rmin = np.asarray(res.t_rmin, np.float32)
     t_rmax = np.asarray(res.t_rmax, np.float32)
-    records = []
-    dpayloads = []
-    for t in range(1, n_frames):
+
+    def delta_one(t):
+        # Per-frame payload build + entropy coding; zstd and the CAB coder
+        # release the GIL, so the pool parallelizes the recommended
+        # single-multi-frame-chunk configuration too (the chunk-level pool
+        # in _assemble_batch has nothing to parallelize there).
         cut_t = int(t_cut[t - 1])
         payload, top_t, kept_t = build_layer_payload(
             res_full[t:t + 1], cut_t, cut_t, cfg.DELTA_NUM_PLANES)
         comp_t, be_t = _entropy_encode(payload, backend, level,
                                        res_meta(kept_t))
-        records.append(stream.DeltaRecord(
+        return (stream.DeltaRecord(
             rmin=float(t_rmin[t - 1]), rmax=float(t_rmax[t - 1]),
-            cut=cut_t, top=top_t, entropy=be_t, comp_size=len(comp_t)))
-        dpayloads.append(comp_t)
+            cut=cut_t, top=top_t, entropy=be_t, comp_size=len(comp_t)),
+            comp_t)
+
+    if n_frames <= 2:
+        parts = [delta_one(t) for t in range(1, n_frames)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, n_frames - 1)) as pool:
+            parts = list(pool.map(delta_one, range(1, n_frames)))
+    records = [p[0] for p in parts]
+    dpayloads = [p[1] for p in parts]
 
     flags = stream.FLAG_TEMPORAL
     if use_residual:
@@ -808,7 +821,15 @@ def _mask_fill_check(x_batch: np.ndarray, allow_nan: bool):
         raise ValueError("Inf found in data")
     cnt = (~m).sum(axis=(2, 3))
     s = np.where(m, 0.0, x_batch).sum(axis=(2, 3), dtype=np.float64)
-    fill = np.divide(s, np.maximum(cnt, 1)).astype(np.float32)
+    fill = np.divide(s, np.maximum(cnt, 1))
+    # Frames with no valid sample fall back to the CHUNK's valid mean,
+    # then to 1.0 (any fill is within-bound for a fully masked frame;
+    # a positive in-range fill keeps the relative-range and log-domain
+    # paths honest — a 0.0 fill inflated the REL range and broke the
+    # pointwise mode's positivity on valid input).
+    ccnt = cnt.sum(axis=1)
+    cfill = np.where(ccnt > 0, s.sum(axis=1) / np.maximum(ccnt, 1), 1.0)
+    fill = np.where(cnt > 0, fill, cfill[:, None]).astype(np.float32)
     return np.where(m, fill[:, :, None, None], x_batch), m
 
 
@@ -1748,8 +1769,12 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
         return streams, _apply_nan_masks_device(out, nanm)
 
     orig_config = config
+    masks = None
+    if isinstance(x_dev, np.ndarray):
+        x_dev, masks = _mask_fill_check(x_dev, config.allow_nan)
     x_dev, config = _log_transform_check(x_dev, config)
-    slices = [x_dev[s:s + max_batch] for s in range(0, b, max_batch)]
+    starts = list(range(0, b, max_batch))
+    slices = [x_dev[s:s + max_batch] for s in starts]
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
     backend = entropy.backend_id(config)
 
@@ -1770,6 +1795,10 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
             streams = _assemble_batch(out_np, config, opts, n_frames, h, w,
                                       backend, error_mode, sl.shape[0])
             streams = _set_log_flags(streams, config, orig_config)
+            if masks is not None:
+                s0 = starts[i]
+                streams = _append_mask_sections(
+                    streams, masks[s0:s0 + sl.shape[0]], config.zstd_level)
             streams_out.extend(streams)
             dec_futs.append(decoder.submit(_decode_streams_device, streams))
         outs = [_apply_nan_masks_device(f.result()[0], f.result()[3])

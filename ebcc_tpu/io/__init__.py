@@ -5,4 +5,5 @@ from .pipeline import (  # noqa: F401
     compress_hdf5,
     compress_stream,
     decompress_stream,
+    repair_chunked_file,
 )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import IO, Optional
 
+import os
+
 import numpy as np
 
 from ..config import RESIDUAL_LOSSLESS, CodecConfig, EncodeOptions
@@ -189,7 +191,15 @@ def append_chunked_file(path: str, data, config: CodecConfig,
     """In-place file append: new chunk records are written at the end and
     only the fixed 80-byte header is rewritten — O(new data), not
     O(container).  Same contract as :func:`append_chunked`.  Returns bytes
-    appended."""
+    appended.
+
+    Crash posture: the header is rewritten LAST, so until that final
+    80-byte write lands the file still reads as the OLD archive plus
+    trailing bytes.  A write failure (disk full, I/O error) truncates
+    back to the original size, restoring the old archive exactly; a hard
+    kill between the record writes and the header write leaves trailing
+    bytes that every reader rejects loudly — :func:`repair_chunked_file`
+    truncates them away."""
     import dataclasses
     import struct
 
@@ -203,11 +213,19 @@ def append_chunked_file(path: str, data, config: CodecConfig,
 
         _, new_streams = stream.iter_chunked(
             encode_chunked(data, sub_cfg, opts))
-        f.seek(0, 2)
+        old_size = f.seek(0, 2)
         written = 0
-        for s in new_streams:
-            written += f.write(struct.pack("<Q", len(s)))
-            written += f.write(s)
+        try:
+            for s in new_streams:
+                written += f.write(struct.pack("<Q", len(s)))
+                written += f.write(s)
+            f.flush()
+            os.fsync(f.fileno())
+        except Exception:
+            # restore the old archive exactly (the header still says the
+            # old chunk count, so only the trailing bytes must go)
+            f.truncate(old_size)
+            raise
         new_header = stream.ChunkedHeader(
             dims=(header.dims[0] + data.shape[0], *header.dims[1:]),
             chunk_dims=tuple(header.chunk_dims),
@@ -216,3 +234,29 @@ def append_chunked_file(path: str, data, config: CodecConfig,
         f.seek(0)
         f.write(new_header.pack())
     return written
+
+
+def repair_chunked_file(path: str) -> int:
+    """Recover an archive whose append was killed mid-write: walk the
+    records the HEADER declares and truncate anything after them.
+    Returns bytes removed (0 when the file was already consistent)."""
+    import struct
+
+    with open(path, "r+b") as f:
+        header = stream.ChunkedHeader.unpack(
+            f.read(stream.CHUNKED_HEADER_SIZE))
+        size = f.seek(0, 2)
+        off = stream.CHUNKED_HEADER_SIZE
+        for i in range(header.num_chunks):
+            f.seek(off)
+            raw = f.read(8)
+            if len(raw) < 8:
+                raise stream.StreamError(f"missing chunk {i} size")
+            (csz,) = struct.unpack("<Q", raw)
+            if off + 8 + csz > size:
+                raise stream.StreamError(f"truncated chunk {i} payload")
+            off += 8 + csz
+        removed = size - off
+        if removed:
+            f.truncate(off)
+    return removed

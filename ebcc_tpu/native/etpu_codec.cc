@@ -1586,6 +1586,17 @@ size_t encode_masked(const float *data, int d0, int hh, int ww,
   const size_t tot = (size_t)d0 * fsz;
   std::vector<float> filled(data, data + tot);
   std::vector<uint8_t> bitmap((tot + 7) / 8, 0);
+  /* Chunk-level valid mean: the fallback fill for fully masked frames
+   * (mirrors codec._mask_fill_check — a 0.0 fill would inflate the
+   * relative range and break the pointwise mode's positivity). */
+  double cs = 0;
+  size_t ccnt = 0;
+  for (size_t i = 0; i < tot; ++i)
+    if (!std::isnan(data[i])) {
+      cs += data[i];
+      ++ccnt;
+    }
+  const float chunk_fill = ccnt ? (float)(cs / (double)ccnt) : 1.0f;
   for (int f = 0; f < d0; ++f) {
     const float *src = data + (size_t)f * fsz;
     double s = 0;
@@ -1595,7 +1606,7 @@ size_t encode_masked(const float *data, int d0, int hh, int ww,
         s += src[i];
         ++cnt;
       }
-    const float fill = cnt ? (float)(s / (double)cnt) : 0.0f;
+    const float fill = cnt ? (float)(s / (double)cnt) : chunk_fill;
     float *dst = filled.data() + (size_t)f * fsz;
     for (size_t i = 0; i < fsz; ++i)
       if (std::isnan(src[i])) {

@@ -162,6 +162,20 @@ class TestAppend:
         with pytest.raises(ValueError):
             append_chunked(blob, data[:2], cfg)
 
+    def test_repair_after_interrupted_append(self, container, tmp_path):
+        """A killed append leaves the old header + trailing bytes (every
+        reader rejects loudly); repair_chunked_file restores the old
+        archive exactly."""
+        from ebcc_tpu.io import repair_chunked_file
+        blob, data, cfg = container
+        p = tmp_path / "torn.etpk"
+        p.write_bytes(blob + b"\x11" * 137)  # simulate the torn tail
+        with pytest.raises(stream.StreamError):
+            decode_chunked(p.read_bytes())
+        assert repair_chunked_file(str(p)) == 137
+        assert p.read_bytes() == blob
+        assert repair_chunked_file(str(p)) == 0  # idempotent
+
     def test_repeated_appends(self, container, tmp_path):
         blob, data, cfg = container
         p = tmp_path / "arc3.etpk"

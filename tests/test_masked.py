@@ -106,6 +106,32 @@ class TestMaskedRoundTrip:
         out = decode(blob)
         assert np.isnan(out).all()
 
+    def test_all_nan_frame_fills_with_chunk_mean(self, coast):
+        """A fully masked frame inside a live chunk must fill with the
+        CHUNK's valid mean, not 0.0 — a 0.0 fill inflated the relative
+        range (and broke the pointwise mode's positivity on valid input)."""
+        crop, _ = coast
+        data = np.stack([crop, np.full_like(crop, np.nan)])
+        cfg = CodecConfig(dims=data.shape,
+                          residual_mode=RESIDUAL_RELATIVE_ERROR,
+                          error=1e-3, allow_nan=True)
+        out = decode(encode(data, cfg))
+        assert np.isnan(out[1]).all()
+        rng = float(crop.max() - crop.min())  # the VALID range
+        assert np.abs(out[0] - crop).max() <= 1e-3 * rng
+
+    def test_all_nan_frame_composes_with_pointwise(self, coast):
+        from ebcc_tpu.config import RESIDUAL_POINTWISE_RELATIVE_ERROR
+        crop, _ = coast
+        pos = np.abs(crop) + 1.0
+        data = np.stack([pos, np.full_like(pos, np.nan)])
+        cfg = CodecConfig(dims=data.shape,
+                          residual_mode=RESIDUAL_POINTWISE_RELATIVE_ERROR,
+                          error=1e-2, allow_nan=True)
+        out = decode(encode(data, cfg))
+        assert np.isnan(out[1]).all()
+        assert (np.abs(out[0] - pos) / pos).max() <= 1e-2
+
     def test_per_frame_varying_mask(self, coast):
         """The bitmap covers every frame independently."""
         crop, mask = coast
@@ -222,6 +248,23 @@ class TestMaskedChunked:
                        for s in streams)
             out = decode(streams[0])
             assert np.isnan(out[0][mask]).all()
+
+    def test_roundtrip_frames_device_pipelined(self, coast):
+        """The pipelined (max_batch) roundtrip must mask numpy NaN input
+        exactly like the single-batch branch (regression: it skipped the
+        fill and produced unmasked garbage)."""
+        from ebcc_tpu.core import codec as codec_mod
+        crop, mask = coast
+        batch = np.stack([crop[None]] * 4).copy()
+        batch[:, 0][:, mask] = np.nan
+        cfg = _masked_cfg((1, *crop.shape))
+        streams, dec = codec_mod.roundtrip_frames_device(batch, cfg,
+                                                         max_batch=2)
+        assert all(stream.split_frame_stream(s)[0].masked for s in streams)
+        out = np.asarray(dec)
+        assert np.isnan(out[:, 0][:, mask]).all()
+        assert np.abs(out[:, 0][:, ~mask]
+                      - crop[~mask]).max() <= 0.1
 
     def test_device_resident_decode_restores_nan(self, coast):
         """decode_frames_device applies the mask ON DEVICE."""
