@@ -1704,7 +1704,9 @@ def encode_frames_device(x_dev, config: CodecConfig,
     of slice k)."""
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
-    if max_batch is None or b <= max_batch:
+    # Lossless has no device work to pipeline — always the direct branch.
+    if (max_batch is None or b <= max_batch
+            or config.residual_mode == cfg.RESIDUAL_LOSSLESS):
         return _encode_chunk_batch(x_dev, config, opts)
     masks = None
     orig_config = config
@@ -1763,7 +1765,9 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
 
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
-    if max_batch is None or b <= max_batch:
+    # Lossless has no device work to pipeline — always the direct branch.
+    if (max_batch is None or b <= max_batch
+            or config.residual_mode == cfg.RESIDUAL_LOSSLESS):
         streams = _encode_chunk_batch(x_dev, config, opts)
         out, _, _, nanm = _decode_streams_device(streams)
         return streams, _apply_nan_masks_device(out, nanm)

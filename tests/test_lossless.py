@@ -134,6 +134,12 @@ class TestLosslessContainer:
         streams = codec_mod.encode_frames_device(x_dev, cfg)
         out = np.asarray(codec_mod.decode_frames_device(streams))
         assert _bits_equal(out, finite.reshape(2, 2, 128, 256))
+        # the pipelined split (max_batch) must route lossless through the
+        # host coder too, not the device encode pipeline
+        s2 = codec_mod.encode_frames_device(x_dev, cfg, max_batch=1)
+        assert s2 == streams
+        _, dec = codec_mod.roundtrip_frames_device(x_dev, cfg, max_batch=1)
+        assert _bits_equal(np.asarray(dec), finite.reshape(2, 2, 128, 256))
 
 
 @pytest.fixture(scope="module")
