@@ -31,6 +31,12 @@ def _add_spec_args(p):
                    help="max error target")
     p.add_argument("-r", "--relative_error_target", default=None, type=float,
                    help="relative error target")
+    p.add_argument("-p", "--pointwise_relative_error_target", default=None,
+                   type=float,
+                   help="pointwise relative error target (TPU-build "
+                        "extension; strictly positive data)")
+    p.add_argument("--lossless", action="store_true",
+                   help="bit-exact spec (TPU-build extension)")
     p.add_argument("--help-cdo", action="store_true", help="print CDO help")
 
 
@@ -40,6 +46,11 @@ def _spec_main(args) -> int:
     elif args.relative_error_target:
         residual_opt = ("relative_error_target",
                         float(args.relative_error_target))
+    elif args.pointwise_relative_error_target:
+        residual_opt = ("pointwise_relative_error_target",
+                        float(args.pointwise_relative_error_target))
+    elif args.lossless:
+        residual_opt = ("lossless", 0)
     else:
         print("Using default settings: relative error target of 0.01",
               file=sys.stderr)
