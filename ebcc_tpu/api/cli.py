@@ -46,7 +46,7 @@ def _spec_main(args) -> int:
     elif args.relative_error_target:
         residual_opt = ("relative_error_target",
                         float(args.relative_error_target))
-    elif args.pointwise_relative_error_target:
+    elif args.pointwise_relative_error_target is not None:
         residual_opt = ("pointwise_relative_error_target",
                         float(args.pointwise_relative_error_target))
     elif args.lossless:
@@ -128,6 +128,7 @@ def _decompress_main(args) -> int:
     with open(args.input, "rb") as f:
         blob = f.read()
     if args.region:
+        from ..core import stream as _stream
         try:
             region = tuple(
                 (int(a), int(b))
@@ -136,6 +137,8 @@ def _decompress_main(args) -> int:
             if len(region) != 3:
                 raise ValueError
             out = decode_chunked_region(blob, region)
+        except _stream.StreamError:
+            raise  # corrupt container — not a --region usage problem
         except ValueError as e:
             print(f"--region must be t0:t1,y0:y1,x0:x1 within the "
                   f"container dims ({e})", file=sys.stderr)

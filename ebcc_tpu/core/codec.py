@@ -322,7 +322,8 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
 def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
                               opts: EncodeOptions, n_frames, h, w,
-                              backend: int) -> bytes:
+                              backend: int,
+                              parallel_deltas: bool = True) -> bytes:
     """Serialization for a TEMPORAL chunk (closed-loop predictive coding,
     see kernels.encode_batch_temporal).
 
@@ -396,8 +397,9 @@ def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
     def delta_one(t):
         # Per-frame payload build + entropy coding; zstd and the CAB coder
         # release the GIL, so the pool parallelizes the recommended
-        # single-multi-frame-chunk configuration too (the chunk-level pool
-        # in _assemble_batch has nothing to parallelize there).
+        # single-multi-frame-chunk configuration (the chunk-level pool in
+        # _assemble_batch has nothing to parallelize there; with many
+        # chunks the caller disables this inner pool to avoid nesting).
         cut_t = int(t_cut[t - 1])
         payload, top_t, kept_t = build_layer_payload(
             res_full[t:t + 1], cut_t, cut_t, cfg.DELTA_NUM_PLANES)
@@ -408,7 +410,7 @@ def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
             cut=cut_t, top=top_t, entropy=be_t, comp_size=len(comp_t)),
             comp_t)
 
-    if n_frames <= 2:
+    if n_frames <= 2 or not parallel_deltas:
         parts = [delta_one(t) for t in range(1, n_frames)]
     else:
         from concurrent.futures import ThreadPoolExecutor
@@ -783,7 +785,8 @@ def _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
 
     if _temporal_active(config, n_frames):
         fn = lambda i: _assemble_temporal_stream(
-            _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend)
+            _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend,
+            parallel_deltas=n_chunks <= 1)
     elif error_mode:
         fn = lambda i: _assemble_error_mode_stream(
             _ChunkResult(out_np, i), config, opts, n_frames, h, w, backend)
@@ -1704,9 +1707,17 @@ def encode_frames_device(x_dev, config: CodecConfig,
     of slice k)."""
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
-    # Lossless has no device work to pipeline — always the direct branch.
-    if (max_batch is None or b <= max_batch
-            or config.residual_mode == cfg.RESIDUAL_LOSSLESS):
+    if config.residual_mode == cfg.RESIDUAL_LOSSLESS:
+        # No device work to pipeline, but max_batch still bounds peak host
+        # memory (each slice is device_get'd and coded independently).
+        if max_batch is None or b <= max_batch:
+            return _encode_chunk_batch(x_dev, config, opts)
+        out: List[bytes] = []
+        for s in range(0, b, max_batch):
+            out.extend(_encode_chunk_batch(x_dev[s:s + max_batch], config,
+                                           opts))
+        return out
+    if max_batch is None or b <= max_batch:
         return _encode_chunk_batch(x_dev, config, opts)
     masks = None
     orig_config = config
@@ -1765,9 +1776,17 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
 
     opts = opts or EncodeOptions.from_env()
     b, n_frames, h, w = x_dev.shape
-    # Lossless has no device work to pipeline — always the direct branch.
-    if (max_batch is None or b <= max_batch
-            or config.residual_mode == cfg.RESIDUAL_LOSSLESS):
+    if config.residual_mode == cfg.RESIDUAL_LOSSLESS:
+        # No device work to pipeline; max_batch still bounds host memory.
+        streams = encode_frames_device(x_dev, config, opts, max_batch)
+        step = max_batch or len(streams)
+        outs = []
+        for s in range(0, len(streams), max(1, step)):
+            o, _, _, _ = _decode_streams_device(streams[s:s + step])
+            outs.append(o)
+        return streams, (outs[0] if len(outs) == 1
+                         else jnp.concatenate(outs, axis=0))
+    if max_batch is None or b <= max_batch:
         streams = _encode_chunk_batch(x_dev, config, opts)
         out, _, _, nanm = _decode_streams_device(streams)
         return streams, _apply_nan_masks_device(out, nanm)

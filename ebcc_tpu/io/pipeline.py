@@ -203,7 +203,11 @@ def append_chunked_file(path: str, data, config: CodecConfig,
     import dataclasses
     import struct
 
-    with open(path, "r+b") as f:
+    # buffering=0: the failure handler must be able to discard partial
+    # record bytes with os.ftruncate alone — a buffered truncate() first
+    # flushes, which re-raises ENOSPC in exactly the disk-full case the
+    # handler exists for.
+    with open(path, "r+b", buffering=0) as f:
         header = stream.ChunkedHeader.unpack(f.read(stream.CHUNKED_HEADER_SIZE))
         data = _append_precheck(header, np.asarray(data, np.float32))
         sub_cfg = dataclasses.replace(
@@ -215,16 +219,22 @@ def append_chunked_file(path: str, data, config: CodecConfig,
             encode_chunked(data, sub_cfg, opts))
         old_size = f.seek(0, 2)
         written = 0
+
+        def write_all(buf):
+            mv = memoryview(buf)
+            while mv:  # raw FileIO writes can be partial
+                mv = mv[f.write(mv):]
+            return len(buf)
+
         try:
             for s in new_streams:
-                written += f.write(struct.pack("<Q", len(s)))
-                written += f.write(s)
-            f.flush()
+                written += write_all(struct.pack("<Q", len(s)))
+                written += write_all(s)
             os.fsync(f.fileno())
         except Exception:
             # restore the old archive exactly (the header still says the
             # old chunk count, so only the trailing bytes must go)
-            f.truncate(old_size)
+            os.ftruncate(f.fileno(), old_size)
             raise
         new_header = stream.ChunkedHeader(
             dims=(header.dims[0] + data.shape[0], *header.dims[1:]),

@@ -1586,27 +1586,32 @@ size_t encode_masked(const float *data, int d0, int hh, int ww,
   const size_t tot = (size_t)d0 * fsz;
   std::vector<float> filled(data, data + tot);
   std::vector<uint8_t> bitmap((tot + 7) / 8, 0);
-  /* Chunk-level valid mean: the fallback fill for fully masked frames
-   * (mirrors codec._mask_fill_check — a 0.0 fill would inflate the
-   * relative range and break the pointwise mode's positivity). */
-  double cs = 0;
-  size_t ccnt = 0;
-  for (size_t i = 0; i < tot; ++i)
-    if (!std::isnan(data[i])) {
-      cs += data[i];
-      ++ccnt;
-    }
-  const float chunk_fill = ccnt ? (float)(cs / (double)ccnt) : 1.0f;
+  /* One scan builds the per-frame sums; the chunk totals derive from
+   * them (same per-frame-then-chunk accumulation order as the Python
+   * side).  The chunk-level valid mean is the fallback fill for fully
+   * masked frames — a 0.0 fill would inflate the relative range and
+   * break the pointwise mode's positivity. */
+  std::vector<double> fs(d0, 0.0);
+  std::vector<size_t> fcnt(d0, 0);
   for (int f = 0; f < d0; ++f) {
     const float *src = data + (size_t)f * fsz;
-    double s = 0;
-    size_t cnt = 0;
     for (size_t i = 0; i < fsz; ++i)
       if (!std::isnan(src[i])) {
-        s += src[i];
-        ++cnt;
+        fs[f] += src[i];
+        ++fcnt[f];
       }
-    const float fill = cnt ? (float)(s / (double)cnt) : chunk_fill;
+  }
+  double cs = 0;
+  size_t ccnt = 0;
+  for (int f = 0; f < d0; ++f) {
+    cs += fs[f];
+    ccnt += fcnt[f];
+  }
+  const float chunk_fill = ccnt ? (float)(cs / (double)ccnt) : 1.0f;
+  for (int f = 0; f < d0; ++f) {
+    const float fill =
+        fcnt[f] ? (float)(fs[f] / (double)fcnt[f]) : chunk_fill;
+    const float *src = data + (size_t)f * fsz;
     float *dst = filled.data() + (size_t)f * fsz;
     for (size_t i = 0; i < fsz; ++i)
       if (std::isnan(src[i])) {
