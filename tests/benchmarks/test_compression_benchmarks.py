@@ -45,6 +45,26 @@ class TestCompressionPerformance:
         assert data.nbytes / dt > 1e6, f"{data.nbytes / dt / 1e6:.2f} MB/s"
         assert len(blob) > 0
 
+    def test_lossless_throughput_and_cr_floor(self, base_test_data):
+        """The lossless host coder must stay fast (it is a delta + zstd
+        pass, no transforms) and above a modest ratio floor on real
+        data."""
+        import time
+
+        from ebcc_tpu import RESIDUAL_LOSSLESS
+        data = _frame(base_test_data, 512)
+        config = CodecConfig(dims=data.shape,
+                             residual_mode=RESIDUAL_LOSSLESS)
+        encode(data, config)  # warm (zstd ctx etc.)
+        t0 = time.perf_counter()
+        blob = encode(data, config)
+        out = decode(blob)
+        dt = time.perf_counter() - t0
+        assert np.array_equal(out.view(np.uint32),
+                              data.reshape(out.shape).view(np.uint32))
+        assert data.nbytes / dt > 20e6, f"{data.nbytes / dt / 1e6:.1f} MB/s"
+        assert data.nbytes / len(blob) > 1.5
+
     def test_no_memory_leak(self, base_test_data):
         """Parity: RSS growth check over repeated encodes (tb:50-81)."""
         psutil = pytest.importorskip("psutil")
