@@ -45,8 +45,8 @@ RESIDUAL_RELATIVE_ERROR = 2
 # temporal/allow_nan compose unchanged.
 RESIDUAL_POINTWISE_RELATIVE_ERROR = 3
 # Beyond reference: bit-exact float32 round trip (archives keep some
-# variables exact).  Order-preserving float->uint32 map, wrapping 1-D
-# delta, zstd — ~2.6x on ERA5 at level 9 (2.8x at 19), NaN/Inf round-trip
+# variables exact).  Order-preserving float->uint32 map, per-frame 2-D
+# Lorenzo prediction, zstd — ~2.9x on ERA5 at level 9, NaN/Inf round-trip
 # bit-exactly (no finite check applies).  Stream flag bit7
 # (FLAG_LOSSLESS); host/native coders (no device compute to accelerate —
 # the transform is memory-bound and the payload is the data).

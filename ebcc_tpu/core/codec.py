@@ -918,13 +918,35 @@ def _ordered_u32_to_f32(u: np.ndarray) -> np.ndarray:
     return b.view(np.float32)
 
 
+def _lorenzo_fwd(u: np.ndarray) -> np.ndarray:
+    """Per-frame 2-D Lorenzo predictor residuals of (d0, h, w) uint32
+    (u[-1, :] ≡ 0 convention makes it uniform): separable as a vertical
+    wrapping diff then a horizontal one.  Interior residual =
+    u - left - up + upleft; measured ~9% better than the 1-D delta on
+    ERA5 (docs/RESULTS.md)."""
+    v = u.copy()
+    v[:, 1:] = u[:, 1:] - u[:, :-1]      # axis -2 (rows), wrapping
+    d = v.copy()
+    d[:, :, 1:] = v[:, :, 1:] - v[:, :, :-1]  # axis -1 (cols), wrapping
+    return d
+
+
+def _lorenzo_inv(d: np.ndarray) -> np.ndarray:
+    """Inverse: wrapping cumulative sums along cols then rows."""
+    v = (np.cumsum(d.astype(np.uint64), axis=-1)
+         & 0xFFFFFFFF).astype(np.uint32)
+    return (np.cumsum(v.astype(np.uint64), axis=-2)
+            & 0xFFFFFFFF).astype(np.uint32)
+
+
 def _lossless_encode_frames(x_batch: np.ndarray,
                             config: CodecConfig) -> List[bytes]:
     """Bit-exact coder (RESIDUAL_LOSSLESS): per chunk, map the float bits
-    to order-preserving uint32, 1-D wrapping-delta in row-major order,
-    entropy-code (the delta stream is where zstd finds the structure —
-    measured better than byte-shuffle variants on ERA5, docs/RESULTS.md).
-    NaN/Inf pass through bit-exactly; no finite check applies."""
+    to order-preserving uint32, per-frame 2-D Lorenzo-predict, entropy-code
+    (the residual stream is where zstd finds the structure — measured
+    better than byte-shuffle and 1-D-delta variants on ERA5,
+    docs/RESULTS.md).  NaN/Inf pass through bit-exactly; no finite check
+    applies."""
     from concurrent.futures import ThreadPoolExecutor
 
     x_batch = np.ascontiguousarray(x_batch, dtype=np.float32)
@@ -932,11 +954,8 @@ def _lossless_encode_frames(x_batch: np.ndarray,
     d0, h, w = x_batch.shape[1:]
 
     def one(i):
-        u = _f32_to_ordered_u32(x_batch[i])
-        d = np.empty_like(u)
-        d[0] = u[0]
-        np.subtract(u[1:], u[:-1], out=d[1:])  # uint32 wraparound
-        raw = d.tobytes()
+        u = _f32_to_ordered_u32(x_batch[i]).reshape(d0, h, w)
+        raw = _lorenzo_fwd(u).tobytes()
         ent_id = entropy.default_backend()
         payload = entropy.compress(raw, ent_id, config.zstd_level)
         if len(payload) >= len(raw):
@@ -980,9 +999,10 @@ def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
         raw = entropy.decompress(payload, hd.entropy, sz * 4)
         if len(raw) != sz * 4:
             raise stream.StreamError("lossless payload size mismatch")
-        d = np.frombuffer(raw, np.uint32)
-        u = (np.cumsum(d, dtype=np.uint64) & 0xFFFFFFFF).astype(np.uint32)
-        return _ordered_u32_to_f32(u).reshape(
+        d = np.frombuffer(raw, np.uint32).reshape(
+            hd.n_frames, hd.height, hd.width)
+        u = _lorenzo_inv(d)
+        return _ordered_u32_to_f32(u.reshape(-1)).reshape(
             hd.n_frames, hd.height, hd.width)
 
     if n <= 1:

@@ -67,8 +67,8 @@ FLAG_MASKED = 0x20
 # |x̂ - x| <= eps * |x| on every sample.  No reference counterpart.
 FLAG_LOG_DOMAIN = 0x40
 # Lossless chunk (RESIDUAL_LOSSLESS): the base payload is the chunk's
-# float32 bits, order-preserving-mapped to uint32, 1-D wrapping-delta
-# coded in row-major order, entropy-coded (header entropy byte; zstd or
+# float32 bits, order-preserving-mapped to uint32, coded per frame as
+# wrapping 2-D Lorenzo predictor residuals, entropy-coded (header entropy byte; zstd or
 # store).  No residual payload; min/max fields 0; NaN/Inf round-trip
 # bit-exactly.  No reference counterpart.  See docs/FORMAT.md.
 FLAG_LOSSLESS = 0x80

@@ -766,17 +766,17 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
   *out = (float *)std::malloc(tot * sizeof(float));
   if (!*out) return 0;
   if (h.flags & kFlagLossless) {
-    /* Bit-exact decode: entropy-decode the delta stream, wrapping cumsum,
-     * inverse order-preserving map.  Returns directly (lossless never
-     * combines with the other flags). */
-    std::vector<uint8_t> raw(tot * 4);
+    /* Bit-exact decode: entropy-decode the Lorenzo residuals, invert the
+     * predictor, inverse order-preserving map.  Returns directly
+     * (lossless never combines with the other flags). */
+    std::vector<uint32_t> raw32(tot);
+    uint8_t *rawp = reinterpret_cast<uint8_t *>(raw32.data());
     bool ok;
     if (h.entropy == kBackendZstd) {
-      ok = zstd_unpack(data + kHeaderSize, h.base_comp, raw.data(),
-                       raw.size());
+      ok = zstd_unpack(data + kHeaderSize, h.base_comp, rawp, tot * 4);
     } else if (h.entropy == 0) {
-      ok = h.base_comp == raw.size();
-      if (ok) std::memcpy(raw.data(), data + kHeaderSize, raw.size());
+      ok = h.base_comp == tot * 4;
+      if (ok) std::memcpy(rawp, data + kHeaderSize, tot * 4);
     } else {
       ok = false;
     }
@@ -786,13 +786,24 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
       *out = nullptr;
       return 0;
     }
-    uint32_t acc = 0;
+    /* Inverse Lorenzo per frame: wrapping cumsum along each row, then
+     * along each column; then the inverse order-preserving map. */
+    const size_t fsz = (size_t)h.height * h.width;
+    const int hh2 = (int)h.height, ww2 = (int)h.width;
+    uint32_t *u = raw32.data();
+    for (uint32_t f = 0; f < h.n_frames; ++f) {
+      uint32_t *fr = u + (size_t)f * fsz;
+      for (int r = 0; r < hh2; ++r) {
+        uint32_t *row = fr + (size_t)r * ww2;
+        for (int c = 1; c < ww2; ++c) row[c] += row[c - 1];
+      }
+      for (int r = 1; r < hh2; ++r)
+        for (int c = 0; c < ww2; ++c)
+          fr[(size_t)r * ww2 + c] += fr[(size_t)(r - 1) * ww2 + c];
+    }
     for (size_t i = 0; i < tot; ++i) {
-      uint32_t dv;
-      std::memcpy(&dv, raw.data() + 4 * i, 4);
-      acc += dv; /* wraparound cumsum */
-      const uint32_t b =
-          (acc & 0x80000000u) ? (acc & 0x7FFFFFFFu) : ~acc;
+      const uint32_t a = u[i];
+      const uint32_t b = (a & 0x80000000u) ? (a & 0x7FFFFFFFu) : ~a;
       std::memcpy(*out + i, &b, 4);
     }
     return tot;
@@ -1521,18 +1532,29 @@ size_t encode_log_domain(const float *data, int d0, int hh, int ww,
 }
 
 /* Bit-exact lossless coder (mode 4; mirrors codec._lossless_encode_frames):
- * order-preserving f32->u32 map, wrapping 1-D delta, zstd-or-store. */
+ * order-preserving f32->u32 map, per-frame 2-D Lorenzo predictor
+ * residuals (u - left - up + upleft, wrapping; u[-1][*] == 0), zstd. */
 size_t encode_lossless(const float *data, int d0, int hh, int ww,
                        const etpu_config_t *config, uint8_t **out) {
   const size_t tot = (size_t)d0 * hh * ww;
+  const size_t fsz = (size_t)hh * ww;
   std::vector<uint32_t> d(tot);
-  uint32_t prev = 0;
   for (size_t i = 0; i < tot; ++i) {
     uint32_t b;
     std::memcpy(&b, data + i, 4);
-    const uint32_t u = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
-    d[i] = u - prev; /* uint32 wraparound; i==0 stores u itself */
-    prev = u;
+    d[i] = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+  }
+  for (int f = 0; f < d0; ++f) {
+    uint32_t *u = d.data() + (size_t)f * fsz;
+    /* vertical diff bottom-up, then horizontal diff right-to-left — both
+     * in place (reverse order keeps the untouched predecessors live). */
+    for (int r = hh - 1; r >= 1; --r)
+      for (int c = 0; c < ww; ++c)
+        u[(size_t)r * ww + c] -= u[(size_t)(r - 1) * ww + c];
+    for (int r = 0; r < hh; ++r) {
+      uint32_t *row = u + (size_t)r * ww;
+      for (int c = ww - 1; c >= 1; --c) row[c] -= row[c - 1];
+    }
   }
   const uint8_t *raw = reinterpret_cast<const uint8_t *>(d.data());
   const size_t rawn = tot * 4;
