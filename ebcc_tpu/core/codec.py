@@ -955,16 +955,31 @@ def _lossless_encode_frames(x_batch: np.ndarray,
 
     def one(i):
         u = _f32_to_ordered_u32(x_batch[i]).reshape(d0, h, w)
-        raw = _lorenzo_fwd(u).tobytes()
+        # Candidate 0: per-frame 2-D Lorenzo.  Candidate 1 (multi-frame
+        # chunks): frame-axis wrapping diff first — a big win on
+        # correlated stacks (levels/time), a loss on unrelated frames, so
+        # pick by compressed size and record the choice in the otherwise-
+        # zero base_levels header field (docs/FORMAT.md).
         ent_id = entropy.default_backend()
-        payload = entropy.compress(raw, ent_id, config.zstd_level)
-        if len(payload) >= len(raw):
-            payload, ent_id = raw, entropy.BACKEND_STORE
+        cands = [(_lorenzo_fwd(u).tobytes(), 0)]
+        if d0 > 1:
+            w_ = u.copy()
+            w_[1:] = u[1:] - u[:-1]  # uint32 wraparound
+            cands.append((_lorenzo_fwd(w_).tobytes(), 1))
+        best = None
+        for raw, tdiff in cands:
+            payload, eid = entropy.compress(raw, ent_id,
+                                            config.zstd_level), ent_id
+            if len(payload) >= len(raw):
+                payload, eid = raw, entropy.BACKEND_STORE
+            if best is None or len(payload) < len(best[0]):
+                best = (payload, eid, tdiff)
+        payload, eid, tdiff = best
         header = stream.FrameHeader(
-            flags=stream.FLAG_LOSSLESS, entropy=ent_id,
+            flags=stream.FLAG_LOSSLESS, entropy=eid,
             n_frames=d0, height=h, width=w,
             minval=0.0, maxval=0.0, rmin=0.0, rmax=0.0,
-            base_levels=0, res_levels=0, base_nplanes=0, base_cut=0,
+            base_levels=tdiff, res_levels=0, base_nplanes=0, base_cut=0,
             base_top=0, res_nplanes=0, res_cut=0, res_top=0,
             base_comp_size=len(payload), res_comp_size=0)
         return stream.pack_frame_stream(header, payload, b"")
@@ -986,7 +1001,7 @@ def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
     for hd in headers:
         if (hd.height > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
                 or hd.width > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
-                or hd.n_frames > 1 << 20):
+                or hd.n_frames > 1 << 20 or hd.base_levels > 1):
             raise stream.StreamError("implausible ETPU header dimensions")
         if (hd.n_frames, hd.height, hd.width) != (h0.n_frames, h0.height,
                                                   h0.width):
@@ -1002,6 +1017,9 @@ def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
         d = np.frombuffer(raw, np.uint32).reshape(
             hd.n_frames, hd.height, hd.width)
         u = _lorenzo_inv(d)
+        if hd.base_levels == 1:  # frame-axis diff was applied first
+            u = (np.cumsum(u.astype(np.uint64), axis=0)
+                 & 0xFFFFFFFF).astype(np.uint32)
         return _ordered_u32_to_f32(u.reshape(-1)).reshape(
             hd.n_frames, hd.height, hd.width)
 

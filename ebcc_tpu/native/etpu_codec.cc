@@ -787,7 +787,14 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
       return 0;
     }
     /* Inverse Lorenzo per frame: wrapping cumsum along each row, then
-     * along each column; then the inverse order-preserving map. */
+     * along each column; an optional frame-axis cumsum (base_levels == 1,
+     * the adaptive frame-diff candidate); then the inverse map. */
+    if (h.base_levels > 1) {
+      log_err("invalid lossless predictor id");
+      std::free(*out);
+      *out = nullptr;
+      return 0;
+    }
     const size_t fsz = (size_t)h.height * h.width;
     const int hh2 = (int)h.height, ww2 = (int)h.width;
     uint32_t *u = raw32.data();
@@ -801,6 +808,8 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
         for (int c = 0; c < ww2; ++c)
           fr[(size_t)r * ww2 + c] += fr[(size_t)(r - 1) * ww2 + c];
     }
+    if (h.base_levels == 1)
+      for (size_t i = fsz; i < tot; ++i) u[i] += u[i - fsz];
     for (size_t i = 0; i < tot; ++i) {
       const uint32_t a = u[i];
       const uint32_t b = (a & 0x80000000u) ? (a & 0x7FFFFFFFu) : ~a;
@@ -1534,18 +1543,10 @@ size_t encode_log_domain(const float *data, int d0, int hh, int ww,
 /* Bit-exact lossless coder (mode 4; mirrors codec._lossless_encode_frames):
  * order-preserving f32->u32 map, per-frame 2-D Lorenzo predictor
  * residuals (u - left - up + upleft, wrapping; u[-1][*] == 0), zstd. */
-size_t encode_lossless(const float *data, int d0, int hh, int ww,
-                       const etpu_config_t *config, uint8_t **out) {
-  const size_t tot = (size_t)d0 * hh * ww;
+void lorenzo_fwd_frames(std::vector<uint32_t> *d, int d0, int hh, int ww) {
   const size_t fsz = (size_t)hh * ww;
-  std::vector<uint32_t> d(tot);
-  for (size_t i = 0; i < tot; ++i) {
-    uint32_t b;
-    std::memcpy(&b, data + i, 4);
-    d[i] = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
-  }
   for (int f = 0; f < d0; ++f) {
-    uint32_t *u = d.data() + (size_t)f * fsz;
+    uint32_t *u = d->data() + (size_t)f * fsz;
     /* vertical diff bottom-up, then horizontal diff right-to-left — both
      * in place (reverse order keeps the untouched predecessors live). */
     for (int r = hh - 1; r >= 1; --r)
@@ -1556,14 +1557,42 @@ size_t encode_lossless(const float *data, int d0, int hh, int ww,
       for (int c = ww - 1; c >= 1; --c) row[c] -= row[c - 1];
     }
   }
-  const uint8_t *raw = reinterpret_cast<const uint8_t *>(d.data());
-  const size_t rawn = tot * 4;
+}
+
+size_t encode_lossless(const float *data, int d0, int hh, int ww,
+                       const etpu_config_t *config, uint8_t **out) {
+  const size_t tot = (size_t)d0 * hh * ww;
+  const size_t fsz = (size_t)hh * ww;
+  std::vector<uint32_t> u(tot);
+  for (size_t i = 0; i < tot; ++i) {
+    uint32_t b;
+    std::memcpy(&b, data + i, 4);
+    u[i] = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+  }
+  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
+  /* Candidate 0: per-frame 2-D Lorenzo; candidate 1 (multi-frame): a
+   * frame-axis wrapping diff first (wins on correlated stacks) — pick by
+   * compressed size, record in the otherwise-zero base_levels field. */
   std::vector<uint8_t> comp;
   uint8_t ent = (uint8_t)kBackendZstd;
-  const int level = config->zstd_level > 0 ? config->zstd_level : 9;
-  if (!zstd_pack(raw, rawn, level, &comp) || comp.size() >= rawn) {
-    comp.assign(raw, raw + rawn);
-    ent = 0; /* store */
+  uint8_t tdiff = 0;
+  for (int cand = 0; cand < (d0 > 1 ? 2 : 1); ++cand) {
+    std::vector<uint32_t> d = u;
+    if (cand == 1)
+      for (size_t i = tot; i-- > fsz;) d[i] -= d[i - fsz];
+    lorenzo_fwd_frames(&d, d0, hh, ww);
+    const uint8_t *raw = reinterpret_cast<const uint8_t *>(d.data());
+    std::vector<uint8_t> c;
+    uint8_t e = (uint8_t)kBackendZstd;
+    if (!zstd_pack(raw, tot * 4, level, &c) || c.size() >= tot * 4) {
+      c.assign(raw, raw + tot * 4);
+      e = 0; /* store */
+    }
+    if (cand == 0 || c.size() < comp.size()) {
+      comp = std::move(c);
+      ent = e;
+      tdiff = (uint8_t)cand;
+    }
   }
   FrameHeader h;
   h.flags = kFlagLossless;
@@ -1571,7 +1600,8 @@ size_t encode_lossless(const float *data, int d0, int hh, int ww,
   h.n_frames = (uint32_t)d0;
   h.height = (uint32_t)hh;
   h.width = (uint32_t)ww;
-  h.base_levels = h.res_levels = 0;
+  h.base_levels = tdiff;
+  h.res_levels = 0;
   h.base_nplanes = h.res_nplanes = 0;
   h.base_comp = comp.size();
   std::vector<uint8_t> blob;
