@@ -147,8 +147,33 @@ def _host_fallback_bench():
     }))
 
 
+def _probe_device(budget: int) -> bool:
+    """Touch the accelerator in a SUBPROCESS with a hard timeout before
+    committing to the long in-process budget: a dead tunnel hangs device
+    init inside a blocking C call that an in-process SIGALRM cannot
+    interrupt, and waiting the full compile budget to discover that
+    starves the fallback."""
+    import subprocess
+
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "x = jax.device_put(np.ones((8, 8), np.float32));"
+            "print(float(jax.device_get(jnp.sum(x))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=budget,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     budget = int(os.environ.get("EBCC_BENCH_DEVICE_TIMEOUT", "1800"))
+    probe = int(os.environ.get("EBCC_BENCH_PROBE_TIMEOUT", "240"))
+    if budget > 0 and probe > 0 and not _probe_device(probe):
+        print("device unreachable within %ds; falling back to the all-host "
+              "pipeline" % probe, file=sys.stderr)
+        _host_fallback_bench()
+        return
     if budget > 0:
         import signal
 
