@@ -396,6 +396,18 @@ bool zstd_unpack(const uint8_t *src, size_t n, uint8_t *dst, size_t dst_n) {
 
 int padded(int v, int mult) { return (v + mult - 1) / mult * mult; }
 
+/* Warm-start hints for the cut searches: the previous chunk's verified
+ * cuts, valid only for the same shape/target/quantile.  Thread-local —
+ * each pool worker warms up independently; correctness never depends on
+ * the hint (it is always verified). */
+struct CutHints {
+  int d0 = 0, hh = 0, ww = 0;
+  float target = 0;
+  double quantile = 0;
+  int bc = -1, pc = -1, rc = -1;
+};
+thread_local CutHints g_cut_hints;
+
 /* Symmetric (edge-inclusive mirror) pad of (d0, h, w) frames into
  * (d0, hp, wp); matches jnp.pad mode='symmetric'. */
 void pad_frames(const float *x, int d0, int h, int w, int hp, int wp,
@@ -1058,7 +1070,11 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
    * error), so binary search replaces the linear coarsest-down walk:
    * <=2*ceil(log2 P) reconstruct+metrics evaluations instead of up to P
    * (the worst case at tight targets).  Evaluations are cached so the two
-   * criteria share them. */
+   * criteria share them, and a thread-local warm start from the previous
+   * same-shaped/same-target chunk verifies the remembered answer with <=2
+   * evaluations (reconstruct dominates encode time; an archive's chunks
+   * usually land on the same cuts).  The verification makes the result
+   * identical to the full search, so streams are byte-identical. */
   std::vector<char> m_have(kBaseNumPlanes, 0);
   std::vector<Metrics> m_cache(kBaseNumPlanes);
   auto eval_base = [&](int c) -> const Metrics & {
@@ -1071,7 +1087,10 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     return m_cache[c];
   };
   /* largest c in [0, P) with feasible(metrics(c)), or -1 if none */
-  auto search_cut = [&](auto feasible) -> int {
+  auto search_cut = [&](auto feasible, int hint) -> int {
+    if (hint >= 0 && hint < kBaseNumPlanes && feasible(eval_base(hint)) &&
+        (hint == kBaseNumPlanes - 1 || !feasible(eval_base(hint + 1))))
+      return hint;
     if (!feasible(eval_base(0))) return -1;
     int lo = 0, hi = kBaseNumPlanes - 1;
     if (feasible(eval_base(hi))) return hi;
@@ -1090,8 +1109,12 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   auto bound_ok = [&](const Metrics &m) {
     return (centered ? m.max_centered : m.max_raw) <= target;
   };
-  const int bc = search_cut(quant_ok);
-  const int pc = search_cut(bound_ok);
+  const bool hints_match =
+      g_cut_hints.d0 == d0 && g_cut_hints.hh == hh && g_cut_hints.ww == ww &&
+      g_cut_hints.target == target &&
+      g_cut_hints.quantile == quantile_target;
+  const int bc = search_cut(quant_ok, hints_match ? g_cut_hints.bc : -1);
+  const int pc = search_cut(bound_ok, hints_match ? g_cut_hints.pc : -1);
   const bool base_found = bc >= 0;
   const bool pure_feasible = pc >= 0;
   int base_cut = bc >= 0 ? bc : 0;
@@ -1159,7 +1182,14 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
     auto bound_ok_r = [&](const Metrics &m) {
       return (centered ? m.max_centered : m.max_raw) <= target;
     };
-    if (bound_ok_r(eval_res(0))) {
+    const int rhint = hints_match ? g_cut_hints.rc : -1;
+    if (rhint >= 0 && rhint < kResNumPlanes &&
+        bound_ok_r(eval_res(rhint)) &&
+        (rhint == kResNumPlanes - 1 || !bound_ok_r(eval_res(rhint + 1)))) {
+      res_cut = rhint;
+      res_feasible = true;
+      res_m = eval_res(rhint);
+    } else if (bound_ok_r(eval_res(0))) {
       int lo = 0, hi = kResNumPlanes - 1;
       if (bound_ok_r(eval_res(hi))) {
         lo = hi;
@@ -1177,6 +1207,8 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
       res_m = eval_res(lo);
     }
   }
+  g_cut_hints = {d0, hh, ww, target, quantile_target, bc, pc,
+                 res_feasible ? res_cut : -1};
 
   /* candidate assembly + selection (mirror of _assemble_error_mode_stream) */
   std::vector<uint8_t> base_payload, base_comp;
