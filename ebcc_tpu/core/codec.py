@@ -961,11 +961,14 @@ def _lossless_encode_frames(x_batch: np.ndarray,
         # pick by compressed size and record the choice in the otherwise-
         # zero base_levels header field (docs/FORMAT.md).
         ent_id = entropy.default_backend()
-        cands = [(_lorenzo_fwd(u).tobytes(), 0)]
+        # Predictor ids: 2 = per-frame 2-D Lorenzo, 3 = frame-axis diff
+        # first.  Ids 0/1 belonged to interim same-round coders and are
+        # rejected on decode so no stream can silently misdecode.
+        cands = [(_lorenzo_fwd(u).tobytes(), 2)]
         if d0 > 1:
             w_ = u.copy()
             w_[1:] = u[1:] - u[:-1]  # uint32 wraparound
-            cands.append((_lorenzo_fwd(w_).tobytes(), 1))
+            cands.append((_lorenzo_fwd(w_).tobytes(), 3))
         best = None
         for raw, tdiff in cands:
             payload, eid = entropy.compress(raw, ent_id,
@@ -1001,8 +1004,12 @@ def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
     for hd in headers:
         if (hd.height > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
                 or hd.width > 4 * cfg.MAX_INTERNAL_IMAGE_DIM
-                or hd.n_frames > 1 << 20 or hd.base_levels > 1):
+                or hd.n_frames > 1 << 20):
             raise stream.StreamError("implausible ETPU header dimensions")
+        if hd.base_levels not in (2, 3):
+            raise stream.StreamError(
+                "unsupported lossless predictor id (ids 0/1 were interim "
+                "pre-release coders; re-encode with a current build)")
         if (hd.n_frames, hd.height, hd.width) != (h0.n_frames, h0.height,
                                                   h0.width):
             raise stream.StreamError("inconsistent chunk stream shapes")
@@ -1017,7 +1024,7 @@ def _lossless_decode_streams(headers, streams: List[bytes]) -> np.ndarray:
         d = np.frombuffer(raw, np.uint32).reshape(
             hd.n_frames, hd.height, hd.width)
         u = _lorenzo_inv(d)
-        if hd.base_levels == 1:  # frame-axis diff was applied first
+        if hd.base_levels == 3:  # frame-axis diff was applied first
             u = (np.cumsum(u.astype(np.uint64), axis=0)
                  & 0xFFFFFFFF).astype(np.uint32)
         return _ordered_u32_to_f32(u.reshape(-1)).reshape(

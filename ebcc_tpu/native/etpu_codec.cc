@@ -801,8 +801,8 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
     /* Inverse Lorenzo per frame: wrapping cumsum along each row, then
      * along each column; an optional frame-axis cumsum (base_levels == 1,
      * the adaptive frame-diff candidate); then the inverse map. */
-    if (h.base_levels > 1) {
-      log_err("invalid lossless predictor id");
+    if (h.base_levels != 2 && h.base_levels != 3) {
+      log_err("unsupported lossless predictor id");
       std::free(*out);
       *out = nullptr;
       return 0;
@@ -820,7 +820,7 @@ size_t decode_frame(const uint8_t *data, size_t size, float **out) {
         for (int c = 0; c < ww2; ++c)
           fr[(size_t)r * ww2 + c] += fr[(size_t)(r - 1) * ww2 + c];
     }
-    if (h.base_levels == 1)
+    if (h.base_levels == 3)
       for (size_t i = fsz; i < tot; ++i) u[i] += u[i - fsz];
     for (size_t i = 0; i < tot; ++i) {
       const uint32_t a = u[i];
@@ -1073,8 +1073,11 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
    * criteria share them, and a thread-local warm start from the previous
    * same-shaped/same-target chunk verifies the remembered answer with <=2
    * evaluations (reconstruct dominates encode time; an archive's chunks
-   * usually land on the same cuts).  The verification makes the result
-   * identical to the full search, so streams are byte-identical. */
+   * usually land on the same cuts).  Under the monotone-feasibility
+   * design assumption the whole codebase shares (the bisection here and
+   * the device coarse-to-fine scans in core/kernels.py rely on it), the
+   * boundary the verification checks is unique, so the result is
+   * identical to the full search and streams stay byte-identical. */
   std::vector<char> m_have(kBaseNumPlanes, 0);
   std::vector<Metrics> m_cache(kBaseNumPlanes);
   auto eval_base = [&](int c) -> const Metrics & {
@@ -1605,9 +1608,11 @@ size_t encode_lossless(const float *data, int d0, int hh, int ww,
   /* Candidate 0: per-frame 2-D Lorenzo; candidate 1 (multi-frame): a
    * frame-axis wrapping diff first (wins on correlated stacks) — pick by
    * compressed size, record in the otherwise-zero base_levels field. */
+  /* Predictor ids: 2 = per-frame 2-D Lorenzo, 3 = frame-axis diff first
+   * (ids 0/1 were interim pre-release coders, rejected on decode). */
   std::vector<uint8_t> comp;
   uint8_t ent = (uint8_t)kBackendZstd;
-  uint8_t tdiff = 0;
+  uint8_t tdiff = 2;
   for (int cand = 0; cand < (d0 > 1 ? 2 : 1); ++cand) {
     std::vector<uint32_t> d = u;
     if (cand == 1)
@@ -1623,7 +1628,7 @@ size_t encode_lossless(const float *data, int d0, int hh, int ww,
     if (cand == 0 || c.size() < comp.size()) {
       comp = std::move(c);
       ent = e;
-      tdiff = (uint8_t)cand;
+      tdiff = (uint8_t)(cand + 2);
     }
   }
   FrameHeader h;

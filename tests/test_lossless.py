@@ -169,6 +169,37 @@ class TestLosslessNative:
         assert _bits_equal(native.native_decode(jb).reshape(data.shape),
                            data)
 
+    def test_frame_diff_predictor_cross_codec(self, native,
+                                              base_test_data):
+        """Correlated multi-frame chunks must pick predictor id 3 (frame
+        diff) and stay bit-exact across BOTH coder pairs — the only test
+        that forces the id-3 encode and inverse loops in each codec."""
+        crop = np.ascontiguousarray(base_test_data[:128, :192])
+        data = np.stack([crop + 0.01 * t for t in range(4)])
+        cfg = _cfg(data.shape)
+        jb = encode(data, cfg)
+        nb = native.native_encode(data, cfg)
+        assert stream.split_frame_stream(jb)[0].base_levels == 3
+        assert stream.split_frame_stream(nb)[0].base_levels == 3
+        assert _bits_equal(decode(nb), data)
+        assert _bits_equal(native.native_decode(jb).reshape(data.shape),
+                           data)
+
+    def test_interim_predictor_ids_rejected(self, native, base_test_data):
+        """Ids 0/1 (interim pre-release coders) must fail loudly in both
+        decoders, never silently misdecode."""
+        data = base_test_data[None, :64, :64]
+        blob = bytearray(encode(np.ascontiguousarray(data), _cfg(data.shape)))
+        # base_levels lives at offset 40 (magic + 4B + 4I + 4f)
+        assert blob[40] == 2
+        for bad_id in (0, 1):
+            mutated = bytearray(blob)
+            mutated[40] = bad_id
+            with pytest.raises(stream.StreamError):
+                decode(bytes(mutated))
+            with pytest.raises(Exception):
+                native.native_decode(bytes(mutated))
+
     def test_cd_values_vocabulary(self, native):
         from ebcc_tpu.api.filter_wrapper import EBCC_Filter, populate_config
         f = EBCC_Filter(base_cr=30, height=64, width=64,
