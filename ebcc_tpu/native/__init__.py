@@ -98,11 +98,11 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
-    if not hasattr(lib, "etpu_has_lossless"):  # newest symbol
+    if not hasattr(lib, "etpu_has_spiht"):  # newest symbol
         if Path(p).parent == BUILD_DIR and auto_build:
             p = build(force=True)
             lib = ctypes.CDLL(str(p))
-        if not hasattr(lib, "etpu_has_lossless"):
+        if not hasattr(lib, "etpu_has_spiht"):
             raise RuntimeError(
                 f"native library at {p} is too old for this package "
                 "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "
@@ -157,6 +157,16 @@ def load(auto_build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(ctypes.c_ubyte, flags="C_CONTIGUOUS"),
         ctypes.c_size_t]
+    lib.etpu_spiht_encode.restype = ctypes.c_size_t
+    lib.etpu_spiht_encode.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_float, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    lib.etpu_spiht_decode.restype = ctypes.c_int
+    lib.etpu_spiht_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        np.ctypeslib.ndpointer(ctypes.c_float, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
     _lib = lib
     FILTER_DIR = str(Path(p).parent)
     FILTER_PATH = str(p)
@@ -310,3 +320,36 @@ def planes_to_sparse(raw: bytes, kept: int, pb: int, d0: int, hp: int,
     if k == ctypes.c_size_t(-1).value:
         raise ValueError("malformed plane payload")
     return idx[:k], vals[:k]
+
+
+def spiht_encode(norm: np.ndarray, trunc_bits: int = 0,
+                 num_stages: int = 3) -> bytes:
+    """Encode a [0,1]-normalized 2-D residual into a legacy SPIHT "IMS"
+    stream (reference-format interop; spiht_re.c:432-475 mirror in
+    native/spiht_coder.cc)."""
+    lib = load()
+    norm = np.ascontiguousarray(norm, dtype=np.float32)
+    if norm.ndim != 2:
+        raise ValueError("spiht_encode expects a 2-D frame")
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.etpu_spiht_encode(norm, norm.shape[0], norm.shape[1],
+                              trunc_bits, num_stages, ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("SPIHT encode failed (bad dims or input range)")
+    try:
+        return bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n))
+                     .contents)
+    finally:
+        lib.etpu_free(out)
+
+
+def spiht_decode(blob: bytes, height: int, width: int,
+                 num_bits: int) -> np.ndarray:
+    """Decode a legacy SPIHT "IMS" stream (possibly truncated) back to the
+    [0,1]-normalized residual frame (spiht_re.c:477-520 mirror)."""
+    lib = load()
+    out = np.zeros((height, width), np.float32)
+    rc = lib.etpu_spiht_decode(blob, len(blob), out, height, width, num_bits)
+    if rc != 0:
+        raise ValueError(f"corrupt SPIHT stream (code {rc})")
+    return out
