@@ -1912,6 +1912,12 @@ def decode(buf: bytes) -> np.ndarray:
     """
     if buf[:4] == stream.MAGIC_CHUNKED:
         return decode_chunked(buf)
+    if buf[:4] in (b"EBCC", b"EBCK"):
+        # Reference-format stream (the original codec's magics): decode
+        # through the legacy interop layer (compat/legacy.py), like the
+        # reference's own magic dispatch accepts older layouts (c:1222).
+        from .. import compat
+        return compat.decode(buf)
     nm = _native_decoder()
     if nm is not None:
         header, _, _ = stream.split_frame_stream(buf)
