@@ -83,7 +83,20 @@ def build_stack():
 
 
 def main():
+    # Row selection: `--rows native` (default: all), `--rows legacy`,
+    # `--levels N` truncates the stack (quick checks on loaded boxes).
+    rows = "all"
+    max_levels = None
+    argv = sys.argv[1:]
+    while argv:
+        a = argv.pop(0)
+        if a == "--rows":
+            rows = argv.pop(0)
+        elif a == "--levels":
+            max_levels = int(argv.pop(0))
     data = build_stack()
+    if max_levels:
+        data = data[:max_levels]
     n_levels = data.shape[0]
     target = 10.0
     print(f"# geopotential-like stack: {data.shape}, abs target {target}, "
@@ -95,9 +108,9 @@ def main():
     # reconstruction (chunk = the whole stack) — the capability the
     # reference's per-level chunking forgoes; intra rows mirror the
     # reference's recorded per-level configuration exactly.
-    for backend, temporal in (("zstd", False), ("cab", False),
-                              ("auto", False), ("zstd", True),
-                              ("cab", True)):
+    native_rows = (("zstd", False), ("cab", False), ("auto", False),
+                   ("zstd", True), ("cab", True)) if rows != "legacy" else ()
+    for backend, temporal in native_rows:
         config = CodecConfig(dims=data.shape, base_cr=30,
                              residual_mode=RESIDUAL_MAX_ERROR, error=target,
                              chunk_dims=(data.shape if temporal
@@ -116,6 +129,38 @@ def main():
         name = backend + (" temporal" if temporal else "")
         print(f"| {name} | {mb:.2f} | {cr32:.2f} | {2 * cr32:.2f} "
               f"| {rmse:.3f} | {maxe:.3f} | {dt:.1f} |")
+    # Same-data A/B via the legacy interop codec: the reference's OWN
+    # format and algorithm (real OpenJPEG J2K base at base_cr/2, SPIHT
+    # residual truncation search, zstd-22 — compat/legacy.py) run on the
+    # identical proxy stack.  This isolates format-vs-data effects that
+    # the recorded-number comparison below cannot.
+    if rows == "native":
+        return
+    try:
+        from ebcc_tpu.compat import legacy as _legacy
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=target,
+                             chunk_dims=(1, 721, 1440))
+        t0 = time.perf_counter()
+        blob = _legacy.encode_chunked(data.astype(np.float32), config)
+        out = _legacy.decode(blob).reshape(data.shape)
+        dt = time.perf_counter() - t0
+        err = out.astype(np.float64) - data
+        rmse = float(np.sqrt((err ** 2).mean()))
+        maxe = float(np.abs(err).max())
+        # Reference semantics can overshoot the bound slightly (the mean
+        # adjustment runs AFTER its feasibility check); its own tests
+        # allow observed error <= 1.5x target (reference
+        # tests/benchmarks/test_compression_benchmarks.py:43).  The native
+        # rows above use centered feasibility and never overshoot.
+        assert maxe <= 1.5 * target, (maxe, target)
+        mb = len(blob) / 1e6
+        cr32 = data.nbytes / len(blob)
+        print(f"| legacy EBCC v1 (J2K+SPIHT, same data) | {mb:.2f} "
+              f"| {cr32:.2f} | {2 * cr32:.2f} | {rmse:.3f} | {maxe:.3f} "
+              f"| {dt:.1f} |")
+    except Exception as e:  # pragma: no cover - Pillow/OpenJPEG optional
+        print(f"\n(legacy-format row skipped: {e})")
     print(f"\nreference recorded at this operating point "
           f"(data/logs.txt:17-20): 1.81 MB, RMSE 1.608, max 9.979, "
           f"CR 21.97 (compress_logs.txt:642)")

@@ -56,10 +56,12 @@ class TestCompressionPerformance:
         config = CodecConfig(dims=data.shape,
                              residual_mode=RESIDUAL_LOSSLESS)
         encode(data, config)  # warm (zstd ctx etc.)
-        t0 = time.perf_counter()
-        blob = encode(data, config)
-        out = decode(blob)
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(3):  # best-of-3: robust to co-tenant load spikes
+            t0 = time.perf_counter()
+            blob = encode(data, config)
+            out = decode(blob)
+            dt = min(dt, time.perf_counter() - t0)
         assert np.array_equal(out.view(np.uint32),
                               data.reshape(out.shape).view(np.uint32))
         assert data.nbytes / dt > 20e6, f"{data.nbytes / dt / 1e6:.1f} MB/s"
