@@ -267,6 +267,27 @@ def _device_main():
     cr = data.nbytes / len(blob)
     up, down = measure_link()
 
+    # CR at the best entropy backend (CAB context-adaptive arithmetic
+    # coder) on the same data/bound — the ratio headline; the throughput
+    # headline above uses the zstd backend unless EBCC_BENCH_ENTROPY says
+    # otherwise.  Failure-loud like the lossless extra.
+    cab_cr = None
+    cab_encode_pts = None
+    if (os.environ.get("EBCC_BENCH_CAB", "1") == "1"
+            and config.entropy_backend != "cab"):
+        cab_cfg = CodecConfig(
+            dims=data.shape, base_cr=30, residual_mode=mode,
+            error=ERROR_TARGET, chunk_dims=(1, H, W),
+            zstd_level=config.zstd_level, entropy_backend="cab")
+        cblob = ebcc_tpu.encode_chunked(data, cab_cfg)
+        ct0 = time.perf_counter()
+        cblob = ebcc_tpu.encode_chunked(data, cab_cfg)
+        cab_encode_pts = n_points / (time.perf_counter() - ct0)
+        cout = ebcc_tpu.decode_chunked(cblob)
+        cab_err = float(np.abs(cout - data).max())
+        assert cab_err <= bound, (cab_err, bound)
+        cab_cr = data.nbytes / len(cblob)
+
     # Device-compute proxy: encode program chained into the device decode
     # reconstruction, all in HBM, no exchange in the loop.  On a real TPU
     # host (PCIe moves the exchange ~1000x faster than this dev tunnel)
@@ -378,11 +399,11 @@ def _device_main():
 
     # Lossless mode (bit-exact, host coder): ratio + throughput on the
     # same frames — the archival what-if alongside the lossy headline.
+    # Failure-loud: any error other than an explicit env disable propagates
+    # and fails the bench (round-2 regression hid behind a broad except).
     lossless_cr = None
     lossless_pts = None
-    try:
-        if os.environ.get("EBCC_BENCH_LOSSLESS", "1") != "1":
-            raise ValueError("lossless extra disabled")
+    if os.environ.get("EBCC_BENCH_LOSSLESS", "1") == "1":
         from ebcc_tpu import RESIDUAL_LOSSLESS
         ln = min(8, N_FRAMES)
         ldata = np.ascontiguousarray(data[:ln])
@@ -398,8 +419,6 @@ def _device_main():
         assert np.array_equal(lout.view(np.uint32), ldata.view(np.uint32))
         lossless_cr = ldata.nbytes / len(lblob)
         lossless_pts = ldata.size / dt
-    except Exception as e:
-        print("lossless extra unavailable: %r" % (e,), file=sys.stderr)
 
     # Serial native C++ codec on one frame: a MEASURED on-this-machine
     # stand-in for the reference's serial C codec (same algorithm family,
@@ -435,12 +454,19 @@ def _device_main():
     except Exception:
         pass
 
-    print(json.dumps({
+    result = {
         "metric": "device-resident encode+decode throughput @ max_error bound",
         "value": round(dev_pts_per_s, 1),
         "unit": "grid-points/s",
         "vs_baseline": round(dev_pts_per_s / BASELINE_PTS_PER_S, 2),
+        # Two-sided ratio (round-2 VERDICT #6): vs_baseline divides by the
+        # ASSUMED 1e6 pts/s reference rate; vs_measured_serial divides by
+        # the MEASURED one-frame serial C++ codec rate on this machine.
+        "vs_measured_serial": None,  # filled below once native_pts is known
         "compression_ratio": round(cr, 2),
+        "compression_ratio_cab": round(cab_cr, 2) if cab_cr else None,
+        "cab_host_encode_pts_per_s": round(cab_encode_pts, 1)
+        if cab_encode_pts else None,
         "compression_ratio_device_streams": round(
             data.nbytes / blob_bytes, 2),
         "max_error": maxerr,
@@ -467,7 +493,10 @@ def _device_main():
         if native_host_pts else None,
         "frames": N_FRAMES,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if native_pts:
+        result["vs_measured_serial"] = round(dev_pts_per_s / native_pts, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

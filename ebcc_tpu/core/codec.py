@@ -621,8 +621,6 @@ def _native_unpacker():
 def _rice_enabled() -> bool:
     """Rice-coded value fetch (transfer.rice_pack + native decode): on by
     default when the native library is available; EBCC_NO_RICE=1 disables."""
-    import os
-
     if os.environ.get("EBCC_NO_RICE"):
         return False
     from .. import native
@@ -2021,7 +2019,6 @@ def encode_chunked(data: np.ndarray, config: CodecConfig,
 
     nm = _native_encoder(opts, config, n_frames)
     if nm is not None:
-        import os
         from concurrent.futures import ThreadPoolExecutor
 
         workers = max(1, min(os.cpu_count() or 1, num_chunks))
@@ -2117,8 +2114,6 @@ def decode_chunked(buf: bytes, max_batch: int = DEFAULT_MAX_BATCH) -> np.ndarray
     nm = _native_decoder()
     if nm is not None:
         from concurrent.futures import ThreadPoolExecutor
-
-        import os
 
         workers = min(os.cpu_count() or 1, len(chunk_streams))
         with stage("dec: native"):

@@ -267,6 +267,24 @@ class TestNativeEncodeRouting:
         out2 = decode_chunked(blob)
         assert np.abs(out2 - data).max() <= 0.1
 
+    def test_lossless_chunked_native_route(self, native, base_test_data,
+                                           monkeypatch):
+        """Regression (round-2 VERDICT #2): a function-local ``import os``
+        in encode_chunked shadowed the module import, so the lossless
+        branch (which calls os.cpu_count() before that line) crashed with
+        UnboundLocalError whenever the native encoder was routed."""
+        from ebcc_tpu import (RESIDUAL_LOSSLESS, decode_chunked,
+                              encode_chunked)
+        data = np.ascontiguousarray(base_test_data[:128, :192])[None]
+        config = CodecConfig(dims=data.shape,
+                             residual_mode=RESIDUAL_LOSSLESS,
+                             chunk_dims=(1, 64, 64))
+        monkeypatch.setenv("EBCC_ENCODE_BACKEND", "native")
+        monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
+        blob = encode_chunked(data, config)
+        out = decode_chunked(blob)
+        assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
 
 class TestChunkedEntropyBackend:
     def test_chunked_respects_cab_backend(self, native, base_test_data):
