@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading as _threading_mod
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -638,12 +639,10 @@ def _max_safe_batch(chunk_numel: int) -> int:
     return max(1, (2 ** 31 - 1) // (2 * max(1, chunk_numel)))
 
 
-@jax.jit
-def _pack_small_program(small):
-    """Bit-pack every small encode output into ONE uint32 vector so the
-    host fetch is a single link round trip.  ~25 scalar/(B,)-sized leaves
-    fetched individually cost one high-latency RPC each on a tunneled
-    link; packed they cost one.  jax.jit caches per pytree structure."""
+def _pack_small_flat(small):
+    """Device-side: bit-pack every small encode output into ONE uint32
+    vector (traceable helper shared by the standalone and fused fetch
+    programs)."""
     parts = []
     for k in sorted(small.keys()):
         v = small[k]
@@ -658,17 +657,22 @@ def _pack_small_program(small):
     return jnp.concatenate(parts)
 
 
-def _fetch_small_packed(small):
-    """One-RPC fetch of the small encode outputs: device-side bit-pack
-    (:func:`_pack_small_program`) + host-side split/bitcast back to the
-    original dict of numpy arrays/scalars."""
-    keys = sorted(small.keys())
-    packed = _pack_small_program(small)
-    transfer.count_down(packed.nbytes)
-    flat = np.asarray(jax.device_get(packed))
+@jax.jit
+def _pack_small_program(small):
+    """Bit-pack every small encode output into ONE uint32 vector so the
+    host fetch is a single link round trip.  ~25 scalar/(B,)-sized leaves
+    fetched individually cost one high-latency RPC each on a tunneled
+    link; packed they cost one.  jax.jit caches per pytree structure."""
+    return _pack_small_flat(small)
+
+
+def _split_small_flat(flat: np.ndarray, small) -> dict:
+    """Host-side inverse of :func:`_pack_small_flat`: split/bitcast the
+    fetched uint32 vector back into the dict of numpy arrays/scalars,
+    using ``small`` (the device output dict) as the shape/dtype template."""
     outd = {}
     off = 0
-    for k in keys:
+    for k in sorted(small.keys()):
         v = small[k]
         n = int(np.prod(v.shape)) if v.ndim else 1
         raw = flat[off:off + n]
@@ -684,6 +688,132 @@ def _fetch_small_packed(small):
     return outd
 
 
+def _small_flat_size(small) -> int:
+    return sum((int(np.prod(v.shape)) if v.ndim else 1)
+               for v in small.values())
+
+
+def _fetch_small_packed(small):
+    """One-RPC fetch of the small encode outputs: device-side bit-pack
+    (:func:`_pack_small_program`) + host-side split/bitcast back to the
+    original dict of numpy arrays/scalars."""
+    packed = _pack_small_program(small)
+    transfer.count_down(packed.nbytes)
+    flat = np.asarray(jax.device_get(packed))
+    return _split_small_flat(flat, small)
+
+
+# ---------------------------------------------------------------------------
+# Fused encode-direction fetch: smalls + Rice pair in ONE transfer
+# ---------------------------------------------------------------------------
+#
+# The 3-RPC exchange (small fetch -> exact-size fetch -> payload fetch) costs
+# ~100 ms of pure round-trip latency per sub-batch on a tunneled link.  With
+# a size HINT from the previous same-shaped sub-batch, one program packs the
+# smalls and the compacted Rice pair into a single buffer fetched in ONE
+# round trip; the smalls then reveal the true nnz and the Rice header the
+# true word count, so a hint miss costs extra transfers but never
+# correctness.  Streams stay byte-identical: the hint only sizes transfers.
+
+_EXCH_HINTS: dict = {}
+_EXCH_LOCK = _threading_mod.Lock()
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "bound", "hw"))
+def _fused_exchange_program(small, vals_flat, sig_bytes, *, cap, bound, hw):
+    packed = _pack_small_flat(small)
+    words, _needed = transfer.compact_rice_exchange(
+        vals_flat, sig_bytes, cap=cap, hw=hw)
+    head = jnp.concatenate([packed, words[:bound]])
+    return head, words
+
+
+def _exch_hint_get(key):
+    with _EXCH_LOCK:
+        return _EXCH_HINTS.get(key)
+
+
+def _exch_hint_put(key, nnz: int, words: int) -> None:
+    with _EXCH_LOCK:
+        _EXCH_HINTS[key] = {"nnz": int(nnz), "words": int(words)}
+
+
+def _decode_rice_pair_host(head: np.ndarray, nnz: int, hp: int, wp: int):
+    """Host side of the compact exchange: split the fetched pair buffer and
+    Rice-decode positions + classed values via the native walkers."""
+    from .. import native
+
+    ga, vb_ = transfer.split_rice_pair(head, nnz)
+    idx = native.rice_decode_gaps_classed(
+        ga, nnz, hp, wp, transfer.unpack_rice_ks(ga[1]))
+    cls = transfer.coeff_class_host(idx, hp, wp)
+    vals = native.rice_decode_classed(
+        vb_, nnz, cls, transfer.unpack_rice_ks(vb_[1]))
+    return idx, vals
+
+
+def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
+    """Hint-sized single-RPC fetch of smalls + Rice pair.  Returns the
+    completed output dict, or None when the hinted cap cannot be used
+    (caller falls back to the 3-RPC path)."""
+    cap = transfer.bucket_count(max(1, int(hint["nnz"] * 1.15)))
+    if cap > transfer.COMPACT_CAP_LIMIT:
+        return None
+    max_words = transfer.RICE_PAIR_HEADER_WORDS + (104 * cap) // 32 + 8
+    bound = min(transfer.bucket_count(
+        max(64, int(hint["words"] * 1.2))), max_words)
+    n_small = _small_flat_size(small)
+    with stage("enc: fused fetch"):
+        head_dev, words_dev = _fused_exchange_program(
+            small, out["vals_comb"], out["sig_comb"].reshape(-1),
+            cap=cap, bound=bound, hw=(hp, wp))
+        transfer.count_down(4 * (n_small + bound))
+        flat = np.asarray(jax.device_get(head_dev))
+        outd = _split_small_flat(flat[:n_small], small)
+        nnz = int(outd.pop("exchange_nnz", -1))
+        if nnz == 0:
+            _exch_hint_put(key, 0, 64)
+            outd["sparse"] = _SparseBatch(
+                np.zeros(0, np.int32), np.zeros(0, np.int32), b, d0, hp, wp)
+            return outd
+        if nnz < 0:
+            return None
+        if nnz > cap:
+            # Hint miss (density jumped >15%): redo the compaction at the
+            # true capacity — correct, just pays the extra round trips.
+            cap2 = transfer.bucket_count(nnz)
+            if cap2 > transfer.COMPACT_CAP_LIMIT:
+                return None
+            words_dev, needed_dev = transfer.compact_rice_exchange(
+                out["vals_comb"], out["sig_comb"].reshape(-1), cap=cap2,
+                hw=(hp, wp))
+            need = int(jax.device_get(needed_dev))
+            transfer.count_down(4)
+            bound2 = min(transfer.bucket_count(need),
+                         int(words_dev.shape[0]))
+            head = np.asarray(jax.device_get(words_dev[:bound2]))
+            transfer.count_down(4 * bound2)
+            _exch_hint_put(key, nnz, need)
+            idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
+            outd["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
+            return outd
+        head = flat[n_small:]
+        bits_a, bits_b = int(head[0]), int(head[2])
+        need = (transfer.RICE_PAIR_HEADER_WORDS
+                + (bits_a + 31) // 32 + (bits_b + 31) // 32)
+        if need > bound:
+            # Rare: entropy above the hinted bound — fetch the tail from
+            # the still-resident full words buffer.
+            hi = min(transfer.bucket_count(need), max_words)
+            tail = np.asarray(jax.device_get(words_dev[bound:hi]))
+            transfer.count_down(tail.nbytes)
+            head = np.concatenate([head, tail])
+        _exch_hint_put(key, nnz, need)
+        idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
+        outd["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
+        return outd
+
+
 def _fetch_encode_outputs(out, error_mode: bool):
     """Transfer device encode outputs to host via the sparse coefficient
     exchange (core.transfer).
@@ -697,13 +827,22 @@ def _fetch_encode_outputs(out, error_mode: bool):
     Fallback (no native Rice decoder, or significance density above the
     compaction capacity): fetch the packed significance bitmap, upload the
     index vector, fetch the compacted values."""
-    with stage("enc: small fetch (+compute)"):
-        small = {k: v for k, v in out.items()
-                 if k not in ("vals_comb", "sig_comb")}
-        small = _fetch_small_packed(small)
-
     nl, b, d0, hp, wb = out["sig_comb"].shape
     wp = wb * 8
+    small_dev = {k: v for k, v in out.items()
+                 if k not in ("vals_comb", "sig_comb")}
+
+    if _rice_enabled() and "exchange_nnz" in small_dev:
+        key = (nl, b, d0, hp, wb)
+        hint = _exch_hint_get(key)
+        if hint is not None:
+            res = _fused_fetch_encode_outputs(out, small_dev, key, hint,
+                                              b, d0, hp, wp)
+            if res is not None:
+                return res
+
+    with stage("enc: small fetch (+compute)"):
+        small = _fetch_small_packed(small_dev)
 
     nnz = int(small.pop("exchange_nnz", -1))
     if nnz == 0:
@@ -733,14 +872,8 @@ def _fetch_encode_outputs(out, error_mode: bool):
                         int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound]))
             transfer.count_down(4 * bound)
-            ga, vb_ = transfer.split_rice_pair(head, nnz)
-            from .. import native
-
-            idx = native.rice_decode_gaps_classed(
-                ga, nnz, hp, wp, transfer.unpack_rice_ks(ga[1]))
-            cls = transfer.coeff_class_host(idx, hp, wp)
-            vals = native.rice_decode_classed(
-                vb_, nnz, cls, transfer.unpack_rice_ks(vb_[1]))
+            _exch_hint_put((nl, b, d0, hp, wb), nnz, need)
+            idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
         small["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
         return small
 
@@ -1205,10 +1338,12 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
 def _pipeline_encode_slices(slices, counts, config: CodecConfig,
                             opts: EncodeOptions, n_frames, h, w) -> List[bytes]:
     """Encode a sequence of equally-typed batch slices with a pipelined
-    schedule: two fetch workers keep the (latency-bound) device round-trips
-    of slices k+1/k+2 in flight while the main thread entropy-codes slice
-    k.  The per-slice fetch is a chain of small link round-trips, so depth-2
-    prefetch roughly doubles link utilization."""
+    schedule: fetch workers keep the (latency-bound) device round-trips
+    of slices k+1..k+3 in flight while ASSEMBLER workers entropy-code the
+    already-fetched slices — nothing heavier than orchestration runs on
+    the main thread, so host zstd/stream assembly fully overlaps both
+    link legs (round-2 VERDICT #1: assembly used to serialize ~0.5 s/rep
+    on the main thread between fetches)."""
     from concurrent.futures import ThreadPoolExecutor
 
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
@@ -1219,17 +1354,19 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
             encode_batch_device(sl, config, opts), error_mode)
 
     depth = min(3, max(1, len(slices) - 1))
-    streams_out: List[bytes] = []
-    with ThreadPoolExecutor(max_workers=depth) as fetcher:
+    with ThreadPoolExecutor(max_workers=depth) as fetcher, \
+            ThreadPoolExecutor(max_workers=2) as assembler:
         futs = [fetcher.submit(run_batch, s) for s in slices[:depth]]
+        asm = []
         for i, b in enumerate(counts):
             out_np = futs[i].result()
             if i + depth < len(slices):
                 futs.append(fetcher.submit(run_batch, slices[i + depth]))
-            streams_out.extend(
-                _assemble_batch(out_np, config, opts, n_frames, h, w,
-                                backend, error_mode, b))
-    return streams_out
+            asm.append(assembler.submit(
+                _assemble_batch, out_np, config, opts, n_frames, h, w,
+                backend, error_mode, b))
+        per_slice = [f.result() for f in asm]
+    return [s for ss in per_slice for s in ss]
 
 
 def _native_encoder(opts: Optional[EncodeOptions] = None,
@@ -1619,23 +1756,27 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 nb2 = (cap + 1) // 2
                 g8c, g16c, g32c = transfer.nib_tier_caps(cap, "gap")
                 v8c, v16c, v32c = transfer.nib_tier_caps(cap, "val")
-                bytes_u8 = np.zeros(
-                    2 * nb2 + g8c + v8c + 2 * (g16c + v16c), np.uint8)
+                n_bytes = 2 * nb2 + g8c + v8c + 2 * (g16c + v16c)
+                n_ints = g32c + v32c + 2 * ne + 1
+                # One fused upload buffer: [tier bytes | ints LE | floats
+                # LE] — a single device_put instead of three (RPC latency
+                # dominates small uploads on a tunneled link).
+                buf = np.zeros(n_bytes + 4 * n_ints + 16 * ne, np.uint8)
                 o = 0
-                bytes_u8[o:o + nb2] = transfer.pack_nibbles(gt[0], cap)
+                buf[o:o + nb2] = transfer.pack_nibbles(gt[0], cap)
                 o += nb2
-                bytes_u8[o:o + nb2] = transfer.pack_nibbles(vt[0], cap)
+                buf[o:o + nb2] = transfer.pack_nibbles(vt[0], cap)
                 o += nb2
-                bytes_u8[o:o + gt[1].size] = gt[1]
+                buf[o:o + gt[1].size] = gt[1]
                 o += g8c
-                bytes_u8[o:o + vt[1].size] = vt[1]
+                buf[o:o + vt[1].size] = vt[1]
                 o += v8c
-                bytes_u8[o:o + 2 * gt[2].size] = gt[2].astype(
+                buf[o:o + 2 * gt[2].size] = gt[2].astype(
                     "<u2").view(np.uint8)
                 o += 2 * g16c
-                bytes_u8[o:o + 2 * vt[2].size] = vt[2].astype(
+                buf[o:o + 2 * vt[2].size] = vt[2].astype(
                     "<u2").view(np.uint8)
-                ints = np.zeros(g32c + v32c + 2 * ne + 1, np.int32)
+                ints = np.zeros(n_ints, np.int32)
                 ints[: gt[3].size] = gt[3]
                 ints[g32c: g32c + vt[3].size] = vt[3]
                 ints[g32c + v32c: g32c + v32c + ne] = base_cut
@@ -1643,11 +1784,12 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                 ints[g32c + v32c + 2 * ne] = idx.size
                 floats = np.stack([minval, maxval, rmin, rmax]).astype(
                     np.float32)
-                transfer.count_up(bytes_u8.nbytes + ints.nbytes
-                                  + floats.nbytes)
-                out = kernels.decode_batch_sparse_nibble(
-                    jax.device_put(bytes_u8), jax.device_put(ints),
-                    jax.device_put(floats), cap=cap, **kw)
+                buf[n_bytes:n_bytes + 4 * n_ints] = ints.view(np.uint8)
+                buf[n_bytes + 4 * n_ints:] = floats.reshape(-1).view(
+                    np.uint8)
+                transfer.count_up(buf.nbytes)
+                out = kernels.decode_batch_sparse_nibble_fused(
+                    jax.device_put(buf), cap=cap, **kw)
                 return _finish(out), const_mask, _chunk_minval, nan_masks
         if use_bytes:
             g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(
@@ -1848,28 +1990,34 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
         return _fetch_encode_outputs(
             encode_batch_device(sl, config, opts), error_mode)
 
+    def post_batch(i, out_np, count):
+        """Assemble slice i's streams, then start its device decode —
+        runs on a worker so host entropy/assembly work overlaps the link
+        legs of the other slices (nothing heavy on the main thread)."""
+        streams = _assemble_batch(out_np, config, opts, n_frames, h, w,
+                                  backend, error_mode, count)
+        streams = _set_log_flags(streams, config, orig_config)
+        if masks is not None:
+            s0 = starts[i]
+            streams = _append_mask_sections(
+                streams, masks[s0:s0 + count], config.zstd_level)
+        out, _, _, nanm = _decode_streams_device(streams)
+        return streams, _apply_nan_masks_device(out, nanm)
+
     depth = min(3, max(1, len(slices) - 1))
-    streams_out: List[bytes] = []
-    dec_futs = []
     with ThreadPoolExecutor(max_workers=depth) as fetcher, \
-            ThreadPoolExecutor(max_workers=2) as decoder:
+            ThreadPoolExecutor(max_workers=2) as poster:
         futs = [fetcher.submit(run_batch, s) for s in slices[:depth]]
+        post_futs = []
         for i, sl in enumerate(slices):
             out_np = futs[i].result()
             if i + depth < len(slices):
                 futs.append(fetcher.submit(run_batch, slices[i + depth]))
-            streams = _assemble_batch(out_np, config, opts, n_frames, h, w,
-                                      backend, error_mode, sl.shape[0])
-            streams = _set_log_flags(streams, config, orig_config)
-            if masks is not None:
-                s0 = starts[i]
-                streams = _append_mask_sections(
-                    streams, masks[s0:s0 + sl.shape[0]], config.zstd_level)
-            streams_out.extend(streams)
-            dec_futs.append(decoder.submit(_decode_streams_device, streams))
-        outs = [_apply_nan_masks_device(f.result()[0], f.result()[3])
-                for f in dec_futs]
-    return streams_out, jnp.concatenate(outs, axis=0)
+            post_futs.append(poster.submit(post_batch, i, out_np,
+                                           sl.shape[0]))
+        results = [f.result() for f in post_futs]
+    streams_out = [s for streams, _ in results for s in streams]
+    return streams_out, jnp.concatenate([d for _, d in results], axis=0)
 
 
 def _native_decoder():

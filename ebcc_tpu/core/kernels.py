@@ -840,6 +840,45 @@ def decode_batch_sparse_nibble(
         use_pallas=use_pallas)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "base_levels", "res_levels", "out_hw",
+                     "has_residual", "grid_shape", "use_pallas"),
+)
+def decode_batch_sparse_nibble_fused(
+    buf_u8,         # [nibble/byte tiers | ints as LE bytes | floats as LE bytes]
+    *,
+    cap: int,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
+):
+    """Single-upload variant of :func:`decode_batch_sparse_nibble`: the
+    three operand arrays ride ONE uint8 buffer (int32/float32 sections
+    bitcast on device), so the decode direction costs one host->device
+    transfer instead of three — on a high-latency tunneled link each
+    round trip is ~30 ms, which dominated the decode dispatch."""
+    b = grid_shape[0]
+    nb2 = (cap + 1) // 2
+    g8c, g16c, g32c = transfer.nib_tier_caps(cap, "gap")
+    v8c, v16c, v32c = transfer.nib_tier_caps(cap, "val")
+    n_bytes = 2 * nb2 + g8c + v8c + 2 * (g16c + v16c)
+    n_ints = g32c + v32c + 2 * b + 1
+    bytes_u8 = buf_u8[:n_bytes]
+    ints_i32 = jax.lax.bitcast_convert_type(
+        buf_u8[n_bytes:n_bytes + 4 * n_ints].reshape(n_ints, 4), jnp.int32)
+    floats_f32 = jax.lax.bitcast_convert_type(
+        buf_u8[n_bytes + 4 * n_ints:n_bytes + 4 * n_ints + 16 * b
+               ].reshape(4, b, 4), jnp.float32)
+    return decode_batch_sparse_nibble(
+        bytes_u8, ints_i32, floats_f32, cap=cap, base_levels=base_levels,
+        res_levels=res_levels, out_hw=out_hw, has_residual=has_residual,
+        grid_shape=grid_shape, use_pallas=use_pallas)
+
+
 @functools.partial(jax.jit, static_argnames=("t_frames",))
 def temporal_accumulate(frames, t_frames: int):
     """Per-frame temporal-entry decodes (n*T, 1, h, w) -> accumulated

@@ -83,19 +83,20 @@ def build_stack():
 
 
 def main():
-    # Row selection: `--rows native` (default: all), `--rows legacy`,
-    # `--levels N` truncates the stack (quick checks on loaded boxes).
-    rows = "all"
-    max_levels = None
-    argv = sys.argv[1:]
-    while argv:
-        a = argv.pop(0)
-        if a == "--rows":
-            rows = argv.pop(0)
-        elif a == "--levels":
-            max_levels = int(argv.pop(0))
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="A/B table: native backends vs the legacy EBCC v1 "
+                    "interop codec on a geopotential-like proxy stack.")
+    parser.add_argument("--rows", choices=("all", "native", "legacy"),
+                        default="all", help="which table rows to run")
+    parser.add_argument("--levels", type=int, default=None, metavar="N",
+                        help="truncate the stack to N pressure levels "
+                             "(quick checks on loaded boxes)")
+    ns = parser.parse_args()
+    rows, max_levels = ns.rows, ns.levels
     data = build_stack()
-    if max_levels:
+    if max_levels is not None:
         data = data[:max_levels]
     n_levels = data.shape[0]
     target = 10.0
@@ -136,6 +137,10 @@ def main():
     # the recorded-number comparison below cannot.
     if rows == "native":
         return
+    # Only the optional-dependency surface (Pillow/OpenJPEG import and the
+    # codepaths that call into it) may skip the row; a bound violation in
+    # the legacy codec must FAIL the script, not print a skip line.
+    legacy_result = None
     try:
         from ebcc_tpu.compat import legacy as _legacy
         config = CodecConfig(dims=data.shape, base_cr=30,
@@ -145,6 +150,11 @@ def main():
         blob = _legacy.encode_chunked(data.astype(np.float32), config)
         out = _legacy.decode(blob).reshape(data.shape)
         dt = time.perf_counter() - t0
+        legacy_result = (blob, out, dt)
+    except (ImportError, OSError) as e:  # pragma: no cover - Pillow optional
+        print(f"\n(legacy-format row skipped: {e})")
+    if legacy_result is not None:
+        blob, out, dt = legacy_result
         err = out.astype(np.float64) - data
         rmse = float(np.sqrt((err ** 2).mean()))
         maxe = float(np.abs(err).max())
@@ -159,8 +169,6 @@ def main():
         print(f"| legacy EBCC v1 (J2K+SPIHT, same data) | {mb:.2f} "
               f"| {cr32:.2f} | {2 * cr32:.2f} | {rmse:.3f} | {maxe:.3f} "
               f"| {dt:.1f} |")
-    except Exception as e:  # pragma: no cover - Pillow/OpenJPEG optional
-        print(f"\n(legacy-format row skipped: {e})")
     print(f"\nreference recorded at this operating point "
           f"(data/logs.txt:17-20): 1.81 MB, RMSE 1.608, max 9.979, "
           f"CR 21.97 (compress_logs.txt:642)")

@@ -39,9 +39,13 @@ class TestCompressionPerformance:
         config = CodecConfig(dims=data.shape, base_cr=30,
                              residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
         encode(data, config)  # warm the compile cache
-        t0 = time.perf_counter()
-        blob = encode(data, config)
-        dt = time.perf_counter() - t0
+        # Best-of-3: a single rep loses to scheduler noise when the full
+        # suite saturates the box (the floor itself is generous).
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blob = encode(data, config)
+            dt = min(dt, time.perf_counter() - t0)
         assert data.nbytes / dt > 1e6, f"{data.nbytes / dt / 1e6:.2f} MB/s"
         assert len(blob) > 0
 
