@@ -719,13 +719,21 @@ _EXCH_HINTS: dict = {}
 _EXCH_LOCK = _threading_mod.Lock()
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "bound", "hw"))
-def _fused_exchange_program(small, vals_flat, sig_bytes, *, cap, bound, hw):
+@functools.partial(jax.jit, static_argnames=("cap", "hw"))
+def _fused_exchange_program(small, vals_flat, sig_bytes, *, cap, hw):
     packed = _pack_small_flat(small)
     words, _needed = transfer.compact_rice_exchange(
         vals_flat, sig_bytes, cap=cap, hw=hw)
-    head = jnp.concatenate([packed, words[:bound]])
-    return head, words
+    return packed, words
+
+
+@functools.partial(jax.jit, static_argnames=("bound",))
+def _fused_head_program(packed, words, *, bound):
+    """Tiny per-bound program: one fetchable buffer of smalls + words
+    prefix.  Separate from :func:`_fused_exchange_program` so a new bound
+    only recompiles this concat, not the whole compaction pipeline —
+    which lets the bound ride a fine (1/8-step) pad ladder."""
+    return jnp.concatenate([packed, words[:bound]])
 
 
 def _exch_hint_get(key):
@@ -760,13 +768,14 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
     if cap > transfer.COMPACT_CAP_LIMIT:
         return None
     max_words = transfer.RICE_PAIR_HEADER_WORDS + (104 * cap) // 32 + 8
-    bound = min(transfer.bucket_count(
-        max(64, int(hint["words"] * 1.2))), max_words)
+    bound = min(transfer.rice_block_bucket(
+        max(64, int(hint["words"] * 1.04))), max_words)
     n_small = _small_flat_size(small)
     with stage("enc: fused fetch"):
-        head_dev, words_dev = _fused_exchange_program(
+        packed_dev, words_dev = _fused_exchange_program(
             small, out["vals_comb"], out["sig_comb"].reshape(-1),
-            cap=cap, bound=bound, hw=(hp, wp))
+            cap=cap, hw=(hp, wp))
+        head_dev = _fused_head_program(packed_dev, words_dev, bound=bound)
         transfer.count_down(4 * (n_small + bound))
         flat = np.asarray(jax.device_get(head_dev))
         outd = _split_small_flat(flat[:n_small], small)
@@ -789,7 +798,7 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
                 hw=(hp, wp))
             need = int(jax.device_get(needed_dev))
             transfer.count_down(4)
-            bound2 = min(transfer.bucket_count(need),
+            bound2 = min(transfer.rice_block_bucket(need),
                          int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound2]))
             transfer.count_down(4 * bound2)
@@ -804,7 +813,7 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
         if need > bound:
             # Rare: entropy above the hinted bound — fetch the tail from
             # the still-resident full words buffer.
-            hi = min(transfer.bucket_count(need), max_words)
+            hi = min(transfer.rice_block_bucket(need), max_words)
             tail = np.asarray(jax.device_get(words_dev[bound:hi]))
             transfer.count_down(tail.nbytes)
             head = np.concatenate([head, tail])
@@ -868,7 +877,7 @@ def _fetch_encode_outputs(out, error_mode: bool):
             # and the pipeline's fetch workers hide the added latency.
             need = int(jax.device_get(needed_dev))
             transfer.count_down(4)
-            bound = min(transfer.bucket_count(need),
+            bound = min(transfer.rice_block_bucket(need),
                         int(words_dev.shape[0]))
             head = np.asarray(jax.device_get(words_dev[:bound]))
             transfer.count_down(4 * bound)
@@ -1749,6 +1758,52 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                   and 4 * cap > (2 * ne * sc) // 8)
     with stage("dec: upload sparse + decode"):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
+        if use_bytes and not os.environ.get("EBCC_NO_RICE_UPLOAD"):
+            # Blocked-Rice upload (~1.0 B per significant coefficient —
+            # near the downlink's entropy) decoded on device by parallel
+            # block lanes; nibble tiers remain the fallback below.
+            with stage("dec: rice pack host"):
+                pack = transfer.rice_block_pack_host
+                if _rice_enabled():
+                    from .. import native
+                    pack = native.rice_block_pack  # GIL-free C loop
+                words, lens_g, lens_v, k_packed, base_pos, nb = pack(
+                    idx, vals)
+            nbk = transfer.rice_block_bucket(nb)
+            nwk = transfer.rice_block_bucket(words.size)
+            n_ints = nbk + 2 * ne + 1
+            buf = np.zeros(4 * nwk + 5 * nbk + 4 * n_ints + 16 * ne,
+                           np.uint8)
+            o = 0
+            buf[:4 * words.size] = words.view(np.uint8)
+            o += 4 * nwk
+            # Padded lanes keep length 0 (cumsum-derived offsets stay
+            # correct) and decode garbage that the nnz mask drops.
+            buf[o:o + 2 * nb] = lens_g.view(np.uint8)
+            o += 2 * nbk
+            buf[o:o + 2 * nb] = lens_v.view(np.uint8)
+            o += 2 * nbk
+            buf[o:o + nb] = k_packed
+            o += nbk
+            ints = np.zeros(n_ints, np.int32)
+            ints[:nb] = base_pos
+            ints[nbk:nbk + ne] = base_cut
+            ints[nbk + ne:nbk + 2 * ne] = res_cut
+            ints[nbk + 2 * ne] = idx.size
+            floats = np.stack([minval, maxval, rmin, rmax]).astype(
+                np.float32)
+            buf[o:o + 4 * n_ints] = ints.view(np.uint8)
+            buf[o + 4 * n_ints:] = floats.reshape(-1).view(np.uint8)
+            transfer.count_up(buf.nbytes)
+            with stage("dec: rice device_put"):
+                buf_dev = jax.device_put(buf)
+            with stage("dec: rice dispatch"):
+                qflat, bc, rc, fl = kernels.rice_unpack_qflat(
+                    buf_dev, n_blocks=nbk, n_words=nwk,
+                    n_entries=ne, s=ne * ent_d0 * hp * wp)
+                out = kernels.decode_from_qflat_program(qflat, bc, rc, fl,
+                                                        **kw)
+            return _finish(out), const_mask, _chunk_minval, nan_masks
         if use_bytes and not os.environ.get("EBCC_NO_NIBBLE_UPLOAD"):
             gt, vt = transfer.nibble_pack_sparse_host(idx, vals)
             if (transfer.nibble_fits(gt, cap, "gap")

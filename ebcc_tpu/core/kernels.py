@@ -879,6 +879,84 @@ def decode_batch_sparse_nibble_fused(
         grid_shape=grid_shape, use_pallas=use_pallas)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_words", "n_entries", "s"))
+def rice_unpack_qflat(
+    buf_u8,         # [rice words LE | length/k tables | ints LE | floats LE]
+    *,
+    n_blocks: int,
+    n_words: int,
+    n_entries: int,
+    s: int,
+):
+    """Blocked-Rice decode-direction exchange, stage 1 (~1.0 B per
+    significant coefficient vs ~1.9 for the padded nibble tiers): the host
+    Rice-packs (gap, zigzag value) element blocks as independent bit
+    regions (transfer.rice_block_pack_host) and the device decodes every
+    block as a parallel lane of one lax.scan
+    (transfer.rice_block_unpack), scattering into the dense qflat vector.
+
+    A SEPARATE program from the reconstruction on purpose: this one
+    recompiles per (n_blocks, n_words) size bucket but is tiny, while
+    :func:`decode_from_qflat_program` compiles once per grid shape —
+    otherwise every density change would recompile the full inverse-DWT
+    pipeline."""
+    b = n_entries
+    nb = n_blocks
+    # layout: [words u32 | lens_g u16 | lens_v u16 | k_packed u8 |
+    #          base_pos i32 | base_cut i32 | res_cut i32 | nnz | floats]
+    o = 4 * n_words
+    words = jax.lax.bitcast_convert_type(
+        buf_u8[:o].reshape(n_words, 4), jnp.uint32)
+    lens_g = jax.lax.bitcast_convert_type(
+        buf_u8[o:o + 2 * nb].reshape(nb, 2), jnp.uint16)
+    o += 2 * nb
+    lens_v = jax.lax.bitcast_convert_type(
+        buf_u8[o:o + 2 * nb].reshape(nb, 2), jnp.uint16)
+    o += 2 * nb
+    k_packed = buf_u8[o:o + nb]
+    o += nb
+    n_ints = nb + 2 * b + 1
+    ints = jax.lax.bitcast_convert_type(
+        buf_u8[o:o + 4 * n_ints].reshape(n_ints, 4), jnp.int32)
+    o += 4 * n_ints
+    floats = jax.lax.bitcast_convert_type(
+        buf_u8[o:o + 16 * b].reshape(4, b, 4), jnp.float32)
+    base_pos = ints[:nb]
+    base_cut = ints[nb:nb + b]
+    res_cut = ints[nb + b:nb + 2 * b]
+    nnz = ints[nb + 2 * b]
+    idx, vals = transfer.rice_block_unpack(
+        words, lens_g, lens_v, k_packed, base_pos, nnz, n_blocks=nb)
+    qflat = jnp.zeros(2 * s, jnp.int32).at[
+        jnp.where(idx < 0, 2 * s, idx)].set(vals, mode="drop")
+    return qflat, base_cut, res_cut, floats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_levels", "res_levels", "out_hw", "has_residual",
+                     "grid_shape", "use_pallas"),
+)
+def decode_from_qflat_program(
+    qflat, base_cut, res_cut, floats,
+    *,
+    base_levels: int = 5,
+    res_levels: int = 3,
+    out_hw=(721, 1440),
+    has_residual: bool = True,
+    grid_shape=(1, 1, 736, 1440),
+    use_pallas: bool = True,
+):
+    """Stage 2 of the blocked-Rice decode path: dense qflat -> frames.
+    Compiled once per grid shape regardless of exchange size buckets."""
+    return _decode_from_qflat(
+        qflat, base_cut, res_cut, floats[0], floats[1], floats[2],
+        floats[3], base_levels=base_levels, res_levels=res_levels,
+        out_hw=out_hw, has_residual=has_residual, grid_shape=grid_shape,
+        use_pallas=use_pallas)
+
+
 @functools.partial(jax.jit, static_argnames=("t_frames",))
 def temporal_accumulate(frames, t_frames: int):
     """Per-frame temporal-entry decodes (n*T, 1, h, w) -> accumulated

@@ -596,6 +596,200 @@ def nibble_unpack_sparse(gap_tiers, val_tiers, nnz):
     return idx, vals
 
 
+# --- Blocked-Rice upload ----------------------------------------------------
+#
+# The nibble-tier upload ships the FULL padded tier capacities (~1.9 B per
+# significant coefficient with bucketing) because the device program needs
+# static shapes.  Rice coding the same (gap, zigzag-value) pair reaches
+# ~1.0 B/coeff — near the downlink's entropy — but a Rice stream is
+# bit-serial.  The blocked form restores device parallelism: the host packs
+# ELEMENT BLOCKS of ``RICE_BLOCK`` entries as independent bit regions (each
+# with its own Rice parameter k, adapted per block) and uploads a restart
+# table [bit offset, k] per lane plus the previous position per gap block;
+# the device then decodes all gap blocks AND all value blocks as parallel
+# lanes of one lax.scan over RICE_BLOCK steps — one code per lane per step.
+# Same code family as :func:`rice_pack`: q unary ones, zero terminator, k
+# remainder bits; quotients >= RICE_ESC escape to 32 raw bits after the ESC
+# ones (no terminator).  Gaps are coded RAW (not zigzagged — they are
+# non-negative); values are zigzagged.
+
+RICE_BLOCK = 128
+
+
+def rice_block_bucket(n: int) -> int:
+    """Pad ladder for lane/word counts: 1/8 steps from 64 (~3% average
+    padding; the 4096 floor and 25% steps of :func:`bucket_count` would
+    swamp the upload with zeros).  Every rung is a multiple of 8, which
+    keeps the fused buffer's u16/nibble sections 4-byte aligned."""
+    cap = 64
+    while True:
+        for i in range(8):
+            m = cap + (cap // 8) * i
+            if n <= m:
+                return m
+        cap *= 2
+
+
+def _rice_k_for(z_sum: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Per-block Rice parameter from the block mean (k = floor(log2(mean+1)),
+    the standard estimate), clamped so q+1+k <= 31 for non-escapes."""
+    mean = z_sum / np.maximum(cnt, 1)
+    return np.clip(np.floor(np.log2(mean + 1.0)), 0,
+                   31 - RICE_ESC).astype(np.int32)
+
+
+def rice_block_pack_host(idx: np.ndarray, vals: np.ndarray,
+                         block: int = RICE_BLOCK):
+    """Host-side packer: sorted int64 positions + signed int32 values ->
+    (words_u32, lens_g_u16, lens_v_u16, k_packed_u8, base_pos_i32,
+    n_blocks).
+
+    Lane layout: lanes [0, nb) decode gaps (raw, non-negative), lanes
+    [nb, 2nb) decode zigzag values.  The per-lane bit offsets are NOT
+    shipped — the device derives them by cumsum of the per-block bit
+    LENGTHS (u16: 128 codes x 52 bits max = 6656 < 2^16), with the value
+    region starting right after the gap region.  ``k_packed`` holds both
+    Rice parameters per block (gap k low nibble, value k high);
+    ``base_pos`` (nb,) is the position preceding each gap block (-1 for
+    block 0)."""
+    n = int(idx.size)
+    nb = max(1, -(-n // block))
+    gaps = np.diff(idx.astype(np.int64), prepend=-1) - 1
+    v = vals.astype(np.int32)
+    zv = ((v.astype(np.int64) << 1) ^ (v >> 31)).astype(np.uint64)
+    zg = gaps.astype(np.uint64)
+
+    edges = np.arange(nb) * block
+    k_g = _rice_k_for(np.add.reduceat(zg, edges) if n else np.zeros(nb),
+                      np.diff(np.append(edges, n)))
+    k_v = _rice_k_for(np.add.reduceat(zv, edges) if n else np.zeros(nb),
+                      np.diff(np.append(edges, n)))
+
+    def plan(z, k_blk):
+        k = np.repeat(k_blk, block)[:n].astype(np.uint64)
+        q = (z >> k).astype(np.int64)
+        esc = q >= RICE_ESC
+        lens = np.where(esc, RICE_ESC + 32, q + 1 + k.astype(np.int64))
+        qq = np.minimum(q, RICE_ESC).astype(np.uint64)
+        ones = (np.uint64(1) << qq) - np.uint64(1)
+        rem = z & ((np.uint64(1) << k) - np.uint64(1))
+        code = np.where(esc, ones | ((z & np.uint64(0xFFFFFFFF)) << np.uint64(RICE_ESC)),
+                        ones | (rem << (qq + np.uint64(1))))
+        return lens.astype(np.int64), code
+
+    lens_g, code_g = plan(zg, k_g)
+    lens_v, code_v = plan(zv, k_v)
+    lens = np.concatenate([lens_g, lens_v])
+    code = np.concatenate([code_g, code_v])
+    off = np.cumsum(lens) - lens
+    total_bits = int(off[-1] + lens[-1]) if n else 0
+    n_words = total_bits // 32 + 3
+
+    # Disjoint-bit scatter via bincount (float64 sums are exact: disjoint
+    # bits within a word never carry past 2^32).
+    lo = code & np.uint64(0xFFFFFFFF)
+    hi = code >> np.uint64(32)
+    sh = (off & 31).astype(np.uint64)
+    w = (off >> 5).astype(np.int64)
+    legs_w = np.concatenate([w, w + 1, w + 1, w + 2])
+    l1 = lo << sh
+    l2 = hi << sh
+    legs_v = np.concatenate([l1 & np.uint64(0xFFFFFFFF), l1 >> np.uint64(32),
+                             l2 & np.uint64(0xFFFFFFFF), l2 >> np.uint64(32)])
+    words = np.bincount(legs_w, weights=legs_v.astype(np.float64),
+                        minlength=n_words).astype(np.int64).astype(
+                            np.uint32) if n else np.zeros(n_words, np.uint32)
+
+    lane_e = np.arange(nb) * block
+    if n:
+        blk_edges = np.append(lane_e, n)
+        lens_bg = np.add.reduceat(lens_g, lane_e)
+        lens_bv = np.add.reduceat(lens_v, lane_e)
+        del blk_edges
+    else:
+        lens_bg = lens_bv = np.zeros(nb, np.int64)
+    k_packed = (k_g.astype(np.uint8) | (k_v.astype(np.uint8) << 4))
+    base_pos = np.where(lane_e > 0, idx[np.maximum(lane_e - 1, 0)] if n
+                        else -1, -1).astype(np.int64)
+    return (words, lens_bg.astype(np.uint16), lens_bv.astype(np.uint16),
+            k_packed, base_pos.astype(np.int32), nb)
+
+
+def rice_block_unpack(words, lens_g, lens_v, k_packed, base_pos, nnz,
+                      *, n_blocks: int, block: int = RICE_BLOCK):
+    """Device-side inverse of :func:`rice_block_pack_host` -> (idx, vals);
+    idx padding -1.  Traced (jit inside the caller).
+
+    One lax.scan over ``block`` steps; lanes = 2 * n_blocks (gap blocks
+    then value blocks).  Each step decodes one Rice code per lane from a
+    64-bit window gathered at the lane's running bit offset.  Lane start
+    offsets are derived here by cumsum of the u16 block bit lengths
+    (padded lanes carry length 0, so the value region's start — the total
+    gap bits — is unaffected by padding)."""
+    nb = n_blocks
+    nw = words.shape[0]
+    lanes = 2 * nb
+    lg = lens_g.astype(jnp.int32)
+    lv = lens_v.astype(jnp.int32)
+    cg = jnp.cumsum(lg)
+    off_g = cg - lg
+    off_v = cg[-1] + jnp.cumsum(lv) - lv
+    off_lane = jnp.concatenate([off_g, off_v])
+    kp = k_packed.astype(jnp.uint32)
+    k_lane = jnp.concatenate([kp & 15, kp >> 4])
+    k = k_lane.astype(jnp.uint32)
+    kmask = (jnp.uint32(1) << k) - jnp.uint32(1)
+    lane_blk = jnp.arange(lanes, dtype=jnp.int32) % nb
+    lane_valid_n = jnp.clip(nnz - lane_blk * block, 0, block)
+    one = jnp.uint32(1)
+
+    def step(carry, t):
+        off, pos = carry
+        sh = (off & 31).astype(jnp.uint32)
+        wi = jnp.clip(off >> 5, 0, nw - 3)
+        w0 = jnp.take(words, wi)
+        w1 = jnp.take(words, wi + 1)
+        w2 = jnp.take(words, wi + 2)
+        shl = (jnp.uint32(32) - sh) & jnp.uint32(31)
+        up1 = jnp.where(sh == 0, jnp.uint32(0), w1 << shl)
+        up2 = jnp.where(sh == 0, jnp.uint32(0), w2 << shl)
+        lo = (w0 >> sh) | up1
+        hi = (w1 >> sh) | up2
+        y = ~lo
+        q = jnp.where(y == 0, jnp.uint32(32),
+                      jax.lax.population_count((y & (jnp.uint32(0) - y))
+                                               - one))
+        esc = q >= RICE_ESC
+        qn = jnp.minimum(q, jnp.uint32(30))
+        rem = (lo >> (qn + one)) & kmask
+        zn = (qn << k) | rem
+        ze = (lo >> jnp.uint32(RICE_ESC)) | (hi << jnp.uint32(32 - RICE_ESC))
+        z = jnp.where(esc, ze, zn)
+        ln = jnp.where(esc, jnp.uint32(RICE_ESC + 32), qn + one + k)
+        valid = t < lane_valid_n
+        off = off + jnp.where(valid, ln.astype(jnp.int32), 0)
+        gap_half = jnp.arange(lanes, dtype=jnp.int32) < nb
+        newpos = pos + z.astype(jnp.int32) + 1
+        pos = jnp.where(gap_half & valid, newpos, pos)
+        emit = jnp.where(gap_half, pos, z.astype(jnp.int32))
+        emit = jnp.where(valid, emit, -1)
+        return (off, pos), emit
+
+    init = (off_lane.astype(jnp.int32),
+            jnp.concatenate([base_pos.astype(jnp.int32),
+                             jnp.zeros(nb, jnp.int32)]))
+    _, ys = jax.lax.scan(step, init,
+                         jnp.arange(block, dtype=jnp.int32))
+    # ys: (block, 2nb) -> element order (lane-major within each half)
+    idx = ys[:, :nb].T.reshape(-1)
+    zv = ys[:, nb:].T.reshape(-1)
+    valid = jnp.arange(nb * block, dtype=jnp.int32) < nnz
+    idx = jnp.where(valid, idx, -1)
+    vals = ((zv.astype(jnp.uint32) >> 1).astype(jnp.int32)
+            ^ -(zv & 1))
+    return idx, vals
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def unpack_bitmap(packed, *, n: int):
     """Device-side inverse of :func:`pack_bitmap`: packed uint8 (N//8,) ->

@@ -98,11 +98,11 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
-    if not hasattr(lib, "etpu_has_spiht"):  # newest symbol
+    if not hasattr(lib, "etpu_rice_block_pack"):  # newest symbol
         if Path(p).parent == BUILD_DIR and auto_build:
             p = build(force=True)
             lib = ctypes.CDLL(str(p))
-        if not hasattr(lib, "etpu_has_spiht"):
+        if not hasattr(lib, "etpu_rice_block_pack"):
             raise RuntimeError(
                 f"native library at {p} is too old for this package "
                 "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "
@@ -143,6 +143,16 @@ def load(auto_build: bool = True):
         np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
         ctypes.c_size_t, ctypes.c_size_t,
         np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
+    lib.etpu_rice_block_pack.restype = ctypes.c_size_t
+    lib.etpu_rice_block_pack.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_int,
+        np.ctypeslib.ndpointer(ctypes.c_uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_uint16, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_uint16, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
     lib.etpu_planes_to_sparse.restype = ctypes.c_size_t
@@ -302,6 +312,31 @@ def rice_decode_classed(words: np.ndarray, nnz: int, cls: np.ndarray,
     if n != nnz:
         raise ValueError("corrupt classed rice exchange payload")
     return out
+
+
+def rice_block_pack(idx: np.ndarray, vals: np.ndarray, block: int = 128):
+    """C-speed blocked-Rice packer for the decode-direction upload; bit
+    layout contract in native/rice_block_pack.cc, numpy reference in
+    transfer.rice_block_pack_host (the GIL-free loop matters: the numpy
+    version degrades ~17x under pipeline thread contention)."""
+    lib = load()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    n = int(idx.size)
+    nb = max(1, -(-n // block))
+    words = np.empty((104 * max(n, 1)) // 32 + 4, np.uint32)
+    lens_g = np.empty(nb, np.uint16)
+    lens_v = np.empty(nb, np.uint16)
+    k_packed = np.empty(nb, np.uint8)
+    base_pos = np.empty(nb, np.int32)
+    used = lib.etpu_rice_block_pack(idx, vals, n, block, words, lens_g,
+                                    lens_v, k_packed, base_pos)
+    if used == 0:
+        raise ValueError("rice_block_pack failed")
+    # +3 zero pad words: the device unpacker reads a 3-word window at the
+    # last code's offset (transfer.rice_block_unpack clips wi to nw-3).
+    words[used:used + 3] = 0
+    return words[:used + 3].copy(), lens_g, lens_v, k_packed, base_pos, nb
 
 
 def planes_to_sparse(raw: bytes, kept: int, pb: int, d0: int, hp: int,

@@ -352,3 +352,92 @@ def test_scatter_last_coefficient_not_clobbered():
     got_n = np.asarray(kernels.decode_batch_sparse_nibble(
         nbuf, nints, floats, cap=cap, **kw))
     np.testing.assert_array_equal(got_n, ref)
+
+
+class TestRiceBlockUpload:
+    """Blocked-Rice decode-direction exchange (transfer.rice_block_pack_host
+    / rice_block_unpack): exact round-trip at every size/escape regime and
+    through the staged kernel (rice_unpack_qflat)."""
+
+    @pytest.mark.parametrize("n,scale", [
+        (100_000, 5), (5_000, 500), (1, 1), (0, 1),
+        (300, 2 ** 20),                 # forces 32-bit escape codes
+        (127, 3), (128, 3), (129, 3),   # block-boundary sizes
+    ])
+    def test_roundtrip_exact(self, n, scale):
+        rng = np.random.default_rng(n + scale)
+        if n:
+            idx = np.sort(rng.choice(20_000_000, size=n,
+                                     replace=False)).astype(np.int64)
+            vals = np.clip(rng.standard_cauchy(n) * scale,
+                           -2 ** 31 + 1, 2 ** 31 - 1).astype(np.int32)
+        else:
+            idx = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.int32)
+        words, lg, lv, kp, bp, nb = transfer.rice_block_pack_host(idx, vals)
+        assert int(lg.astype(np.int64).sum() + lv.astype(np.int64).sum()
+                   ) <= 32 * words.size
+        nbk = transfer.rice_block_bucket(nb)
+        pad = lambda a, c, dt: np.concatenate(
+            [a, np.zeros(c - a.size, dt)]).astype(dt)
+        f = jax.jit(lambda w, a, b_, c, d, z: transfer.rice_block_unpack(
+            w, a, b_, c, d, z, n_blocks=nbk))
+        i2, v2 = f(words, pad(lg, nbk, np.uint16), pad(lv, nbk, np.uint16),
+                   pad(kp, nbk, np.uint8), pad(bp, nbk, np.int32),
+                   np.int32(n))
+        i2, v2 = np.asarray(i2), np.asarray(v2)
+        np.testing.assert_array_equal(i2[:n], idx)
+        assert (i2[n:] == -1).all()
+        np.testing.assert_array_equal(v2[:n], vals)
+
+    def test_near_entropy_size(self):
+        """On geometric-ish gaps + small values (the ERA5 exchange shape)
+        the blocked-Rice stream must land well under the nibble tiers'
+        ~1.9 B/coeff shipped footprint."""
+        rng = np.random.default_rng(0)
+        n = 200_000
+        gaps = rng.geometric(1 / 15, size=n)
+        idx = np.cumsum(gaps).astype(np.int64) - 1
+        vals = np.round(rng.standard_t(4, size=n) * 4).astype(np.int32)
+        words, *_ = transfer.rice_block_pack_host(idx, vals)
+        assert words.nbytes / n < 1.6
+
+    def test_staged_kernel_matches_reference_scatter(self):
+        rng = np.random.default_rng(7)
+        grid = (2, 1, 64, 64)
+        s = int(np.prod(grid))
+        n = 800
+        idx = np.sort(rng.choice(2 * s, size=n, replace=False)).astype(
+            np.int64)
+        vals = rng.integers(-4000, 4000, size=n).astype(np.int32)
+        words, lg, lv, kp, bp, nb = transfer.rice_block_pack_host(idx, vals)
+        nbk = transfer.rice_block_bucket(nb)
+        nwk = transfer.rice_block_bucket(words.size)
+        ne = grid[0]
+        n_ints = nbk + 2 * ne + 1
+        buf = np.zeros(4 * nwk + 5 * nbk + 4 * n_ints + 16 * ne, np.uint8)
+        o = 0
+        buf[:4 * words.size] = words.view(np.uint8)
+        o += 4 * nwk
+        buf[o:o + 2 * nb] = lg.view(np.uint8)
+        o += 2 * nbk
+        buf[o:o + 2 * nb] = lv.view(np.uint8)
+        o += 2 * nbk
+        buf[o:o + nb] = kp
+        o += nbk
+        ints = np.zeros(n_ints, np.int32)
+        ints[:nb] = bp
+        ints[nbk:nbk + ne] = 3          # base_cut
+        ints[nbk + ne:nbk + 2 * ne] = 2  # res_cut
+        ints[nbk + 2 * ne] = n
+        buf[o:o + 4 * n_ints] = ints.view(np.uint8)
+        floats = np.stack([np.zeros(ne), np.ones(ne), np.zeros(ne),
+                           np.ones(ne)]).astype(np.float32)
+        buf[o + 4 * n_ints:] = floats.reshape(-1).view(np.uint8)
+        qflat, bc, rc, fl = kernels.rice_unpack_qflat(
+            buf, n_blocks=nbk, n_words=nwk, n_entries=ne, s=s)
+        ref = np.zeros(2 * s, np.int32)
+        ref[idx] = vals
+        np.testing.assert_array_equal(np.asarray(qflat), ref)
+        assert (np.asarray(bc) == 3).all() and (np.asarray(rc) == 2).all()
+        np.testing.assert_array_equal(np.asarray(fl), floats)
