@@ -48,7 +48,7 @@ ERROR_TARGET = float(os.environ.get("EBCC_BENCH_ERROR", "0.5"))
 ERROR_MODE = os.environ.get("EBCC_BENCH_MODE", "max")
 # Best-of-N: the dev tunnel's bandwidth swings minute to minute, so more
 # reps mainly buy a better chance of sampling a healthy-link window.
-REPS = int(os.environ.get("EBCC_BENCH_REPS", "5"))
+REPS = int(os.environ.get("EBCC_BENCH_REPS", "7"))
 
 
 def load_frames(n):

@@ -50,6 +50,15 @@ from . import transfer
 BASE_SCALE = 65535.0
 RES_SCALE = 255.0
 
+# Normative inter-decoder divergence allowance (docs/FORMAT.md "Decoder
+# conformance"): conforming decoders may differ from the reference
+# reconstruction sequence by at most this fraction of the chunk range
+# (measured across this repo's JAX CPU/TPU and C++ decoders: <= 2.8e-6).
+# Encoders verify feasibility at target minus this allowance so the shipped
+# bound holds for every conforming decoder pairing.  The C++ encoder mirrors
+# it (etpu_codec.cc kDecoderEpsRel).
+DECODER_EPS_REL = 4e-6
+
 
 def _pad2d(x, multiple):
     return dwt.pad_to_multiple(x, multiple)
@@ -186,7 +195,14 @@ def _encode_core(
     target = jnp.where(
         jnp.asarray(relative_mode), error_target * (maxval - minval), error_target
     )  # (B,) abs target per chunk (ref REL->ABS, c:723-726)
-    target = jnp.maximum(target - target_slack, jnp.float32(0.0))
+    # Feasibility is verified at target minus the normative inter-decoder
+    # divergence allowance (docs/FORMAT.md "Decoder conformance"), so the
+    # shipped bound holds for EVERY conforming decoder, not just the one
+    # whose arithmetic ran here (the reference guarantees only its own
+    # decoder, ebcc_codec.c:783).
+    target = jnp.maximum(
+        target - target_slack - DECODER_EPS_REL * (maxval - minval),
+        jnp.float32(0.0))
 
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, orig_hw = _pad2d(u, mult)
@@ -451,6 +467,13 @@ def encode_batch_temporal(
         jnp.asarray(relative_mode),
         jnp.asarray(error_target, jnp.float32) * (gmax - gmin),
         jnp.broadcast_to(jnp.asarray(error_target, jnp.float32), (b,)))
+    # Temporal decoding accumulates each delta's reconstruction into the
+    # carried frame, so inter-decoder divergence can grow linearly with
+    # the chain length: budget 2*T allowances (delta range <= 2x chunk
+    # range), keeping the shipped bound valid for conforming decoders.
+    target = jnp.maximum(
+        target - jnp.float32(2 * t) * DECODER_EPS_REL * (gmax - gmin),
+        jnp.float32(0.0))
 
     x0 = x[:, :1]
     min0, max0 = metrics.minmax(x0)

@@ -31,6 +31,7 @@ Policy (first call per process, then cached):
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import numpy as np
@@ -52,31 +53,38 @@ _NATIVE_DEC_PPS = 15e6
 _PROBE_BYTES = 4 << 20
 
 _cache: dict = {}
+# Concurrent first calls (the pipelined paths fan out worker threads) must
+# not run duplicate 4 MB link probes or native builds; the lock also makes
+# the cache fill atomic.
+_cache_lock = threading.Lock()
 
 
 def _native_available() -> bool:
-    if "native_ok" not in _cache:
-        try:
-            from .. import native
+    with _cache_lock:
+        if "native_ok" not in _cache:
+            try:
+                from .. import native
 
-            native.load(auto_build=True)
-            _cache["native_ok"] = True
-        except Exception:
-            _cache["native_ok"] = False
-    return _cache["native_ok"]
+                native.load(auto_build=True)
+                _cache["native_ok"] = True
+            except Exception:
+                _cache["native_ok"] = False
+        return _cache["native_ok"]
 
 
 def link_mbps() -> tuple:
     """(up, down) host<->device bandwidth in MB/s; (0, 0) = no usable
     device.  ``EBCC_LINK_MBPS`` (one number, both directions) skips the
     probe — tests use it to force a routing decision."""
-    if "link" in _cache:
-        return _cache["link"]
+    with _cache_lock:
+        if "link" in _cache:
+            return _cache["link"]
     env = os.environ.get("EBCC_LINK_MBPS")
     if env:
         v = float(env)
-        _cache["link"] = (v, v)
-        return _cache["link"]
+        with _cache_lock:
+            _cache["link"] = (v, v)
+            return _cache["link"]
     try:
         import jax
 
@@ -99,7 +107,8 @@ def link_mbps() -> tuple:
         down = _PROBE_BYTES / max(td, 1e-9) / 1e6
     except Exception:
         up = down = 0.0
-    _cache["link"] = (up, down)
+    with _cache_lock:
+        _cache["link"] = (up, down)
     logger.info("link probe: %.1f MB/s up, %.1f MB/s down", up, down)
     return _cache["link"]
 

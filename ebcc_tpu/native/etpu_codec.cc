@@ -36,6 +36,11 @@ constexpr int kBaseLevels = 5;
 constexpr int kResLevels = 3;
 constexpr float kBaseScale = 65535.0f;
 constexpr float kResScale = 255.0f;
+/* Normative inter-decoder divergence allowance (docs/FORMAT.md "Decoder
+ * conformance"; JAX mirror: core/kernels.py DECODER_EPS_REL): feasibility
+ * is verified at target minus this fraction of the chunk range so the
+ * shipped bound holds for every conforming decoder pairing. */
+constexpr float kDecoderEpsRel = 4e-6f;
 constexpr int kMinDim = 32;
 constexpr int kMaxDim = 2047;
 constexpr size_t kHeaderSize = 72;
@@ -1064,6 +1069,8 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   /* error-bounded modes */
   float target = config->error;
   if (config->residual_mode == 2) target *= rng; /* REL -> ABS */
+  target -= kDecoderEpsRel * rng; /* cross-decoder allowance */
+  if (target < 0) target = 0;
   const bool centered = !env.no_mean_adjust;
 
   /* Both cut criteria are monotone in the cut (finer cut => smaller
@@ -1377,8 +1384,13 @@ size_t encode_frame_temporal(const float *x, int T, int hh, int ww,
   if (config->residual_mode == 2) {
     target *= (gmax - gmin);
     sub.residual_mode = 1;
-    sub.error = target;
   }
+  /* Temporal chains accumulate per-frame decoder divergence into the
+   * carried reconstruction: budget 2*T allowances (JAX mirror in
+   * kernels.encode_temporal). */
+  target -= 2.0f * (float)T * kDecoderEpsRel * (gmax - gmin);
+  if (target < 0) target = 0;
+  sub.error = target; /* frame 0 seeds the chain: full allowance */
 
   /* ---- frame 0: intra encode + decode-back for the prediction seed ---- */
   uint8_t *f0 = nullptr;

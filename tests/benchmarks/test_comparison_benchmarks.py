@@ -37,7 +37,7 @@ def test_tpu_vs_native_serial_cr(native, base_test_data):
     blob_nat = native.native_encode(data, config)
     for blob in (blob_tpu, blob_nat):
         out = decode(blob).reshape(data.shape)
-        assert np.abs(out - data).max() <= 0.1 + 1e-3
+        assert np.abs(out - data).max() <= 0.1
     ratio = len(blob_nat) / len(blob_tpu)
     assert 0.8 < ratio < 1.25, (len(blob_tpu), len(blob_nat))
 

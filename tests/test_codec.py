@@ -138,7 +138,10 @@ class TestRateMode:
 
         dev = codec_mod._decode_streams([blob])[0]
         nat = native.native_decode(blob).reshape(dev.shape)
-        np.testing.assert_allclose(nat, dev, atol=1e-3)
+        from ebcc_tpu.core.kernels import DECODER_EPS_REL
+        atol = DECODER_EPS_REL * float(np.asarray(dev).max()
+                                       - np.asarray(dev).min())
+        np.testing.assert_allclose(nat, dev, atol=atol)
 
 
 class TestEdgeCases:

@@ -85,7 +85,7 @@ class TestRegionDecode:
             pytest.skip("native toolchain unavailable")
         monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
         sub = decode_chunked_region(blob, ((1, 3), (30, 90), (50, 150)))
-        assert np.abs(sub - data[1:3, 30:90, 50:150]).max() <= 0.1 + 1e-3
+        assert np.abs(sub - data[1:3, 30:90, 50:150]).max() <= 0.1
 
     def test_temporal_container(self, container):
         _, data, _ = container

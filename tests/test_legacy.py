@@ -222,3 +222,161 @@ def test_legacy_env_pure_base_disable(compat, frame, monkeypatch):
     blob2 = compat.encode_frame(frame, cfg)
     # with the fallback enabled the stream can only get smaller or equal
     assert len(blob2) <= len(blob)
+
+
+# ---------------------------------------------------------------------------
+# Writer-layout pinning against an INDEPENDENT parse + raw Pillow decode
+# (round-2 VERDICT #7: every legacy writer path decodes via Pillow/OpenJPEG
+# without going through compat's own reader)
+# ---------------------------------------------------------------------------
+
+def _independent_decode_frame(blob, shape):
+    """Parse an EBCC v1 frame stream per the REFERENCE layout (48-byte
+    header, ebcc_codec.c:190-202) with nothing from compat.legacy, decode
+    the J2K tail with raw Pillow, and re-apply residual + rescale."""
+    import io
+    import zstandard
+    from PIL import Image
+
+    (magic, version, flags, _r, min_b, max_b, coeffs_size, rmin_b, rmax_b,
+     comp_size, tail_size) = struct.unpack_from("<4sBBHIIQIIQQ", blob)
+    assert magic == b"EBCC" and version == 1
+    assert 48 + comp_size + tail_size == len(blob)
+    minval = np.uint32(min_b).view(np.float32)
+    maxval = np.uint32(max_b).view(np.float32)
+    if flags & 1:  # const field
+        (tot,) = struct.unpack("<Q", blob[48 + comp_size:][:8])
+        return np.full(int(tot), minval, np.float32).reshape(shape)
+    tail = blob[48 + comp_size:]
+    arr = np.asarray(Image.open(io.BytesIO(tail)))
+    assert arr.dtype == np.uint16 and arr.ndim == 2
+    out = (arr.astype(np.float32) / np.float32(65535)
+           * (maxval - minval) + minval)
+    if comp_size and coeffs_size:
+        coeffs = zstandard.ZstdDecompressor().decompress(
+            blob[48:48 + comp_size], max_output_size=int(coeffs_size))
+        norm = native_mod.spiht_decode(coeffs, out.shape[0], out.shape[1],
+                                       int(coeffs_size) * 8)
+        out += (norm * (np.uint32(rmax_b).view(np.float32)
+                        - np.uint32(rmin_b).view(np.float32))
+                + np.uint32(rmin_b).view(np.float32))
+    return out.reshape(shape)
+
+
+def test_writer_single_frame_independent_decode(compat, frame):
+    cfg = CodecConfig(dims=(1, *frame.shape), base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.5)
+    blob = compat.encode_frame(frame, cfg)
+    out = _independent_decode_frame(blob, frame.shape)
+    assert np.abs(out - frame).max() <= 0.5
+    np.testing.assert_array_equal(
+        out, compat.decode_frame(blob).reshape(frame.shape))
+
+
+def test_writer_multiframe_tiled_independent_decode(compat, frame):
+    data = np.stack([frame, frame + 0.5, frame * 1.01])
+    cfg = CodecConfig(dims=data.shape, base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.5)
+    blob = compat.encode_frame(data, cfg)
+    flat = _independent_decode_frame(
+        blob, (data.shape[0] * data.shape[1], data.shape[2]))
+    out = flat.reshape(data.shape)
+    assert np.abs(out - data).max() <= 0.5
+    np.testing.assert_array_equal(
+        out.reshape(-1), compat.decode(blob).reshape(-1))
+
+
+def test_writer_container_independent_decode(compat, frame):
+    data = frame[None]
+    cfg = CodecConfig(dims=data.shape, base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.5,
+                      chunk_dims=(1, 128, 128))
+    blob = compat.encode_chunked(data, cfg)
+    (magic, version, ndims, _r, d0, d1, d2, c0, c1, c2, nchunks,
+     csize) = struct.unpack_from("<4sIII3Q3QQQ", blob)
+    assert magic == b"EBCK" and version == 1 and ndims == 3
+    assert (d0, d1, d2) == data.shape and (c0, c1, c2) == (1, 128, 128)
+    # walk [u64 size | frame stream] records; every record must decode
+    # independently
+    off = 80
+    n = 0
+    while off < len(blob):
+        (sz,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        rec = blob[off:off + sz]
+        off += sz
+        sub = _independent_decode_frame(rec, (-1,))
+        assert sub.size in (128 * 128,)
+        n += 1
+    assert n == nchunks == 6  # ceil(256/128) * ceil(384/128)
+    out = compat.decode(blob).reshape(data.shape)
+    assert np.abs(out - data).max() <= 0.5
+
+
+def test_writer_const_field_independent_decode(compat):
+    data = np.full((1, 64, 64), 3.25, np.float32)
+    cfg = CodecConfig(dims=data.shape, base_cr=30,
+                      residual_mode=RESIDUAL_MAX_ERROR, error=0.01)
+    blob = compat.encode_frame(data, cfg)
+    out = _independent_decode_frame(blob, data.shape)
+    np.testing.assert_array_equal(out, data)
+
+
+# ---------------------------------------------------------------------------
+# Legacy decoder fuzz (decode posture parity: ebcc_codec.c:1226-1258 —
+# exceptions only, never crashes or garbage-length output)
+# ---------------------------------------------------------------------------
+
+class TestLegacyDecoderFuzz:
+    @pytest.fixture(scope="class")
+    def legacy_stream(self, compat, frame):
+        cfg = CodecConfig(dims=(1, *frame.shape), base_cr=30,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.5)
+        return compat.encode_frame(frame, cfg)
+
+    def _try(self, compat, blob, frame):
+        try:
+            out = compat.decode(bytes(blob))
+        except Exception:
+            return  # loud failure is the contract
+        # silent success must at least produce a sane array
+        assert out.size <= 4 * frame.size
+
+    def test_truncations(self, compat, legacy_stream, frame):
+        for cut in (0, 3, 47, 48, 60, len(legacy_stream) // 2,
+                    len(legacy_stream) - 1):
+            self._try(compat, legacy_stream[:cut], frame)
+
+    def test_byte_flips(self, compat, legacy_stream, frame):
+        rng = np.random.default_rng(0)
+        buf = bytearray(legacy_stream)
+        for _ in range(64):
+            i = int(rng.integers(0, len(buf)))
+            old = buf[i]
+            buf[i] ^= int(rng.integers(1, 256))
+            self._try(compat, buf, frame)
+            buf[i] = old
+
+    def test_header_field_garbage(self, compat, legacy_stream, frame):
+        rng = np.random.default_rng(1)
+        for off in (4, 5, 6, 8, 16, 24, 32, 40):
+            buf = bytearray(legacy_stream)
+            buf[off:off + 4] = rng.bytes(4)
+            self._try(compat, buf, frame)
+
+    def test_random_garbage(self, compat, frame):
+        rng = np.random.default_rng(2)
+        for size in (0, 4, 48, 200):
+            blob = bytearray(rng.bytes(size))
+            blob[:4] = b"EBCC"
+            self._try(compat, blob, frame)
+            blob[:4] = b"EBCK"
+            self._try(compat, blob, frame)
+
+    def test_container_truncations(self, compat, frame):
+        cfg = CodecConfig(dims=(1, *frame.shape), base_cr=30,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.5,
+                          chunk_dims=(1, 128, 128))
+        blob = compat.encode_chunked(frame[None], cfg)
+        for cut in (10, 79, 80, 88, 200, len(blob) - 3):
+            self._try(compat, blob[:cut], frame)

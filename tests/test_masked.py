@@ -293,7 +293,6 @@ def native():
 
 
 class TestMaskedNative:
-    ATOL = 1e-3
 
     def _data(self, coast):
         crop, mask = coast
@@ -315,10 +314,10 @@ class TestMaskedNative:
         cfg = _masked_cfg(data.shape)
         jx = decode(native.native_encode(data, cfg))
         assert np.isnan(jx[0][mask]).all()
-        assert np.abs(jx[0][~mask] - crop[~mask]).max() <= 0.1 + self.ATOL
+        assert np.abs(jx[0][~mask] - crop[~mask]).max() <= 0.1
         nat = native.native_decode(encode(data, cfg)).reshape(data.shape)
         assert np.isnan(nat[0][mask]).all()
-        assert np.abs(nat[0][~mask] - crop[~mask]).max() <= 0.1 + self.ATOL
+        assert np.abs(nat[0][~mask] - crop[~mask]).max() <= 0.1
 
     def test_native_rejects_nan_without_flag(self, native, coast):
         _, _, data = self._data(coast)

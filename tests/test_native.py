@@ -13,10 +13,18 @@ import pytest
 from ebcc_tpu import CodecConfig, RESIDUAL_MAX_ERROR, RESIDUAL_NONE, decode, encode
 from ebcc_tpu import native as native_mod
 
-# Decoder-parity tolerance: both decoders run the same float32 op sequence
-# but compilers may round differently at the ulp level (documented in
-# etpu_codec.h).
-DECODER_PARITY_ATOL = 1e-3
+# Decoder-conformance contract (docs/FORMAT.md "Decoder conformance"):
+# conforming decoders may differ from each other by at most
+# DECODER_EPS_REL x chunk range; the encoders verify feasibility at
+# target minus that allowance, so ROUND-TRIPS assert `<= target` exactly
+# regardless of encoder/decoder pairing, and only decoder-vs-decoder
+# parity asserts use the allowance.
+from ebcc_tpu.core.kernels import DECODER_EPS_REL
+
+
+def eps_dec(data) -> float:
+    rng = float(np.nanmax(data) - np.nanmin(data))
+    return DECODER_EPS_REL * rng
 
 
 @pytest.fixture(scope="module")
@@ -36,8 +44,8 @@ class TestCrossCodec:
         blob = encode(data, config)
         nat = native.native_decode(blob).reshape(data.shape)
         jx = decode(blob).reshape(data.shape)
-        assert np.abs(nat - data).max() <= 0.1 + DECODER_PARITY_ATOL
-        assert np.abs(nat - jx).max() <= DECODER_PARITY_ATOL
+        assert np.abs(nat - data).max() <= 0.1
+        assert np.abs(nat - jx).max() <= eps_dec(data)
 
     def test_native_encode_jax_decode(self, native, medium_frame):
         data = medium_frame[None]
@@ -45,7 +53,7 @@ class TestCrossCodec:
                              residual_mode=RESIDUAL_MAX_ERROR, error=0.1)
         blob = native.native_encode(data, config)
         out = decode(blob).reshape(data.shape)
-        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(out - data).max() <= 0.1
 
     def test_native_roundtrip_bound(self, native, medium_frame):
         data = medium_frame[None]
@@ -82,7 +90,7 @@ class TestCrossCodec:
             nat = native.native_decode(blob).reshape(data.shape)
             assert np.abs(nat - data).max() <= 0.1
             jx = decode(blob).reshape(data.shape)
-            assert np.abs(jx - data).max() <= 0.1 + DECODER_PARITY_ATOL
+            assert np.abs(jx - data).max() <= 0.1
 
     def test_native_const_field(self, native, constant_frame):
         config = CodecConfig(dims=constant_frame.shape, base_cr=30,
@@ -105,7 +113,7 @@ class TestCrossCodec:
         # JAX chunked decoder accepts the native container
         from ebcc_tpu import decode_chunked
         out2 = decode_chunked(blob)
-        assert np.abs(out2 - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(out2 - data).max() <= 0.1
 
     def test_corrupt_stream_fails(self, native, small_frame):
         config = CodecConfig(dims=(1, 64, 64), base_cr=30,
@@ -221,7 +229,7 @@ class TestCABBackend:
         assert np.abs(out - data).max() <= 0.1
         # native decoder reads CAB streams too
         nat = native.native_decode(blob_c).reshape(data.shape)
-        assert np.abs(nat - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(nat - data).max() <= 0.1
 
     def test_cab_corruption_detected_or_bounded(self, native, small_frame):
         """Arithmetic streams have no checksum; corruption must at worst
@@ -249,7 +257,7 @@ class TestNativeEncodeRouting:
         blob = encode(data, config)
         assert blob == native_mod.native_encode(data, config)
         out = decode(blob).reshape(data.shape)
-        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(out - data).max() <= 0.1
 
     def test_chunked_encode_routed_and_threaded(self, native, base_test_data,
                                                 monkeypatch):
@@ -315,9 +323,9 @@ class TestNativeDecodeRouting:
         monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
         out = decode(blob)
         assert out.shape == ref.shape
-        assert np.abs(out - ref).max() <= DECODER_PARITY_ATOL
+        assert np.abs(out - ref).max() <= eps_dec(data)
         assert np.abs(out.reshape(data.shape) - data).max() \
-            <= 0.1 + DECODER_PARITY_ATOL
+            <= 0.1
 
     def test_chunked_container_routed(self, native, base_test_data,
                                       monkeypatch):
@@ -331,8 +339,8 @@ class TestNativeDecodeRouting:
         monkeypatch.setenv("EBCC_DECODE_BACKEND", "native")
         out = decode_chunked(blob)
         assert out.shape == ref.shape
-        assert np.abs(out - ref).max() <= DECODER_PARITY_ATOL
-        assert np.abs(out - data).max() <= 0.1 + DECODER_PARITY_ATOL
+        assert np.abs(out - ref).max() <= eps_dec(data)
+        assert np.abs(out - data).max() <= 0.1
 
 
 class TestRiceExchange:

@@ -90,3 +90,76 @@ def test_dryrun_multichip_entrypoint():
     if n < 2:
         pytest.skip("needs multiple devices")
     graft.dryrun_multichip(n)
+
+
+class TestScalingGates:
+    """Scaling regression gates (round-2 VERDICT #5).
+
+    Real pods measure real scaling (scripts/scaling_bench.py); on this
+    virtual CPU mesh all 8 devices share the host's few cores, so absolute
+    speedup is physically capped near 1x.  What IS enforceable here:
+    (a) the batch axis genuinely shards one-chunk-per-device through the
+    encode program (the structural property pod scaling rides on), and
+    (b) sharded throughput never COLLAPSES relative to single-device —
+    a sharding bug that serialized per-chunk dispatches or inserted
+    gather/scatter collectives would push the ratio far below the gate.
+    """
+
+    def test_encode_program_shards_one_chunk_per_device(self, mesh,
+                                                        base_test_data):
+        from ebcc_tpu.config import EncodeOptions
+        from ebcc_tpu.core import codec as codec_mod
+        from ebcc_tpu.parallel import mesh as mesh_lib
+
+        nd = int(np.prod(mesh.devices.shape))
+        data = np.stack([
+            np.ascontiguousarray(base_test_data[:64, :64]) + i
+            for i in range(nd)
+        ])[:, None]
+        config = CodecConfig(dims=(nd, 64, 64), base_cr=20,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 64, 64))
+        sharding = mesh_lib.batch_sharding(mesh)
+        xb = jax.device_put(data, sharding)
+        # input shards: exactly one chunk per device
+        shard_rows = [s.data.shape[0] for s in xb.addressable_shards]
+        assert shard_rows == [1] * nd
+        out = codec_mod.encode_batch_device(
+            xb, config.per_chunk((1, 64, 64)), EncodeOptions.from_env(),
+            use_pallas=False)
+        # the dominant output (the significance bitmap stack, batch axis 1)
+        # must come back sharded over the mesh, not replicated
+        sig = out["sig_comb"]
+        rows = [s.data.shape[1] for s in sig.addressable_shards]
+        assert sorted(rows) == [1] * nd, rows
+        devs = {s.device for s in sig.addressable_shards}
+        assert len(devs) == nd
+
+    def test_sharded_throughput_no_collapse(self, mesh, base_test_data):
+        import time
+
+        from ebcc_tpu.parallel import encode_chunked_sharded
+
+        rng = np.random.default_rng(0)
+        data = np.stack([
+            np.ascontiguousarray(base_test_data[(i * 8) % 400:
+                                                (i * 8) % 400 + 256, :256])
+            + rng.normal(scale=0.01, size=(256, 256)).astype(np.float32)
+            for i in range(16)
+        ])
+        config = CodecConfig(dims=data.shape, base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 256, 256))
+        encode_chunked_sharded(data, config, mesh=mesh)  # warm
+        encode_chunked(data, config)                     # warm
+        ts = t1 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            encode_chunked_sharded(data, config, mesh=mesh)
+            ts = min(ts, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            encode_chunked(data, config)
+            t1 = min(t1, time.perf_counter() - t0)
+        # shared-core ceiling is ~1x; measured ~0.67x on a 4-core host.
+        # 0.35 is the collapse gate, not a scaling claim.
+        assert ts < t1 / 0.35, (ts, t1)

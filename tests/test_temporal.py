@@ -297,11 +297,10 @@ def native():
 class TestTemporalNative:
     """The native C++ codec carries the full temporal capability: encode
     (closed-loop, self-seeded by decoding its own frame-0 stream), decode
-    (sequential accumulation), and cross-codec parity with the device
-    programs at the documented ulp tolerance — ulps accumulate over the
-    prediction chain, so the budget scales with T."""
-
-    ATOL = 1e-3
+    (sequential accumulation), and cross-codec round-trips at the EXACT
+    bound: the encoders budget 2*T inter-decoder divergence allowances
+    (docs/FORMAT.md "Decoder conformance"), so accumulation over the
+    prediction chain is already paid for."""
 
     def test_native_roundtrip_bound_exact(self, native, drifting_stack):
         err = 0.1
@@ -317,14 +316,14 @@ class TestTemporalNative:
         blob = native.native_encode(
             drifting_stack, _temporal_cfg(drifting_stack.shape, err))
         out = decode(blob)
-        assert np.abs(out - drifting_stack).max() <= err + self.ATOL
+        assert np.abs(out - drifting_stack).max() <= err
 
     def test_jax_encode_native_decode(self, native, drifting_stack):
         err = 0.1
         blob = encode(drifting_stack,
                       _temporal_cfg(drifting_stack.shape, err))
         out = native.native_decode(blob).reshape(drifting_stack.shape)
-        assert np.abs(out - drifting_stack).max() <= err + self.ATOL
+        assert np.abs(out - drifting_stack).max() <= err
 
     def test_native_const_frame0_nonconst_chunk(self, native,
                                                 drifting_stack):
@@ -339,7 +338,7 @@ class TestTemporalNative:
         nat = native.native_decode(blob).reshape(data.shape)
         assert np.abs(nat - data).max() <= err
         jx = decode(blob)
-        assert np.abs(jx - data).max() <= err + self.ATOL
+        assert np.abs(jx - data).max() <= err
 
     def test_native_relative_mode_uses_global_range(self, native,
                                                     drifting_stack):
