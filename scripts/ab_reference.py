@@ -169,6 +169,28 @@ def main():
         print(f"| legacy EBCC v1 (J2K+SPIHT, same data) | {mb:.2f} "
               f"| {cr32:.2f} | {2 * cr32:.2f} | {rmse:.3f} | {maxe:.3f} "
               f"| {dt:.1f} |")
+    # The REFERENCE BINARY itself: its own C sources compiled against the
+    # shim J2K layer (compat.reference_bin) — same-data ground truth.
+    try:
+        from ebcc_tpu.compat import reference_bin as _rb
+        _rb.load()
+        t0 = time.perf_counter()
+        blob = _rb.encode(data.astype(np.float32), base_cr=30, mode=1,
+                          error=target, chunked="chunking",
+                          chunk_dims=(1, 721, 1440))
+        out = _rb.decode(blob, chunked=True).reshape(data.shape)
+        dt = time.perf_counter() - t0
+        err = out.astype(np.float64) - data
+        rmse = float(np.sqrt((err ** 2).mean()))
+        maxe = float(np.abs(err).max())
+        assert maxe <= 1.5 * target, (maxe, target)  # reference semantics
+        mb = len(blob) / 1e6
+        cr32 = data.nbytes / len(blob)
+        print(f"| REFERENCE binary (own C, shim J2K) | {mb:.2f} "
+              f"| {cr32:.2f} | {2 * cr32:.2f} | {rmse:.3f} | {maxe:.3f} "
+              f"| {dt:.1f} |")
+    except (ImportError, OSError, RuntimeError) as e:  # pragma: no cover
+        print(f"\n(reference-binary row skipped: {e})")
     print(f"\nreference recorded at this operating point "
           f"(data/logs.txt:17-20): 1.81 MB, RMSE 1.608, max 9.979, "
           f"CR 21.97 (compress_logs.txt:642)")
