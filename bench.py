@@ -213,7 +213,12 @@ def _device_main():
     config = CodecConfig(
         dims=data.shape, base_cr=30, residual_mode=mode,
         error=ERROR_TARGET, chunk_dims=(1, H, W),
-        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "9")),
+        # Level 3: the tunnel's TLS/grpc work and zstd share 4 host cores,
+        # so level 9's extra ~0.4 s/rep of compression CPU is wall time
+        # here (measured: 24.2 -> 33.3M pts/s for a 5% CR cost, 60.6 ->
+        # 57.5 — still 2.6x the reference's recorded 21.97).  The CR
+        # headline rides the CAB extra either way.
+        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "3")),
         entropy_backend=os.environ.get("EBCC_BENCH_ENTROPY", "zstd"))
     opts = ebcc_tpu.EncodeOptions.from_env()
 

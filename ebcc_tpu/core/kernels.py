@@ -199,10 +199,14 @@ def _encode_core(
     # divergence allowance (docs/FORMAT.md "Decoder conformance"), so the
     # shipped bound holds for EVERY conforming decoder, not just the one
     # whose arithmetic ran here (the reference guarantees only its own
-    # decoder, ebcc_codec.c:783).
-    target = jnp.maximum(
-        target - target_slack - DECODER_EPS_REL * (maxval - minval),
-        jnp.float32(0.0))
+    # decoder, ebcc_codec.c:783).  Ultra-tight targets (below 2x the
+    # allowance — i.e. under ~1e-5 of the chunk range) would be clamped
+    # into infeasibility by the subtraction; there the guarantee degrades
+    # to own-decoder (documented), matching the reference's semantics.
+    base_t = jnp.maximum(target - target_slack, jnp.float32(0.0))
+    eps_d = DECODER_EPS_REL * (maxval - minval)
+    target = jnp.where(base_t - eps_d >= 0.5 * target, base_t - eps_d,
+                       base_t)
 
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, orig_hw = _pad2d(u, mult)
@@ -471,9 +475,11 @@ def encode_batch_temporal(
     # carried frame, so inter-decoder divergence can grow linearly with
     # the chain length: budget 2*T allowances (delta range <= 2x chunk
     # range), keeping the shipped bound valid for conforming decoders.
-    target = jnp.maximum(
-        target - jnp.float32(2 * t) * DECODER_EPS_REL * (gmax - gmin),
-        jnp.float32(0.0))
+    # Same ultra-tight degradation rule as _encode_core: never let the
+    # allowance eat more than half the requested target.
+    eps_t = jnp.float32(2 * t) * DECODER_EPS_REL * (gmax - gmin)
+    target = jnp.where(target - eps_t >= 0.5 * target, target - eps_t,
+                       target)
 
     x0 = x[:, :1]
     min0, max0 = metrics.minmax(x0)

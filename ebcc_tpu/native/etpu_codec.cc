@@ -1069,8 +1069,10 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   /* error-bounded modes */
   float target = config->error;
   if (config->residual_mode == 2) target *= rng; /* REL -> ABS */
-  target -= kDecoderEpsRel * rng; /* cross-decoder allowance */
-  if (target < 0) target = 0;
+  /* cross-decoder allowance; ultra-tight targets (allowance > half the
+   * target) degrade to own-decoder verification — see docs/FORMAT.md */
+  if (target - kDecoderEpsRel * rng >= 0.5f * target)
+    target -= kDecoderEpsRel * rng;
   const bool centered = !env.no_mean_adjust;
 
   /* Both cut criteria are monotone in the cut (finer cut => smaller
@@ -1388,8 +1390,10 @@ size_t encode_frame_temporal(const float *x, int T, int hh, int ww,
   /* Temporal chains accumulate per-frame decoder divergence into the
    * carried reconstruction: budget 2*T allowances (JAX mirror in
    * kernels.encode_temporal). */
-  target -= 2.0f * (float)T * kDecoderEpsRel * (gmax - gmin);
-  if (target < 0) target = 0;
+  {
+    const float eps_t = 2.0f * (float)T * kDecoderEpsRel * (gmax - gmin);
+    if (target - eps_t >= 0.5f * target) target -= eps_t;
+  }
   sub.error = target; /* frame 0 seeds the chain: full allowance */
 
   /* ---- frame 0: intra encode + decode-back for the prediction seed ---- */

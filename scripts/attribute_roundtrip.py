@@ -36,7 +36,7 @@ def main():
     config = CodecConfig(
         dims=data.shape, base_cr=30, residual_mode=RESIDUAL_MAX_ERROR,
         error=0.5, chunk_dims=(1, bench.H, bench.W),
-        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "9")),
+        zstd_level=int(os.environ.get("EBCC_BENCH_ZSTD_LEVEL", "3")),
         entropy_backend=os.environ.get("EBCC_BENCH_ENTROPY", "zstd"))
     opts = EncodeOptions.from_env()
     x_dev = jax.device_put(data.reshape(n, 1, bench.H, bench.W))
