@@ -88,9 +88,15 @@ def link_mbps() -> tuple:
     try:
         import jax
 
-        x = np.empty(_PROBE_BYTES, np.uint8)
+        # Distinct INCOMPRESSIBLE payload per probe: a tunneled transport
+        # may compress (constant bytes fly at fake speed) or dedupe a
+        # repeated buffer (the warm-up upload would make the measured one
+        # near-instant) — either inflates the estimate and mis-routes
+        # host-destined calls onto a slow link.
+        rng = np.random.default_rng(0)
 
         def probe_once():
+            x = rng.integers(0, 256, _PROBE_BYTES, np.uint8)
             t0 = time.perf_counter()
             a = jax.device_put(x)
             # block_until_ready is unreliable on tunneled backends;

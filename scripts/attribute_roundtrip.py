@@ -69,12 +69,12 @@ def main():
         "wall_per_rep_s": [round(w, 4) for w in walls],
         "best_wall_s": round(min(walls), 4),
         "pts_per_s": round(data.size / min(walls), 1),
-        "link_up_mbps": round(up_mbps, 1),
-        "link_down_mbps": round(down_mbps, 1),
+        "link_up_MBps": round(up_mbps, 1),
+        "link_down_MBps": round(down_mbps, 1),
         "bytes_up_per_rep": int(up_b),
         "bytes_down_per_rep": int(down_b),
-        "up_floor_s": round(up_b / (up_mbps * 131072), 4),
-        "down_floor_s": round(down_b / (down_mbps * 131072), 4),
+        "up_floor_s": round(up_b / (up_mbps * 1e6), 4),
+        "down_floor_s": round(down_b / (down_mbps * 1e6), 4),
         "stages": stats,
     }, indent=1))
 
