@@ -55,9 +55,25 @@ class RefConfig(ctypes.Structure):
     ]
 
 
+def _sources() -> list:
+    return [
+        REFERENCE_SRC / "ebcc_codec.c",
+        REFERENCE_SRC / "spiht" / "spiht_re.c",
+        REFERENCE_SRC / "log" / "log.c",
+        SHIM_DIR / "opj_shim.c",
+        SHIM_DIR / "openjpeg.h",
+    ]
+
+
 def build(force: bool = False) -> Path:
     if LIB.exists() and not force:
-        return LIB
+        # Staleness guard: the .so is never committed (gitignored); a
+        # leftover from an older shim or reference tree must not silently
+        # validate the A/B tests — rebuild whenever any source is newer.
+        lib_mtime = LIB.stat().st_mtime
+        if all(not s.exists() or s.stat().st_mtime <= lib_mtime
+               for s in _sources()):
+            return LIB
     if not (REFERENCE_SRC / "ebcc_codec.c").exists():
         raise ReferenceUnavailable("reference sources not found")
     BUILD_DIR.mkdir(parents=True, exist_ok=True)

@@ -1759,7 +1759,14 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                   and 4 * cap > (2 * ne * sc) // 8)
     with stage("dec: upload sparse + decode"):
         scalars = [base_cut, res_cut, minval, maxval, rmin, rmax]
-        if use_bytes and not os.environ.get("EBCC_NO_RICE_UPLOAD"):
+        if (use_bytes and not os.environ.get("EBCC_NO_RICE_UPLOAD")
+                and cap <= transfer.COMPACT_CAP_LIMIT):
+            # The cap gate mirrors the encode-direction rice legs:
+            # rice_block_unpack derives lane bit offsets via int32 cumsum,
+            # so total packed bits >= 2^31 (reachable around ~20M coeffs at
+            # the 104-bit escape worst case) would silently overflow and
+            # corrupt the decode.  Above the limit fall through to the
+            # nibble/byte paths, whose offsets are element-indexed.
             # Blocked-Rice upload (~1.0 B per significant coefficient —
             # near the downlink's entropy) decoded on device by parallel
             # block lanes; nibble tiers remain the fallback below.

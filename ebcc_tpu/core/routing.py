@@ -76,44 +76,47 @@ def link_mbps() -> tuple:
     """(up, down) host<->device bandwidth in MB/s; (0, 0) = no usable
     device.  ``EBCC_LINK_MBPS`` (one number, both directions) skips the
     probe — tests use it to force a routing decision."""
+    # Held across the whole probe: concurrent first calls would otherwise
+    # run overlapping 4 MB transfers that contend for the link, each
+    # measuring deflated bandwidth, with the last (wrong) writer cached
+    # for the process lifetime.  The lock is recursive-safe here because
+    # nothing inside the probe calls back into this module.
     with _cache_lock:
         if "link" in _cache:
             return _cache["link"]
-    env = os.environ.get("EBCC_LINK_MBPS")
-    if env:
-        v = float(env)
-        with _cache_lock:
+        env = os.environ.get("EBCC_LINK_MBPS")
+        if env:
+            v = float(env)
             _cache["link"] = (v, v)
             return _cache["link"]
-    try:
-        import jax
+        try:
+            import jax
 
-        # Distinct INCOMPRESSIBLE payload per probe: a tunneled transport
-        # may compress (constant bytes fly at fake speed) or dedupe a
-        # repeated buffer (the warm-up upload would make the measured one
-        # near-instant) — either inflates the estimate and mis-routes
-        # host-destined calls onto a slow link.
-        rng = np.random.default_rng(0)
+            # Distinct INCOMPRESSIBLE payload per probe: a tunneled
+            # transport may compress (constant bytes fly at fake speed) or
+            # dedupe a repeated buffer (the warm-up upload would make the
+            # measured one near-instant) — either inflates the estimate
+            # and mis-routes host-destined calls onto a slow link.
+            rng = np.random.default_rng(0)
 
-        def probe_once():
-            x = rng.integers(0, 256, _PROBE_BYTES, np.uint8)
-            t0 = time.perf_counter()
-            a = jax.device_put(x)
-            # block_until_ready is unreliable on tunneled backends;
-            # fetching a derived slice forces the upload to complete.
-            np.asarray(jax.device_get(a[-8:]))
-            t1 = time.perf_counter()
-            np.asarray(jax.device_get(a))
-            t2 = time.perf_counter()
-            return t1 - t0, t2 - t1
+            def probe_once():
+                x = rng.integers(0, 256, _PROBE_BYTES, np.uint8)
+                t0 = time.perf_counter()
+                a = jax.device_put(x)
+                # block_until_ready is unreliable on tunneled backends;
+                # fetching a derived slice forces the upload to complete.
+                np.asarray(jax.device_get(a[-8:]))
+                t1 = time.perf_counter()
+                np.asarray(jax.device_get(a))
+                t2 = time.perf_counter()
+                return t1 - t0, t2 - t1
 
-        probe_once()  # warm-up: device claim + slice-op compile
-        tu, td = probe_once()
-        up = _PROBE_BYTES / max(tu, 1e-9) / 1e6
-        down = _PROBE_BYTES / max(td, 1e-9) / 1e6
-    except Exception:
-        up = down = 0.0
-    with _cache_lock:
+            probe_once()  # warm-up: device claim + slice-op compile
+            tu, td = probe_once()
+            up = _PROBE_BYTES / max(tu, 1e-9) / 1e6
+            down = _PROBE_BYTES / max(td, 1e-9) / 1e6
+        except Exception:
+            up = down = 0.0
         _cache["link"] = (up, down)
     logger.info("link probe: %.1f MB/s up, %.1f MB/s down", up, down)
     return _cache["link"]

@@ -100,6 +100,7 @@ def test_against_third_party_codecs(base_test_data, tmp_path):
     for name, filt in (
         ("sz3", getattr(hdf5plugin, "SZ3", None)),
         ("sz", getattr(hdf5plugin, "SZ", None)),
+        ("sperr", getattr(hdf5plugin, "Sperr", None)),
     ):
         if filt is None:
             continue
@@ -125,3 +126,42 @@ def test_against_third_party_codecs(base_test_data, tmp_path):
     assert np.abs(out - data).max() <= target
     best = min(sizes.values())
     assert len(blob) < best * 1.25, (len(blob), sizes)
+
+
+def test_against_sperr(base_test_data, tmp_path):
+    """SPERR at an equal absolute bound (reference
+    tests/benchmarks/compress_sperr.py:1-19 drives hdf5plugin.Sperr with
+    absolute=10.0 on the ERA5 geopotential cube; its recorded size there
+    was 6.18 MB vs EBCC's 1.81, data/logs.txt:17-20).  Gated on an
+    hdf5plugin build that actually ships the Sperr filter; skips here,
+    activates in CI the moment the plugin lands.  Contract: both codecs
+    respect the bound, and this codec's stream is no larger than SPERR's
+    (the reference beats SPERR 3.4x at this operating point — matching it
+    is the loosest defensible floor)."""
+    hdf5plugin = pytest.importorskip("hdf5plugin")
+    h5py = pytest.importorskip("h5py")
+    sperr = getattr(hdf5plugin, "Sperr", None)
+    if sperr is None:
+        pytest.skip("hdf5plugin build has no Sperr filter")
+
+    data = base_test_data.astype(np.float32)
+    target = 0.5
+    path = tmp_path / "sperr.h5"
+    try:
+        with h5py.File(path, "w") as f:
+            f.create_dataset("v", data=data, chunks=data.shape,
+                             **sperr(absolute=target))
+        with h5py.File(path, "r") as f:
+            out = f["v"][...]
+    except Exception as e:
+        pytest.skip(f"Sperr filter unusable in this build: {e!r}")
+    assert np.abs(out - data).max() <= target * 1.05
+    sperr_size = path.stat().st_size
+
+    config = CodecConfig(dims=(1,) + data.shape, base_cr=30,
+                         residual_mode=RESIDUAL_MAX_ERROR, error=target,
+                         entropy_backend="auto")
+    blob = encode(data[None], config)
+    ours = decode(blob).reshape(data.shape)
+    assert np.abs(ours - data).max() <= target
+    assert len(blob) <= sperr_size, (len(blob), sperr_size)
