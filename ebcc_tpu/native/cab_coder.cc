@@ -179,22 +179,6 @@ struct Contexts {
   }
 };
 
-inline int neighbor_sig_count(const uint8_t *sig, int r, int c, int hp,
-                              int wp, size_t base) {
-  int n = 0;
-  for (int dr = -1; dr <= 1; ++dr) {
-    const int rr = r + dr;
-    if (rr < 0 || rr >= hp) continue;
-    for (int dc = -1; dc <= 1; ++dc) {
-      if (!dr && !dc) continue;
-      const int cc = c + dc;
-      if (cc < 0 || cc >= wp) continue;
-      n += sig[base + (size_t)rr * wp + cc];
-    }
-  }
-  return n > 8 ? 8 : n;
-}
-
 inline int sign_context(const uint8_t *sig, const uint8_t *neg, int r, int c,
                         int hp, int wp, size_t base) {
   /* left/up contributions in {-1, 0, +1} -> 9 contexts */
@@ -220,7 +204,40 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
   std::vector<uint8_t> cls;
   build_class_map(hp, wp, levels, &cls);
   std::vector<uint8_t> sig(n, 0), neg(n, 0), refined(n, 0);
+  /* Incrementally-maintained coder state (bitstream-identical to the
+   * recompute-per-position formulation this replaces):
+   *   nsc[i] = number of significant 8-neighbors (a context input; max 8,
+   *            so uint8 never saturates);
+   *   blk[i] = sig[i] + sig[parent(i)] + nsc[i] — zero exactly when the
+   *            coefficient is run-mode ELIGIBLE, so group/segment/row
+   *            eligibility becomes an "all bytes zero" scan (8 lanes per
+   *            uint64 load) instead of an O(10)-reads-per-coefficient
+   *            neighborhood recomputation repeated at every skip tier.
+   * Both are updated only on the sig 0->1 transition, mirroring exactly
+   * what live recomputation would observe mid-row. */
+  std::vector<uint8_t> nsc(n, 0), blk(n, 0);
   Contexts ctx;
+
+  /* sig 0->1 transition: bump the 8 neighbors' counts, unblock-proof the
+   * children (cells whose parent is (r, c) sit at (2r+dr, 2c+dc)), and
+   * count the cell itself.  (0,0) is its own parent; the extra +1 it gets
+   * as its own child only matters for blk != 0, which stays correct. */
+  auto mark_significant = [&](size_t base, int r, int c, size_t i) {
+    sig[i] = 1;
+    blk[i] += 1;
+    const int ra = r > 0 ? r - 1 : 0, rb = r + 1 < hp ? r + 1 : hp - 1;
+    const int ca = c > 0 ? c - 1 : 0, cb = c + 1 < wp ? c + 1 : wp - 1;
+    for (int rr = ra; rr <= rb; ++rr)
+      for (int cc = ca; cc <= cb; ++cc) {
+        if (rr == r && cc == c) continue;
+        const size_t j = base + (size_t)rr * wp + cc;
+        ++nsc[j];
+        ++blk[j];
+      }
+    for (int rr = 2 * r; rr <= 2 * r + 1 && rr < hp; ++rr)
+      for (int cc = 2 * c; cc <= 2 * c + 1 && cc < wp; ++cc)
+        blk[base + (size_t)rr * wp + cc] += 1;
+  };
 
   uint8_t *signs = payload + (size_t)kept * plane_bytes;
   for (int s = 0; s < kept; ++s) {
@@ -229,6 +246,31 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
       const size_t base = (size_t)f * hp * wp;
       const size_t bbase = (size_t)f * hp * wb;
       for (int r = 0; r < hp; ++r) {
+        const uint8_t *brow = blk.data() + base + (size_t)r * wp;
+        uint8_t *prow = plane + bbase + (size_t)r * wb;
+        /* All blk bytes zero in [a, a+len) == every run group in the
+         * range is eligible (the skip tiers only ask about multiples of
+         * kRunLen). */
+        auto range_elig = [&](int a, int len) -> bool {
+          const uint8_t *p = brow + a;
+          uint64_t acc = 0;
+          int k = 0;
+          for (; k + 8 <= len; k += 8) {
+            uint64_t v;
+            std::memcpy(&v, p + k, 8);
+            acc |= v;
+          }
+          for (; k < len; ++k) acc |= p[k];
+          return acc == 0;
+        };
+        /* Any plane bit set in [a, a+len); the skip tiers call this with
+         * byte-aligned ranges only (a % 8 == 0, len % 8 == 0). */
+        auto range_any = [&](int a, int len) -> int {
+          const uint8_t *p = prow + a / 8;
+          uint8_t acc = 0;
+          for (int k = 0; k < len / 8; ++k) acc |= p[k];
+          return acc ? 1 : 0;
+        };
         /* Shared significance->sign transition for a coefficient that just
          * became significant in this plane. */
         auto code_newly_significant = [&](int c, size_t i, size_t byte,
@@ -243,7 +285,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             sbit = dec->decode(&ctx.sign[xc]);
             if (sbit) signs[byte] |= mask;
           }
-          sig[i] = 1;
+          mark_significant(base, r, c, i);
           neg[i] = (uint8_t)sbit;
         };
         auto code_position = [&](int c) {
@@ -257,9 +299,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             const int psig =
                 sig[base + (size_t)(r >> 1) * wp + (c >> 1)] ? 1 : 0;
             const int sc =
-                (cls[(size_t)r * wp + c] * 9 +
-                 neighbor_sig_count(sig.data(), r, c, hp, wp, base)) * 2 +
-                psig;
+                (cls[(size_t)r * wp + c] * 9 + nsc[i]) * 2 + psig;
             int bit;
             if (kEncode) {
               bit = (plane[byte] & mask) ? 1 : 0;
@@ -272,10 +312,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
           } else {
             /* EBCOT's 3 magnitude-refinement contexts: the first
              * refinement distinguishes active neighborhoods. */
-            const int rc = refined[i]
-                ? 2
-                : (neighbor_sig_count(sig.data(), r, c, hp, wp, base) ? 1
-                                                                      : 0);
+            const int rc = refined[i] ? 2 : (nsc[i] ? 1 : 0);
             if (kEncode) {
               const int bit = (plane[byte] & mask) ? 1 : 0;
               enc->encode(bit, &ctx.ref[rc]);
@@ -284,34 +321,6 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             }
             refined[i] = 1;
           }
-        };
-        /* Run mode: a row-group of kRunLen coefficients, all insignificant
-         * with zero context (no significant neighbors, no significant
-         * parent), codes ONE "any" bit; on a break, a 2-bit position.
-         * Eligibility depends only on coder state already shared with the
-         * decoder, so both sides agree on when the mode engages. */
-        auto group_elig = [&](int c0) {
-          for (int k = 0; k < kRunLen; ++k) {
-            const int c = c0 + k;
-            const size_t i = base + (size_t)r * wp + c;
-            if (sig[i] ||
-                sig[base + (size_t)(r >> 1) * wp + (c >> 1)] ||
-                neighbor_sig_count(sig.data(), r, c, hp, wp, base) != 0)
-              return false;
-          }
-          return true;
-        };
-        auto range_elig = [&](int a, int b) {
-          for (int c0 = a; c0 < b; c0 += kRunLen)
-            if (!group_elig(c0)) return false;
-          return true;
-        };
-        auto range_any = [&](int a, int b) {
-          for (int c = a; c < b; ++c) {
-            const size_t byte = bbase + (size_t)r * wb + c / 8;
-            if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) return 1;
-          }
-          return 0;
         };
         /* Hierarchical skip (zerotree-flavoured): a fully-eligible ROW
          * codes ONE "any" bit, then each 64-wide all-eligible
@@ -331,10 +340,10 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
         }
         for (int u0 = 0; u0 < wp; u0 += kSupLen) {
           const int uend = u0 + kSupLen <= wp ? u0 + kSupLen : wp;
-          if ((uend - u0) == kSupLen && range_elig(u0, uend)) {
+          if ((uend - u0) == kSupLen && range_elig(u0, kSupLen)) {
             int sup_any;
             if (kEncode) {
-              sup_any = range_any(u0, uend);
+              sup_any = range_any(u0, kSupLen);
               enc->encode(sup_any, &ctx.sup);
             } else {
               sup_any = dec->decode(&ctx.sup);
@@ -343,10 +352,10 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
           }
         for (int s0 = u0; s0 < uend; s0 += kSegLen) {
           const int send = s0 + kSegLen <= uend ? s0 + kSegLen : uend;
-          if ((send - s0) == kSegLen && range_elig(s0, send)) {
+          if ((send - s0) == kSegLen && range_elig(s0, kSegLen)) {
             int seg_any;
             if (kEncode) {
-              seg_any = range_any(s0, send);
+              seg_any = range_any(s0, kSegLen);
               enc->encode(seg_any, &ctx.seg);
             } else {
               seg_any = dec->decode(&ctx.seg);
@@ -354,17 +363,17 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
             if (!seg_any) continue; /* all 16 stay zero this plane */
           }
         for (int c0 = s0; c0 < send; c0 += kRunLen) {
-          bool elig = group_elig(c0);
+          uint32_t g4;
+          std::memcpy(&g4, brow + c0, 4);
+          const bool elig = g4 == 0;
           int cstart = c0;
           if (elig) {
             int any;
+            /* kRunLen == 4 and c0 % 4 == 0: the group is one nibble of
+             * the packed plane row. */
+            const uint8_t nib_mask = (c0 % 8 == 0) ? 0xF0 : 0x0F;
             if (kEncode) {
-              any = 0;
-              for (int k = 0; k < kRunLen && !any; ++k) {
-                const int c = c0 + k;
-                const size_t byte = bbase + (size_t)r * wb + c / 8;
-                if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) any = 1;
-              }
+              any = (prow[c0 / 8] & nib_mask) ? 1 : 0;
               enc->encode(any, &ctx.run);
             } else {
               any = dec->decode(&ctx.run);
@@ -375,8 +384,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
               first = 0;
               for (int k = 0; k < kRunLen; ++k) {
                 const int c = c0 + k;
-                const size_t byte = bbase + (size_t)r * wb + c / 8;
-                if (plane[byte] & (uint8_t)(1u << (7 - (c % 8)))) {
+                if (prow[c / 8] & (uint8_t)(1u << (7 - (c % 8)))) {
                   first = k;
                   break;
                 }

@@ -145,7 +145,12 @@ size_t etpu_rice_block_pack(const int64_t *idx, const int32_t *vals,
   }
   bw.flush();
   delete[] kg_heap;
-  return bw.word_pos ? bw.word_pos : 1;
+  if (bw.word_pos == 0) {
+    words[0] = 0; /* n == 0: hand back a defined (zero) word, not
+                     whatever the caller's np.empty held */
+    return 1;
+  }
+  return bw.word_pos;
 }
 
 }  /* extern "C" */

@@ -441,3 +441,41 @@ class TestRiceBlockUpload:
         np.testing.assert_array_equal(np.asarray(qflat), ref)
         assert (np.asarray(bc) == 3).all() and (np.asarray(rc) == 2).all()
         np.testing.assert_array_equal(np.asarray(fl), floats)
+
+    @pytest.mark.parametrize("n,scale", [
+        (100_000, 5), (5_000, 500), (1, 1), (0, 1),
+        (300, 2 ** 20),                 # forces 32-bit escape codes
+        (127, 3), (128, 3), (129, 3),   # block-boundary sizes
+    ])
+    def test_native_pack_matches_host(self, n, scale):
+        """The C packer (native.rice_block_pack) is the production path for
+        the decode-direction upload; its bit output must equal the numpy
+        reference (rice_block_pack_host) exactly — otherwise a C-side
+        packing divergence surfaces only as corrupted integration
+        roundtrips, never as a targeted failure."""
+        native = _native()
+        rng = np.random.default_rng(n + scale)
+        if n:
+            idx = np.sort(rng.choice(20_000_000, size=n,
+                                     replace=False)).astype(np.int64)
+            vals = np.clip(rng.standard_cauchy(n) * scale,
+                           -2 ** 31 + 1, 2 ** 31 - 1).astype(np.int32)
+        else:
+            idx = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.int32)
+        hw, hlg, hlv, hkp, hbp, hnb = transfer.rice_block_pack_host(
+            idx, vals)
+        nw, nlg, nlv, nkp, nbp, nnb = native.rice_block_pack(idx, vals)
+        assert hnb == nnb
+        np.testing.assert_array_equal(hlg, nlg)
+        np.testing.assert_array_equal(hlv, nlv)
+        np.testing.assert_array_equal(hkp, nkp)
+        np.testing.assert_array_equal(hbp, nbp)
+        total_bits = int(hlg.astype(np.int64).sum()
+                         + hlv.astype(np.int64).sum())
+        used = -(-total_bits // 32)
+        assert hw.size >= used and nw.size >= used
+        np.testing.assert_array_equal(hw[:used], nw[:used])
+        # Trailing pad words must be zero in both (the device unpacker
+        # reads a 3-word window past the final code).
+        assert not hw[used:].any() and not nw[used:].any()
