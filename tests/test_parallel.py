@@ -163,3 +163,52 @@ class TestScalingGates:
         # shared-core ceiling is ~1x; measured ~0.67x on a 4-core host.
         # 0.35 is the collapse gate, not a scaling claim.
         assert ts < t1 / 0.35, (ts, t1)
+
+    def test_compute_only_sharding_efficiency(self, mesh, base_test_data):
+        """Device-program-only scaling gate (round-3 VERDICT #5): the same
+        compute-bound encode batch, 8 chunks on ONE device vs 8 chunks
+        sharded one-per-device, no host assembly or link legs in either
+        measurement.  Both runs burn identical FLOPs on the same host
+        cores, so the ratio isolates SHARDING overhead (resharding
+        collectives, per-shard dispatch serialization); a regression that
+        the 0.35 collapse gate sleeps through fails here at 0.6."""
+        import time
+
+        from ebcc_tpu.config import EncodeOptions
+        from ebcc_tpu.core import codec as codec_mod
+        from ebcc_tpu.parallel import mesh as mesh_lib
+
+        nd = int(np.prod(mesh.devices.shape))
+        rng = np.random.default_rng(1)
+        data = np.stack([
+            np.ascontiguousarray(base_test_data[:256, :256])
+            + rng.normal(scale=0.01, size=(256, 256)).astype(np.float32)
+            for _ in range(nd)
+        ])[:, None]
+        config = CodecConfig(dims=(nd, 256, 256), base_cr=30,
+                             residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                             chunk_dims=(1, 256, 256))
+        pc = config.per_chunk((1, 256, 256))
+        opts = EncodeOptions.from_env()
+
+        sharding = mesh_lib.batch_sharding(mesh)
+        x_sh = jax.device_put(data, sharding)
+        x_one = jax.device_put(data, jax.devices()[0])
+
+        def run(xb, **kw):
+            out = codec_mod.encode_batch_device(xb, pc, opts, **kw)
+            jax.block_until_ready(
+                [v for v in out.values() if hasattr(v, "block_until_ready")])
+
+        run(x_sh)           # warm/compile
+        run(x_one, use_pallas=False)
+        t_sh = t_one = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(x_sh)
+            t_sh = min(t_sh, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run(x_one, use_pallas=False)
+            t_one = min(t_one, time.perf_counter() - t0)
+        # per-device efficiency = total-throughput ratio (equal work)
+        assert t_one / t_sh >= 0.6, (t_sh, t_one)
