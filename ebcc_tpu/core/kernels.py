@@ -65,7 +65,7 @@ def _pad2d(x, multiple):
 
 
 def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
-                        use_pallas, step: int = 3):
+                        use_pallas, step: int = 3, curve_fn=None):
     """Coarse-to-fine cut search: evaluate a strided coarse grid of cuts
     once, then refine ``step - 1`` candidates above each criterion's
     coarsest feasible coarse cut.  ~half the inverse-DWT evaluations of the
@@ -76,6 +76,14 @@ def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
     metrics_fn(spatial, cut_vec) -> tuple of (B,) metric arrays.
     criteria: list of fns mapping that tuple (stacked or single) to a
     feasibility boolean (broadcasts over a leading axis when stacked).
+    curve_fn (optional): fn(static cut grid) -> the same stacked metric
+    tuple for the WHOLE grid in one fused device pass
+    (ops.dwt_pallas.curve_stats_pallas) — replaces the per-cut lax.map
+    coarse sweep; refinement evaluations keep the per-cut path.  The max
+    statistics it yields are bit-equal to the per-cut path (max is
+    order-independent and the in-kernel reconstruction is the same code);
+    the mean can differ in the last ulp, which only steers the adjustment
+    value this same program verifies against.
     Returns ``(per_criterion, coarse, coarse_cuts)`` where per_criterion is
     a list of (cut (B,), feasible_any (B,), metrics tuple at the chosen
     cut), ``coarse`` the stacked (n_coarse, B) metric tuple and
@@ -94,8 +102,11 @@ def _coarse_fine_search(q, num_planes, levels, metrics_fn, criteria,
                                             use_pallas=use_pallas)
         return metrics_fn(spatial, cut_vec)
 
-    coarse = jax.lax.map(
-        lambda c: eval_vec(jnp.broadcast_to(c, (b,))), cc_dev)
+    if curve_fn is not None:
+        coarse = curve_fn(tuple(int(c) for c in cc))
+    else:
+        coarse = jax.lax.map(
+            lambda c: eval_vec(jnp.broadcast_to(c, (b,))), cc_dev)
 
     out = []
     for crit in criteria:
@@ -224,6 +235,36 @@ def _encode_core(
         q = metrics.error_quantile(x, recon, target)
         return maxe, q, m
 
+    # Fused curve sweep (round-3 VERDICT #7): on TPU the whole coarse
+    # error-vs-cut curve is computed in ONE Pallas pass per frame (frame
+    # resident in VMEM across all cuts) instead of one dispatch + 3 HBM
+    # frame trips per cut.  The statistics rows are associative partials;
+    # combining them here reproduces the metric tuples exactly (max/min/
+    # count are order-independent; the mean's reduction-order ulp only
+    # steers the adjustment this same program verifies).
+    n_pts = d0 * h * w
+    use_curve = use_pallas and dwt_pallas.supported(qbase.shape, base_levels)
+
+    def _combine(stats):
+        s = stats[..., 0].sum(-1)
+        mx = stats[..., 1].max(-1)
+        mn = stats[..., 2].min(-1)
+        bad = stats[..., 3].sum(-1)
+        m = s / n_pts
+        maxe = (jnp.maximum(mx - m, m - mn) if use_centered
+                else jnp.maximum(mx, -mn))
+        return maxe, 1.0 - bad / n_pts, m
+
+    base_curve = None
+    if use_curve:
+        xpad, _ = _pad2d(x, mult)
+
+        def base_curve(cut_grid):
+            stats = dwt_pallas.curve_stats_pallas(
+                qbase, xpad, rng / BASE_SCALE, minval, target,
+                levels=base_levels, cut_grid=cut_grid, valid_hw=orig_hw)
+            return _combine(stats)
+
     # Coarse-to-fine search over cuts (12 iDWT evals instead of a dense 22;
     # feasibility is monotone in the cut and cut 0 sits on the coarse grid,
     # so feasibility-any and the none-feasible fallback match the dense
@@ -235,7 +276,7 @@ def _encode_core(
             qbase, BASE_NUM_PLANES, base_levels, base_metrics,
             [lambda m: m[1] >= base_quantile_target,
              lambda m: m[0] <= target],
-            use_pallas)
+            use_pallas, curve_fn=base_curve)
 
     base_sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
@@ -263,6 +304,7 @@ def _encode_core(
     rnp_, _ = _pad2d(rn, mult)
     yres = dwt.dwt2d(rnp_, res_levels)  # float coefficients, quantized per f
     res_off = rmin[:, None, None, None]
+    res_pad = _pad2d(residual, mult)[0] if use_curve else None
 
     def residual_sweep(yres):
         maxe_list, mean_list, cut_list, feas_list, est_list = [], [], [], [], []
@@ -285,9 +327,24 @@ def _encode_core(
                         else metrics.max_abs_error(x, recon))
                 return maxe, m
 
+            res_curve = None
+            if use_curve:
+                # err = x - (base_recon + spatial*sb + rmin)
+                #     = base_err - (spatial*sb + rmin): same fused kernel
+                # with the residual as the target frame.
+                sb_v = (rmax_adj - rmin) / RES_SCALE
+
+                def res_curve(cut_grid, q_f=q_f, sb_v=sb_v):
+                    stats = dwt_pallas.curve_stats_pallas(
+                        q_f, res_pad, sb_v, rmin, target,
+                        levels=res_levels, cut_grid=cut_grid,
+                        valid_hw=orig_hw)
+                    maxe, _q, m = _combine(stats)
+                    return maxe, m
+
             [(cut_f, feas_f, (maxe_f, mean_f))], _, _ = _coarse_fine_search(
                 q_f, RES_NUM_PLANES, res_levels, res_metrics,
-                [lambda m: m[0] <= target], use_pallas)
+                [lambda m: m[0] <= target], use_pallas, curve_fn=res_curve)
             est_f = bitplane.estimated_code_bytes(
                 q_f.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
                 RES_NUM_PLANES)

@@ -211,6 +211,91 @@ def idwt2d_dequant_pallas(q, cut, levels: int):
     return out.reshape(b, d0, hp, wp)
 
 
+def _make_curve_kernel(levels: int, cut_grid, valid_h: int, valid_w: int,
+                       hp: int, wp: int):
+    """Kernel: one frame resident in VMEM, every coarse cut's
+    reconstruction + error statistics computed on-chip, only the (n_cuts,
+    4) statistics row written back.  This is the round-3 VERDICT #7
+    fusion: the encode scan previously dispatched one dequant+iDWT pass
+    PER CUT, writing each full spatial frame to HBM and reading it back
+    for the metric reductions — per frame per cut ~3 HBM frame trips that
+    this kernel reduces to (read q + read t) once total."""
+    from jax.experimental import pallas as pl
+
+    n_cuts = len(cut_grid)
+
+    def kernel(scale_ref, off_ref, tgt_ref, q_ref, t_ref, out_ref):
+        i = pl.program_id(0)
+        scale = scale_ref[i]
+        off = off_ref[i]
+        tgt = tgt_ref[i]
+        q = q_ref[0]
+        t = t_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        valid = (rows < valid_h) & (cols < valid_w)
+        big = jnp.float32(3.4e38)
+        for k, cut in enumerate(cut_grid):
+            rec = _idwt2d_value(_dequant(q, jnp.int32(cut)), levels)
+            err = t - (rec * scale + off)
+            s = jnp.where(valid, err, 0.0).sum()
+            mx = jnp.where(valid, err, -big).max()
+            mn = jnp.where(valid, err, big).min()
+            bad = jnp.where(valid & (jnp.abs(err) > tgt), 1.0, 0.0).sum()
+            out_ref[0, k] = jnp.stack([s, mx, mn, bad])
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "cut_grid", "valid_hw",
+                                    "interpret"))
+def curve_stats_pallas(q, t, scale, off, target, *, levels: int,
+                       cut_grid, valid_hw, interpret: bool = False):
+    """Error-vs-cut statistics curve, one VMEM pass per frame.
+
+    q: (B, D0, Hp, Wp) int32 coefficients; t: (B, D0, Hp, Wp) f32 target
+    frames (zero-padded; the pad region is masked out of every statistic);
+    scale/off/target: per-chunk (B,) f32 — the reconstruction read by the
+    statistics is ``idwt(dequant(q, cut)) * scale + off`` and the error is
+    ``t - reconstruction``.  cut_grid: static tuple of cuts (descending).
+    Returns (n_cuts, B, D0, 4) f32 rows [sum_err, max_err, min_err,
+    count(|err| > target)], reduced over each frame's valid region —
+    associative partials that kernels.py combines over D0 into exact
+    chunk-level mean/max/min/quantile metrics.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d0, hp, wp = q.shape
+    h, w = valid_hw
+    qf = q.reshape(b * d0, hp, wp)
+    tf = t.reshape(b * d0, hp, wp)
+    per_frame = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32)[:, None], (b, d0)).reshape(b * d0)
+    n_cuts = len(cut_grid)
+    out = pl.pallas_call(
+        _make_curve_kernel(levels, tuple(cut_grid), h, w, hp, wp),
+        grid=(b * d0,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_cuts, 4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * d0, n_cuts, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(per_frame(scale), per_frame(off), per_frame(target), qf, tf)
+    return jnp.moveaxis(out.reshape(b, d0, n_cuts, 4), 2, 0)
+
+
 def supported(shape=None, levels: int = 0) -> bool:
     """Pallas TPU lowering available on the default backend — and, when a
     shape is given, usable for it: the in-kernel lifting slices need every

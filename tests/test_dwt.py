@@ -4,9 +4,11 @@ engine behind both layers, cf. reference dwt.h behavior)."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 jnp = pytest.importorskip("jax.numpy")
 
-from ebcc_tpu.ops import bitplane, dwt
+from ebcc_tpu.ops import bitplane, dwt, dwt_pallas
 
 
 @pytest.mark.parametrize("shape,levels", [
@@ -255,3 +257,59 @@ class TestMetrics:
         assert bool(metrics.check_finite(x))
         x[0, 0, 0, 0] = np.nan
         assert not bool(metrics.check_finite(x))
+
+
+class TestCurveStatsKernel:
+    """Fused error-vs-cut statistics kernel (ops.dwt_pallas.
+    curve_stats_pallas, interpret mode here; Mosaic lowering is
+    TPU-only).  Contract: per (cut, frame) rows [sum_err, max_err,
+    min_err, count(|err| > target)] over the valid region must equal the
+    unfused dequant -> iDWT -> masked reductions pipeline."""
+
+    def _reference(self, q, t, scale, off, target, levels, cuts, hw):
+        from ebcc_tpu.ops import bitplane as bp
+        from ebcc_tpu.ops import dwt as dwt_ops
+
+        b, d0, hp, wp = q.shape
+        h, w = hw
+        rows = []
+        for cut in cuts:
+            rec = np.asarray(dwt_ops.idwt2d(
+                bp.reconstruct_at_cut(
+                    jnp.asarray(q),
+                    jnp.full((b, 1, 1, 1), cut, jnp.int32)), levels))
+            err = (t - (rec * scale[:, None, None, None]
+                        + off[:, None, None, None]))[:, :, :h, :w]
+            rows.append(np.stack([
+                err.sum(axis=(2, 3)),
+                err.max(axis=(2, 3)),
+                err.min(axis=(2, 3)),
+                (np.abs(err) > target[:, None, None, None]).sum(axis=(2, 3))
+                .astype(np.float32),
+            ], axis=-1))
+        return np.stack(rows)
+
+    @pytest.mark.parametrize("shape,levels,hw", [
+        ((2, 1, 64, 64), 3, (50, 60)),
+        ((1, 2, 32, 64), 2, (32, 64)),
+    ])
+    def test_matches_unfused(self, shape, levels, hw):
+        rng = np.random.default_rng(3)
+        b, d0, hp, wp = shape
+        q = rng.integers(-5000, 5000, size=shape).astype(np.int32)
+        t = rng.normal(size=shape).astype(np.float32) * 50
+        scale = rng.uniform(0.5, 2.0, b).astype(np.float32)
+        off = rng.uniform(-3, 3, b).astype(np.float32)
+        target = rng.uniform(5, 40, b).astype(np.float32)
+        cuts = tuple(range(12, -1, -3))
+        got = np.asarray(dwt_pallas.curve_stats_pallas(
+            jnp.asarray(q), jnp.asarray(t), scale, off, target,
+            levels=levels, cut_grid=cuts, valid_hw=hw, interpret=True))
+        want = self._reference(q, t.astype(np.float32), scale, off, target,
+                               levels, cuts, hw)
+        assert got.shape == (len(cuts), b, d0, 4)
+        np.testing.assert_allclose(got[..., 0], want[..., 0],
+                                   rtol=1e-5, atol=1e-2)   # sum: order ulps
+        np.testing.assert_allclose(got[..., 1], want[..., 1], rtol=1e-6)
+        np.testing.assert_allclose(got[..., 2], want[..., 2], rtol=1e-6)
+        np.testing.assert_array_equal(got[..., 3], want[..., 3])
