@@ -243,7 +243,13 @@ def _encode_core(
     # count are order-independent; the mean's reduction-order ulp only
     # steers the adjustment this same program verifies).
     n_pts = d0 * h * w
-    use_curve = use_pallas and dwt_pallas.supported(qbase.shape, base_levels)
+    # Opt-in until Mosaic lowering is validated on real hardware (the
+    # interpret-mode contract test runs everywhere): EBCC_FUSED_CURVE=1.
+    import os as _os
+
+    use_curve = (use_pallas
+                 and _os.environ.get("EBCC_FUSED_CURVE", "0") == "1"
+                 and dwt_pallas.supported(qbase.shape, base_levels))
 
     def _combine(stats):
         s = stats[..., 0].sum(-1)
