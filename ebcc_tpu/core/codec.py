@@ -104,6 +104,60 @@ def build_layer_payload(v, stored_cut: int, cut: int, num_planes: int):
     return b"".join(parts) + signs.tobytes(), top, kept
 
 
+def _native_packer():
+    """Native module for C-speed sparse->planes payload packing, or None
+    (numpy fallback).  EBCC_NO_NATIVE_PACK=1 forces the fallback (tests)."""
+    if os.environ.get("EBCC_NO_NATIVE_PACK"):
+        return None
+    from .. import native
+
+    try:
+        native.load()
+        return native
+    except Exception:
+        return None
+
+
+def build_layer_payload_sparse(pos, vals, shape, stored_cut: int, cut: int,
+                               num_planes: int):
+    """:func:`build_layer_payload` computed straight from the sparse
+    exchange pair — identical bytes, but element work scales with the
+    significant count instead of the dense grid (the dense scatter +
+    per-plane packbits cost ~dense-size work per CANDIDATE, and the
+    assembler evaluates up to three candidates per chunk).
+
+    pos: int32 flat positions within the chunk's (D0, Hp, Wp) space;
+    vals: signed kept-values at ``stored_cut``; shape: (D0, Hp, Wp).
+    Returns (payload_bytes, top, kept).
+    """
+    d0v, hpv, wpv = shape
+    shift = cut - stored_cut
+    if vals.size == 0:
+        return b"", min(num_planes - cut, 255), 0
+    v32 = np.ascontiguousarray(vals, dtype=np.int32)
+    mags = np.abs(v32) >> shift
+    mx = int(mags.max())
+    if mx == 0:
+        return b"", min(num_planes - cut, 255), 0
+    msb = mx.bit_length()
+    top = num_planes - cut - msb
+    nm = _native_packer()
+    if nm is not None:
+        return (nm.sparse_to_planes(pos, v32, shift, msb, d0v, hpv, wpv),
+                top, msb)
+    plane_bytes = d0v * hpv * (wpv // 8)
+    payload = np.zeros((msb + 1) * plane_bytes, np.uint8)
+    byte = (pos >> 3).astype(np.int64)
+    mask = (1 << (7 - (pos & 7))).astype(np.uint8)
+    for s in range(msb):
+        sel = ((mags >> s) & 1).astype(bool)
+        row = msb - 1 - s
+        np.bitwise_or.at(payload, row * plane_bytes + byte[sel], mask[sel])
+    sel = (v32 < 0) & (mags > 0)
+    np.bitwise_or.at(payload, msb * plane_bytes + byte[sel], mask[sel])
+    return payload.tobytes(), top, msb
+
+
 def _entropy_encode(payload: bytes, backend: int, level: int, meta=None):
     """-> (compressed, backend_id_used); resolves the AUTO pseudo-backend
     by trying both real backends."""
@@ -136,6 +190,14 @@ class _SparseBatch:
         out[self.idx[lo:hi] - j * self.sc] = self.vals[lo:hi]
         return out.reshape(self.shape)
 
+    def pair(self, layer: int, i: int):
+        """(chunk-local int32 positions, signed values) of one chunk/layer
+        — the zero-densification view build_layer_payload_sparse wants."""
+        j = layer * self.b + i
+        lo, hi = self.splits[j], self.splits[j + 1]
+        return ((self.idx[lo:hi] - j * self.sc).astype(np.int32),
+                self.vals[lo:hi])
+
 
 class _ChunkResult:
     """Host-side view of one chunk's device outputs (numpy scalars/arrays)."""
@@ -155,6 +217,12 @@ class _ChunkResult:
 
     def res_values(self):
         return self.sparse.dense(1, self._i)
+
+    def base_pair(self):
+        return self.sparse.pair(0, self._i)
+
+    def res_pair(self):
+        return self.sparse.pair(1, self._i)
 
 
 def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
@@ -196,12 +264,13 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     store_cut = int(res.store_cut)
 
     # Candidate A: base @ base_cut (+ residual @ res_cut unless skipped).
-    base_v = res.base_values()
-    d0v, hpv, wpv = base_v.shape
+    base_pos, base_vals = res.base_pair()
+    d0v, hpv, wpv = res.sparse.shape
     base_meta = lambda kept: (kept, d0v, hpv, wpv, config.base_levels)
     res_meta = lambda kept: (kept, d0v, hpv, wpv, config.residual_levels)
-    base_payload, base_top, base_kept = build_layer_payload(
-        base_v, store_cut, base_cut, cfg.BASE_NUM_PLANES)
+    base_payload, base_top, base_kept = build_layer_payload_sparse(
+        base_pos, base_vals, res.sparse.shape, store_cut, base_cut,
+        cfg.BASE_NUM_PLANES)
     base_comp, base_be = _entropy_encode(base_payload, backend, level,
                                          base_meta(base_kept))
 
@@ -209,8 +278,9 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
     res_comp = b""
     res_top = 0
     if use_residual:
-        res_payload, res_top, res_kept = build_layer_payload(
-            res.res_values(), res_cut, res_cut, cfg.RES_NUM_PLANES)
+        res_payload, res_top, res_kept = build_layer_payload_sparse(
+            *res.res_pair(), res.sparse.shape, res_cut, res_cut,
+            cfg.RES_NUM_PLANES)
         res_comp, res_be = _entropy_encode(res_payload, backend, level,
                                            res_meta(res_kept))
         if len(res_comp) <= RESIDUAL_DROP_BYTES:  # drop rule (ref c:811)
@@ -241,8 +311,9 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
         # pure_cut is a best-effort fallback value — picking it on byte size
         # alone could ship a bound-violating stream while a feasible
         # base+residual candidate exists.
-        pure_payload, pure_top, pure_kept = build_layer_payload(
-            base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
+        pure_payload, pure_top, pure_kept = build_layer_payload_sparse(
+            base_pos, base_vals, res.sparse.shape, store_cut, pure_cut,
+            cfg.BASE_NUM_PLANES)
         pure_comp, pure_be = _entropy_encode(pure_payload, backend, level,
                                              base_meta(pure_kept))
         if len(pure_comp) < len(base_comp) + len(res_comp):
@@ -253,8 +324,9 @@ def _assemble_error_mode_stream(res: _ChunkResult, config: CodecConfig,
 
     if choose_pure:
         if pure_comp is None:
-            pure_payload, pure_top, pure_kept = build_layer_payload(
-                base_v, store_cut, pure_cut, cfg.BASE_NUM_PLANES)
+            pure_payload, pure_top, pure_kept = build_layer_payload_sparse(
+                base_pos, base_vals, res.sparse.shape, store_cut, pure_cut,
+                cfg.BASE_NUM_PLANES)
             pure_comp, pure_be = _entropy_encode(pure_payload, backend, level,
                                                  base_meta(pure_kept))
         base_comp, base_cut, base_top = pure_comp, pure_cut, pure_top
@@ -594,11 +666,11 @@ def _fetch_rice_values(words_dev, nnz: int,
     bound = min(bound_words or transfer.rice_bound_words(nnz),
                 int(words_dev.shape[0]))
     transfer.count_down(4 * bound)
-    head = np.asarray(jax.device_get(words_dev[:bound]))
+    head = transfer.sliced_get(words_dev[:bound])
     need = transfer.RICE_HEADER_WORDS + (int(head[0]) + 31) // 32
     if need > bound:  # rare: high-entropy values
-        tail = np.asarray(jax.device_get(
-            words_dev[bound:transfer.bucket_count(need)]))
+        tail = transfer.sliced_get(
+            words_dev[bound:transfer.bucket_count(need)])
         transfer.count_down(tail.nbytes)
         head = np.concatenate([head, tail])
     return native.rice_decode(head, nnz)
@@ -772,12 +844,15 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
         max(64, int(hint["words"] * 1.04))), max_words)
     n_small = _small_flat_size(small)
     with stage("enc: fused fetch"):
-        packed_dev, words_dev = _fused_exchange_program(
-            small, out["vals_comb"], out["sig_comb"].reshape(-1),
-            cap=cap, hw=(hp, wp))
-        head_dev = _fused_head_program(packed_dev, words_dev, bound=bound)
+        with stage("enc: fused dispatch"):
+            packed_dev, words_dev = _fused_exchange_program(
+                small, out["vals_comb"], out["sig_comb"].reshape(-1),
+                cap=cap, hw=(hp, wp))
+            head_dev = _fused_head_program(packed_dev, words_dev,
+                                           bound=bound)
         transfer.count_down(4 * (n_small + bound))
-        flat = np.asarray(jax.device_get(head_dev))
+        with stage("enc: fused get"):
+            flat = transfer.sliced_get(head_dev)
         outd = _split_small_flat(flat[:n_small], small)
         nnz = int(outd.pop("exchange_nnz", -1))
         if nnz == 0:
@@ -800,7 +875,7 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
             transfer.count_down(4)
             bound2 = min(transfer.rice_block_bucket(need),
                          int(words_dev.shape[0]))
-            head = np.asarray(jax.device_get(words_dev[:bound2]))
+            head = transfer.sliced_get(words_dev[:bound2])
             transfer.count_down(4 * bound2)
             _exch_hint_put(key, nnz, need)
             idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
@@ -814,11 +889,12 @@ def _fused_fetch_encode_outputs(out, small, key, hint, b, d0, hp, wp):
             # Rare: entropy above the hinted bound — fetch the tail from
             # the still-resident full words buffer.
             hi = min(transfer.rice_block_bucket(need), max_words)
-            tail = np.asarray(jax.device_get(words_dev[bound:hi]))
+            tail = transfer.sliced_get(words_dev[bound:hi])
             transfer.count_down(tail.nbytes)
             head = np.concatenate([head, tail])
         _exch_hint_put(key, nnz, need)
-        idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
+        with stage("enc: fused host rice"):
+            idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
         outd["sparse"] = _SparseBatch(idx, vals, b, d0, hp, wp)
         return outd
 
@@ -879,7 +955,7 @@ def _fetch_encode_outputs(out, error_mode: bool):
             transfer.count_down(4)
             bound = min(transfer.rice_block_bucket(need),
                         int(words_dev.shape[0]))
-            head = np.asarray(jax.device_get(words_dev[:bound]))
+            head = transfer.sliced_get(words_dev[:bound])
             transfer.count_down(4 * bound)
             _exch_hint_put((nl, b, d0, hp, wb), nnz, need)
             idx, vals = _decode_rice_pair_host(head, nnz, hp, wp)
@@ -888,7 +964,8 @@ def _fetch_encode_outputs(out, error_mode: bool):
 
     with stage("enc: bitmap fetch -> positions"):
         transfer.count_down(out["sig_comb"].nbytes)
-        sig = np.asarray(jax.device_get(out["sig_comb"]))
+        sig = transfer.sliced_get(out["sig_comb"].reshape(-1)).reshape(
+            out["sig_comb"].shape)
         idx = transfer.host_bitmap_positions(sig)
     cap = transfer.bucket_count(max(1, idx.size))
     transfer.count_up(4 * cap)
@@ -1804,7 +1881,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
             buf[o + 4 * n_ints:] = floats.reshape(-1).view(np.uint8)
             transfer.count_up(buf.nbytes)
             with stage("dec: rice device_put"):
-                buf_dev = jax.device_put(buf)
+                buf_dev = transfer.sliced_put(buf)
             with stage("dec: rice dispatch"):
                 qflat, bc, rc, fl = kernels.rice_unpack_qflat(
                     buf_dev, n_blocks=nbk, n_words=nwk,
@@ -1852,7 +1929,7 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                     np.uint8)
                 transfer.count_up(buf.nbytes)
                 out = kernels.decode_batch_sparse_nibble_fused(
-                    jax.device_put(buf), cap=cap, **kw)
+                    transfer.sliced_put(buf), cap=cap, **kw)
                 return _finish(out), const_mask, _chunk_minval, nan_masks
         if use_bytes:
             g8, g_ov, v8, v_ov16, v_ov32 = transfer.byte_pack_sparse_host(

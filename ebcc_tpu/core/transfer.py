@@ -76,6 +76,89 @@ def reset_link_stats() -> None:
 COMPACT_CAP_LIMIT = 1 << 22
 
 
+# ---------------------------------------------------------------------------
+# Sliced concurrent link transfers
+# ---------------------------------------------------------------------------
+#
+# A single host<->device stream does not saturate the link on tunneled /
+# network-attached accelerators (measured here: one 2.6 MB fetch ~15 MB/s,
+# four concurrent 657 KB fetches ~25 MB/s aggregate — per-stream TCP
+# windows cap each RPC).  Splitting one transfer into a few concurrent
+# slice streams recovers that bandwidth; on a locally attached device the
+# split only adds a couple of cheap slice dispatches.  EBCC_LINK_STREAMS
+# overrides the stream count (1 disables slicing).
+
+_SLICE_MIN_BYTES = 112 * 1024  # below this a slice is latency, not bandwidth
+_XFER_POOL = None
+_XFER_POOL_LOCK = _threading.Lock()
+
+
+def _link_streams() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("EBCC_LINK_STREAMS", "4")))
+    except ValueError:
+        return 4
+
+
+def _xfer_pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _XFER_POOL
+    with _XFER_POOL_LOCK:
+        if _XFER_POOL is None:
+            # Wide enough for several pipelined sub-batches to slice
+            # concurrently; threads are idle-cheap (they block in RPC).
+            _XFER_POOL = ThreadPoolExecutor(
+                max_workers=4 * _link_streams(),
+                thread_name_prefix="ebcc-xfer")
+        return _XFER_POOL
+
+
+def _slice_count(nbytes: int) -> int:
+    streams = _link_streams()
+    if streams <= 1:
+        return 1
+    return max(1, min(streams, int(nbytes) // _SLICE_MIN_BYTES))
+
+
+def sliced_get(arr) -> np.ndarray:
+    """Fetch a 1-D device array as a few concurrent slice streams.
+
+    Byte-identical to ``np.asarray(jax.device_get(arr))``; only the wire
+    schedule differs.  Each slice is its own device view (an XLA slice) so
+    the runtime issues independent RPCs that overlap on the link.
+    """
+    nbytes = arr.size * arr.dtype.itemsize
+    k = _slice_count(nbytes)
+    if k <= 1:
+        return np.asarray(jax.device_get(arr))
+    n = int(arr.shape[0])
+    step = -(-n // k)
+    parts = [arr[s:s + step] for s in range(0, n, step)]
+    got = list(_xfer_pool().map(
+        lambda p: np.asarray(jax.device_get(p)), parts))
+    return np.concatenate(got)
+
+
+def sliced_put(buf: np.ndarray):
+    """Upload a 1-D host array as concurrent slice streams -> device array.
+
+    The slices are re-joined by one tiny on-device concatenate; callers
+    that feed the result straight into a jit program pay one extra fused
+    copy for ~2x effective upload bandwidth on multi-stream links.
+    """
+    k = _slice_count(buf.nbytes)
+    if k <= 1:
+        return jax.device_put(buf)
+    n = buf.shape[0]
+    step = -(-n // k)
+    parts = [buf[s:s + step] for s in range(0, n, step)]
+    devs = list(_xfer_pool().map(jax.device_put, parts))
+    return jnp.concatenate(devs)
+
+
 def bucket_count(n: int) -> int:
     """Round a count up a 1.25x-step ladder so gather/scatter programs
     compile a handful of variants."""

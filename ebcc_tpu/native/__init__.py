@@ -98,11 +98,11 @@ def load(auto_build: bool = True):
             raise FileNotFoundError(f"{LIB_NAME} not built")
         p = build()
     lib = ctypes.CDLL(str(p))
-    if not hasattr(lib, "etpu_rice_block_pack"):  # newest symbol
+    if not hasattr(lib, "etpu_sparse_to_planes"):  # newest symbol
         if Path(p).parent == BUILD_DIR and auto_build:
             p = build(force=True)
             lib = ctypes.CDLL(str(p))
-        if not hasattr(lib, "etpu_rice_block_pack"):
+        if not hasattr(lib, "etpu_sparse_to_planes"):
             raise RuntimeError(
                 f"native library at {p} is too old for this package "
                 "version; rebuild it or point EBCC_FILTER_PATH/DIR at a "
@@ -161,6 +161,13 @@ def load(auto_build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS")]
+    lib.etpu_sparse_to_planes.restype = ctypes.c_int
+    lib.etpu_sparse_to_planes.argtypes = [
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(ctypes.c_uint8, flags="C_CONTIGUOUS")]
     lib.etpu_cab_decompress.restype = ctypes.c_size_t
     lib.etpu_cab_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -355,6 +362,23 @@ def planes_to_sparse(raw: bytes, kept: int, pb: int, d0: int, hp: int,
     if k == ctypes.c_size_t(-1).value:
         raise ValueError("malformed plane payload")
     return idx[:k], vals[:k]
+
+
+def sparse_to_planes(pos: np.ndarray, vals: np.ndarray, shift: int,
+                     msb: int, d0: int, hp: int, wp: int) -> bytes:
+    """(positions, signed values) -> dense packed bitplane payload bytes
+    (msb magnitude rows MSB-first + masked sign row) — the encode-direction
+    inverse of :func:`planes_to_sparse`; element work scales with the
+    significant count instead of the dense grid (see sparse_unpack.cc)."""
+    lib = load()
+    pos = np.ascontiguousarray(pos, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    payload = np.empty((msb + 1) * (d0 * hp * (wp // 8)), np.uint8)
+    rc = lib.etpu_sparse_to_planes(pos, vals, pos.size, shift, msb,
+                                   d0, hp, wp, payload)
+    if rc != 0:
+        raise ValueError("sparse_to_planes: bad geometry")
+    return payload.tobytes()
 
 
 def spiht_encode(norm: np.ndarray, trunc_bits: int = 0,

@@ -58,4 +58,43 @@ size_t etpu_planes_to_sparse(const uint8_t *raw, size_t raw_len, int kept,
   return k;
 }
 
+/* Inverse direction: sparse (position, signed value) pairs -> the dense
+ * packed bitplane payload (the exact layout build_layer_payload in
+ * core/codec.py emits: msb full magnitude rows MSB-first, then the sign
+ * plane masked to nonzero magnitudes).  The numpy path materializes the
+ * dense int32 grid and runs packbits per plane (~dense-size work per
+ * candidate); element work here scales with the significant count — the
+ * grid only pays one memset.
+ *
+ * pos: flat coefficient positions in [0, d0*hp*wp); val: signed values at
+ * stored_cut; shift = cut - stored_cut >= 0; msb = bit length of
+ * max(|val| >> shift) (computed by the caller, numpy max is cheap).
+ * payload_out must hold (msb + 1) * (d0*hp*wp/8) bytes.  Returns 0 on
+ * success, -1 on bad geometry. */
+int etpu_sparse_to_planes(const int32_t *pos, const int32_t *val, size_t n,
+                          int shift, int msb, int d0, int hp, int wp,
+                          uint8_t *payload_out) {
+  if (wp % 8 != 0 || msb <= 0 || shift < 0 || shift > 30) return -1;
+  const size_t plane_bytes = (size_t)d0 * hp * (wp / 8);
+  const size_t total = (size_t)(msb + 1) * plane_bytes;
+  for (size_t i = 0; i < total; ++i) payload_out[i] = 0;
+  uint8_t *signs = payload_out + (size_t)msb * plane_bytes;
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t v = val[i];
+    uint32_t mag = (uint32_t)(v < 0 ? -(int64_t)v : v) >> shift;
+    if (!mag) continue;
+    const uint32_t p = (uint32_t)pos[i];
+    const size_t byte = p >> 3;
+    const uint8_t mask = (uint8_t)(1u << (7 - (p & 7u)));
+    /* plane row r holds bit (msb - 1 - r) of the magnitude */
+    while (mag) {
+      const int s = 31 - __builtin_clz(mag);
+      payload_out[(size_t)(msb - 1 - s) * plane_bytes + byte] |= mask;
+      mag &= ~(1u << s);
+    }
+    if (v < 0) signs[byte] |= mask;
+  }
+  return 0;
+}
+
 } /* extern "C" */

@@ -437,3 +437,57 @@ class TestRoundtripPipelined:
         ref_dec = codec_mod.decode_frames_device(ref_streams, max_batch=2)
         np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref_dec))
         assert np.abs(np.asarray(dec) - data).max() <= 0.1
+
+
+from ebcc_tpu.core import codec as codec_mod
+
+
+class TestSparsePayloadPacker:
+    """build_layer_payload_sparse (C sparse_to_planes + numpy fallback) must
+    emit byte-identical payloads to the dense build_layer_payload — the
+    assembler switched to the sparse builder because the dense scatter +
+    per-plane packbits cost dense-grid work per candidate."""
+
+    def test_parity_random(self):
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            d0 = int(rng.choice([1, 2]))
+            hp = int(rng.choice([32, 96, 736]))
+            wp = int(rng.choice([32, 64, 1472]))
+            sc = d0 * hp * wp
+            nnz = int(rng.integers(0, min(sc, 4000)))
+            pos = np.sort(rng.choice(sc, size=nnz,
+                                     replace=False)).astype(np.int32)
+            vals = rng.integers(-4000, 4000, nnz).astype(np.int32)
+            stored_cut = int(rng.integers(0, 3))
+            cut = stored_cut + int(rng.integers(0, 3))
+            dense = np.zeros(sc, np.int32)
+            dense[pos] = vals
+            ref = codec_mod.build_layer_payload(
+                dense.reshape(d0, hp, wp), stored_cut, cut, 20)
+            got = codec_mod.build_layer_payload_sparse(
+                pos, vals, (d0, hp, wp), stored_cut, cut, 20)
+            assert ref == got
+            import os as _os
+            _os.environ["EBCC_NO_NATIVE_PACK"] = "1"
+            try:
+                got_np = codec_mod.build_layer_payload_sparse(
+                    pos, vals, (d0, hp, wp), stored_cut, cut, 20)
+            finally:
+                del _os.environ["EBCC_NO_NATIVE_PACK"]
+            assert ref == got_np
+
+    def test_empty_and_int16(self):
+        out = codec_mod.build_layer_payload_sparse(
+            np.zeros(0, np.int32), np.zeros(0, np.int16), (1, 32, 32), 0, 2,
+            20)
+        assert out == (b"", 18, 0)
+        pos = np.array([5, 40], np.int32)
+        vals = np.array([-300, 7], np.int16)
+        dense = np.zeros(1024, np.int32)
+        dense[pos] = vals
+        ref = codec_mod.build_layer_payload(dense.reshape(1, 32, 32), 1, 2,
+                                            20)
+        got = codec_mod.build_layer_payload_sparse(
+            pos, vals, (1, 32, 32), 1, 2, 20)
+        assert ref == got
