@@ -444,22 +444,32 @@ def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
             float(res.target_abs), int((~t_feas).sum()),
             float(np.asarray(res.t_maxerr).max()))
 
-    base_full = res.base_values()   # (T, Hp, Wp); frame 0 in slot 0
-    res_full = res.res_values()
-    hpv, wpv = base_full.shape[-2:]
+    # Sparse per-frame views: entries are (T, Hp, Wp) with frame 0's two
+    # layers in slot 0 and each delta in its frame slot; searchsorted on
+    # the sorted positions gives zero-densification per-frame slices for
+    # the sparse payload builder.
+    d0v, hpv, wpv = res.sparse.shape
+    fsz = hpv * wpv
+    fshape = (1, hpv, wpv)
+
+    def frame_pair(layer, t):
+        pos, vals = res.sparse.pair(layer, res._i)
+        lo, hi = np.searchsorted(pos, [t * fsz, (t + 1) * fsz])
+        return pos[lo:hi] - t * fsz, vals[lo:hi]
+
     base_meta = lambda kept: (kept, 1, hpv, wpv, config.base_levels)
     res_meta = lambda kept: (kept, 1, hpv, wpv, config.residual_levels)
 
-    base_payload, base_top, base_kept = build_layer_payload(
-        base_full[0:1], store_cut, base_cut, cfg.BASE_NUM_PLANES)
+    base_payload, base_top, base_kept = build_layer_payload_sparse(
+        *frame_pair(0, 0), fshape, store_cut, base_cut, cfg.BASE_NUM_PLANES)
     base_comp, base_be = _entropy_encode(base_payload, backend, level,
                                          base_meta(base_kept))
     res_comp = b""
     res_top = 0
     res_be = 0
     if use_residual:
-        res_payload, res_top, res_kept = build_layer_payload(
-            res_full[0:1], res_cut, res_cut, cfg.RES_NUM_PLANES)
+        res_payload, res_top, res_kept = build_layer_payload_sparse(
+            *frame_pair(1, 0), fshape, res_cut, res_cut, cfg.RES_NUM_PLANES)
         res_comp, res_be = _entropy_encode(res_payload, backend, level,
                                            res_meta(res_kept))
 
@@ -474,8 +484,8 @@ def _assemble_temporal_stream(res: _ChunkResult, config: CodecConfig,
         # _assemble_batch has nothing to parallelize there; with many
         # chunks the caller disables this inner pool to avoid nesting).
         cut_t = int(t_cut[t - 1])
-        payload, top_t, kept_t = build_layer_payload(
-            res_full[t:t + 1], cut_t, cut_t, cfg.DELTA_NUM_PLANES)
+        payload, top_t, kept_t = build_layer_payload_sparse(
+            *frame_pair(1, t), fshape, cut_t, cut_t, cfg.DELTA_NUM_PLANES)
         comp_t, be_t = _entropy_encode(payload, backend, level,
                                        res_meta(kept_t))
         return (stream.DeltaRecord(

@@ -365,10 +365,16 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, a_cls=None,
             khdr = k
         else:
             zf = z.astype(jnp.float32)
-            csum = jax.ops.segment_sum(jnp.where(valid, zf, 0.0), cls,
-                                       num_segments=RICE_NUM_CLASSES)
-            ccnt = jax.ops.segment_sum(valid.astype(jnp.float32), cls,
-                                       num_segments=RICE_NUM_CLASSES)
+            # Unrolled masked sums: segment_sum lowers to a scatter-add on
+            # TPU; eight full-row masked reductions are pure VPU work.
+            zf_valid = jnp.where(valid, zf, 0.0)
+            vf = valid.astype(jnp.float32)
+            csum = jnp.stack([
+                jnp.where(cls == c, zf_valid, 0.0).sum()
+                for c in range(RICE_NUM_CLASSES)])
+            ccnt = jnp.stack([
+                jnp.where(cls == c, vf, 0.0).sum()
+                for c in range(RICE_NUM_CLASSES)])
             cmean = csum / jnp.maximum(ccnt, 1.0)
             ks = jnp.clip(jnp.floor(jnp.log2(cmean + 1.0)), 0,
                           31 - RICE_ESC).astype(jnp.uint32)
@@ -400,16 +406,23 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, a_cls=None,
     words = jnp.zeros(n_words, jnp.uint32)
 
     def scatter(words, off, lo, hi):
+        # Three SORTED scatter-adds (offsets are monotone, invalid tail
+        # drops past the end, so each index vector stays non-decreasing):
+        # the sorted hint roughly halves TPU scatter cost vs one 4-way
+        # concatenated scatter.  spill(lo) and hi<<sh land on disjoint bits
+        # of word w+1, so their OR folds into one update.
         sh = (off & 31).astype(jnp.uint32)
         w = (off >> 5) + RICE_PAIR_HEADER_WORDS
         inv = jnp.where(sh == 0, jnp.uint32(0), jnp.uint32(32) - sh)
         spill = lambda x: jnp.where(sh == 0, jnp.uint32(0), x >> inv)
-        upd_w = jnp.concatenate([w, w + 1, w + 1, w + 2])
-        upd_v = jnp.concatenate([lo << sh, spill(lo), hi << sh, spill(hi)])
-        valid4 = jnp.concatenate([valid] * 4)
         n_words = words.shape[0]
-        return words.at[jnp.where(valid4, upd_w, n_words)].add(upd_v,
-                                                               mode="drop")
+        wv = jnp.where(valid, w, n_words)
+        words = words.at[wv].add(lo << sh, mode="drop",
+                                 indices_are_sorted=True)
+        words = words.at[wv + 1].add(spill(lo) | (hi << sh), mode="drop",
+                                     indices_are_sorted=True)
+        return words.at[wv + 2].add(spill(hi), mode="drop",
+                                    indices_are_sorted=True)
 
     words = scatter(words, off_a, lo_a, hi_a)
     words = scatter(words, off_b, lo_b, hi_b)
@@ -420,6 +433,25 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, a_cls=None,
     words_needed = (RICE_PAIR_HEADER_WORDS + (start_b >> 5)
                     + ((bits_b + 31) >> 5))
     return words, words_needed.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _setbit_lut_np() -> np.ndarray:
+    """(256*8,) int32: entry [b*8 + r] = index (MSB-first) of the r-th set
+    bit of byte b, or 7 when r >= popcount(b) (matching the clamped select
+    the unpacked formulation produced)."""
+    lut = np.full(256 * 8, 7, np.int32)
+    for b in range(256):
+        r = 0
+        for t in range(8):
+            if (b >> (7 - t)) & 1:
+                lut[b * 8 + r] = t
+                r += 1
+    return lut
+
+
+def _SETBIT_LUT():
+    return jnp.asarray(_setbit_lut_np())
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "hw"))
@@ -456,17 +488,22 @@ def compact_rice_exchange(vals_flat, sig_bytes, *, cap: int, hw=None):
                    blocks - 1).astype(jnp.int32)
     prev = jnp.where(blk > 0, psum_b[jnp.maximum(blk - 1, 0)], 0)
     rank = j - 1 - prev                               # 0-based within block
-    counts8 = pcb[blk]                                # (cap, 8)
-    ci = jnp.cumsum(counts8, axis=1)                  # inclusive byte cums
-    bi = (ci <= rank[:, None]).sum(axis=1)            # first byte ci > rank
-    bi = jnp.minimum(bi, 7)
-    rank_b = rank - (jnp.take_along_axis(ci, bi[:, None], axis=1)[:, 0]
-                     - jnp.take_along_axis(counts8, bi[:, None], axis=1)[:, 0])
+    # In-block rank selection in TRANSPOSED (8, cap) layout: a (cap, 8)
+    # array pads its 8-wide minor dim to the 128-lane tile (16x wasted
+    # lanes); keeping cap on the lane axis makes the byte selection eight
+    # full-width VPU ops.  The bit within the byte comes from a 256x8
+    # "index of r-th set bit (MSB-first)" table — one small gather instead
+    # of an 8-wide unpack + cumsum + compare.
+    countsT = pcb.T[:, blk]                           # (8, cap)
+    ciT = jnp.cumsum(countsT, axis=0)                 # inclusive byte cums
+    bi = jnp.minimum((ciT <= rank[None, :]).sum(axis=0), 7)
+    sel = lambda m: jnp.where(
+        jnp.arange(8, dtype=jnp.int32)[:, None] == bi[None, :], m, 0
+    ).sum(axis=0)
+    rank_b = rank - (sel(ciT) - sel(countsT))
     byte_val = sig_bytes[blk * 8 + bi]
-    bits = ((byte_val[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8))
-            & jnp.uint8(1)).astype(jnp.int32)         # MSB-first = elt order
-    cbit = jnp.cumsum(bits, axis=1)
-    bit = jnp.minimum((cbit <= rank_b[:, None]).sum(axis=1), 7)
+    bit = _SETBIT_LUT()[byte_val.astype(jnp.int32) * 8
+                        + jnp.clip(rank_b, 0, 7)]
     pos = (blk * 64 + bi * 8 + bit).astype(jnp.int32)
 
     vv = jnp.take(vals_flat, pos)
