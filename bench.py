@@ -236,7 +236,10 @@ def _device_main():
 
     maxerr_fn = jax.jit(lambda a, b: jnp.abs(a - b).max())
 
-    sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "8"))
+    # Sub-batch 4 (8 slices): finer pipeline granularity keeps more
+    # exchange RPCs in flight; measured 67M vs 51M pts/s at sub=8 on
+    # the tunneled link after the round-4 exchange-program rework.
+    sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "4"))
 
     def device_roundtrip():
         # Pipelined roundtrip: sub-batch k decodes (upload leg) while

@@ -1449,7 +1449,7 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
         return _fetch_encode_outputs(
             encode_batch_device(sl, config, opts), error_mode)
 
-    depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "3")),
+    depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "6")),
                 max(1, len(slices) - 1))
     with ThreadPoolExecutor(max_workers=depth) as fetcher, \
             ThreadPoolExecutor(max_workers=2) as assembler:
@@ -2154,7 +2154,7 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
         out, _, _, nanm = _decode_streams_device(streams)
         return streams, _apply_nan_masks_device(out, nanm)
 
-    depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "3")),
+    depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "6")),
                 max(1, len(slices) - 1))
     with ThreadPoolExecutor(max_workers=depth) as fetcher, \
             ThreadPoolExecutor(max_workers=2) as poster:

@@ -1020,8 +1020,13 @@ def rice_unpack_qflat(
     nnz = ints[nb + 2 * b]
     idx, vals = transfer.rice_block_unpack(
         words, lens_g, lens_v, k_packed, base_pos, nnz, n_blocks=nb)
+    # Positions are sorted (invalid entries are a suffix mapped past the
+    # end, so monotonicity holds) — the hint lets XLA skip the generic
+    # scatter path.  unique_indices stays off: the dropped tail shares the
+    # out-of-range index.
     qflat = jnp.zeros(2 * s, jnp.int32).at[
-        jnp.where(idx < 0, 2 * s, idx)].set(vals, mode="drop")
+        jnp.where(idx < 0, 2 * s, idx)].set(
+            vals, mode="drop", indices_are_sorted=True)
     return qflat, base_cut, res_cut, floats
 
 

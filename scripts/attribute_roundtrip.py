@@ -30,7 +30,7 @@ def main():
     from ebcc_tpu.utils import timing
 
     n = int(os.environ.get("EBCC_BENCH_FRAMES", "32"))
-    sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "8"))
+    sub = int(os.environ.get("EBCC_BENCH_SUBBATCH", "4"))
     reps = int(os.environ.get("EBCC_BENCH_REPS", "3"))
     data = bench.load_frames(n)
     config = CodecConfig(
