@@ -479,3 +479,37 @@ class TestRiceBlockUpload:
         # Trailing pad words must be zero in both (the device unpacker
         # reads a 3-word window past the final code).
         assert not hw[used:].any() and not nw[used:].any()
+
+
+class TestSlicedTransfers:
+    """sliced_get/sliced_put must be byte-identical to plain device_get/
+    device_put — only the wire schedule differs (concurrent slice RPCs)."""
+
+    def test_sliced_get_identity(self):
+        import jax
+
+        rng = np.random.default_rng(11)
+        for n in (100, 500_000, 1_000_001):
+            host = rng.integers(0, 2**31, n, np.int64).astype(np.int32)
+            dev = jax.device_put(host)
+            got = transfer.sliced_get(dev)
+            assert got.dtype == host.dtype
+            np.testing.assert_array_equal(got, host)
+
+    def test_sliced_put_identity(self):
+        import jax
+
+        rng = np.random.default_rng(12)
+        for n in (64, 900_000):
+            host = rng.integers(0, 256, n, np.int64).astype(np.uint8)
+            dev = transfer.sliced_put(host)
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(dev)), host)
+
+    def test_stream_env_disable(self, monkeypatch):
+        import jax
+
+        monkeypatch.setenv("EBCC_LINK_STREAMS", "1")
+        host = np.arange(500_000, dtype=np.int32)
+        got = transfer.sliced_get(jax.device_put(host))
+        np.testing.assert_array_equal(got, host)
