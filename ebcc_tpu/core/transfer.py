@@ -405,27 +405,31 @@ def rice_pack_pair(a_vals, b_vals, nnz, *, cap: int, a_cls=None,
     n_words = RICE_PAIR_HEADER_WORDS + (104 * cap) // 32 + 8
     words = jnp.zeros(n_words, jnp.uint32)
 
-    def scatter(words, off, lo, hi):
-        # Three SORTED scatter-adds (offsets are monotone, invalid tail
-        # drops past the end, so each index vector stays non-decreasing):
-        # the sorted hint roughly halves TPU scatter cost vs one 4-way
-        # concatenated scatter.  spill(lo) and hi<<sh land on disjoint bits
-        # of word w+1, so their OR folds into one update.
+    def legs(off, lo, hi):
+        # Invalid elements carry z = 0 (plan() masks them), so lo/hi are
+        # exactly 0 and their adds are no-ops — no index redirection
+        # needed, which keeps every leg's index vector monotone.
         sh = (off & 31).astype(jnp.uint32)
         w = (off >> 5) + RICE_PAIR_HEADER_WORDS
         inv = jnp.where(sh == 0, jnp.uint32(0), jnp.uint32(32) - sh)
         spill = lambda x: jnp.where(sh == 0, jnp.uint32(0), x >> inv)
-        n_words = words.shape[0]
-        wv = jnp.where(valid, w, n_words)
-        words = words.at[wv].add(lo << sh, mode="drop",
-                                 indices_are_sorted=True)
-        words = words.at[wv + 1].add(spill(lo) | (hi << sh), mode="drop",
-                                     indices_are_sorted=True)
-        return words.at[wv + 2].add(spill(hi), mode="drop",
-                                    indices_are_sorted=True)
+        return w, lo << sh, spill(lo) | (hi << sh), spill(hi)
 
-    words = scatter(words, off_a, lo_a, hi_a)
-    words = scatter(words, off_b, lo_b, hi_b)
+    # Three SORTED scatter-adds covering BOTH streams (stream b's word
+    # offsets all follow stream a's, so the concatenated index vector
+    # stays non-decreasing): the sorted hint plus halved scatter-op count
+    # is ~2x cheaper on TPU than per-stream 4-way concatenated scatters.
+    # spill(lo) and hi<<sh land on disjoint bits of word w+1, so their OR
+    # folds into one update.
+    wa, a0, a1, a2 = legs(off_a, lo_a, hi_a)
+    wb, b0, b1, b2 = legs(off_b, lo_b, hi_b)
+    w2 = jnp.concatenate([wa, wb])
+    words = words.at[w2].add(jnp.concatenate([a0, b0]), mode="drop",
+                             indices_are_sorted=True)
+    words = words.at[w2 + 1].add(jnp.concatenate([a1, b1]), mode="drop",
+                                 indices_are_sorted=True)
+    words = words.at[w2 + 2].add(jnp.concatenate([a2, b2]), mode="drop",
+                                 indices_are_sorted=True)
     words = words.at[0].set(bits_a.astype(jnp.uint32))
     words = words.at[1].set(ka)
     words = words.at[2].set(bits_b.astype(jnp.uint32))
