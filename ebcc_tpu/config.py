@@ -71,6 +71,23 @@ _RESIDUAL_NAMES = {RESIDUAL_NONE: "NONE", RESIDUAL_MAX_ERROR: "MAX_ERROR",
 BASE_NUM_PLANES = 22
 RES_NUM_PLANES = 13
 RES_SCALE_STEPS = (1.0, 1.33, 1.78, 2.37)
+# Post-selection scale refinement (bound utilization): after the discrete
+# (scale, cut) sweep picks its operating point, the encoder coarsens the
+# selected scale by these sub-grid ratios at the SAME cut and adopts the
+# coarsest candidate still feasible.  The discrete grid's ~1.33x step
+# granularity otherwise strands the shipped max_error near 75% of the
+# target (the reference's truncation search lands ~83%, ebcc_codec.c:
+# 765-807); each ratio costs one requantize + one inverse-DWT feasibility
+# eval.  Ordered coarsest-first; 1.33 extends BELOW the grid when the
+# 1.0-scale candidate won (the only case it can fire — see kernels.py).
+RES_REFINE_RATIOS = (1.33, 1.21, 1.10)
+# Same move for chunks that ship WITHOUT a residual layer (base meets the
+# bound, or pure-base is forced): their granularity gap is the base cut's
+# full octave (2x), so a short bisection on the coarsening g in [1, 2)
+# replaces the ladder (5 iterations resolve g to ~3%).  The adopted g
+# folds into the STORED maxval (decoders compute the dequant scale as
+# (maxval - minval)/65535), so the stream format is untouched.
+BASE_REFINE_ITERS = 5
 # Temporal delta layers ride the residual transform but need a deeper
 # plane budget: the delta range can be arbitrarily large relative to the
 # error target (nothing bounds it the way the base layer bounds the

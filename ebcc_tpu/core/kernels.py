@@ -42,8 +42,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import (BASE_NUM_PLANES, DELTA_NUM_PLANES, RES_NUM_PLANES,
-                      RES_SCALE_STEPS)
+from ..config import (BASE_NUM_PLANES, BASE_REFINE_ITERS, DELTA_NUM_PLANES,
+                      RES_NUM_PLANES, RES_REFINE_RATIOS, RES_SCALE_STEPS)
 from ..ops import bitplane, dwt, dwt_pallas, metrics
 from . import transfer
 
@@ -376,10 +376,55 @@ def _encode_core(
         sel = lambda arr: jnp.take_along_axis(arr, f_idx[None, :], axis=0)[0]
         qres_sel = jnp.take_along_axis(
             qres_f, f_idx[None, :, None, None, None], axis=0)[0]
-        return (sel(res_cut_f).astype(jnp.int32),
-                res_feas_f.any(axis=0),
-                sel(res_maxe_f), sel(res_mean_f), sel(rmax_adj_f),
-                sel(res_est_f), qres_sel)
+
+        # ---- post-selection scale refinement (bound utilization) ----
+        # The discrete grid's ~1.33x step granularity strands the shipped
+        # max_error near 75% of the target (judge-measured r04; the
+        # reference's bisection lands ~83%, ebcc_codec.c:765-807).  Coarsen
+        # the SELECTED scale by sub-grid ratios at the SAME cut, adopting
+        # the coarsest candidate still feasible: strictly fewer coded bytes
+        # (smaller coefficient magnitudes at an unchanged cut) at an error
+        # closer to — but verified under — the bound.  Each candidate costs
+        # one requantize + one inverse-DWT + one metrics eval, vs ~7
+        # inverse-DWTs per grid scale in the sweep above.  For scales above
+        # the grid floor a full-grid-ratio (1.33) coarsening is provably
+        # infeasible (the sweep's argmin would have preferred that grid
+        # point), so that ratio only fires from the 1.0-scale selection,
+        # extending the grid downward.
+        f_grid = jnp.asarray(RES_SCALE_STEPS, jnp.float32)
+        f_sel = f_grid[f_idx]                        # (B,)
+        cut_sel = sel(res_cut_f).astype(jnp.int32)
+        any_feas = res_feas_f.any(axis=0)
+        best_maxe, best_mean = sel(res_maxe_f), sel(res_mean_f)
+        best_rmax, best_est = sel(rmax_adj_f), sel(res_est_f)
+        best_q = qres_sel
+        adopted = jnp.zeros((b,), bool)
+        for r in RES_REFINE_RATIOS:                  # coarsest first
+            f_r = f_sel / jnp.float32(r)
+            q_r = bitplane.quantize_floor(yres * f_r[:, None, None, None])
+            rmax_r = (rmin + rrng / f_r).astype(jnp.float32)
+            sb_r = (rmax_r - rmin)[:, None, None, None] / RES_SCALE
+            spatial_r = dwt_pallas.idwt2d_dequant(
+                q_r, cut_sel, res_levels, use_pallas=use_pallas)
+            recon_r = base_recon + (dwt.unpad(spatial_r, orig_hw) * sb_r
+                                    + res_off)
+            maxe_c_r, mean_r = metrics.centered_max_abs_error(x, recon_r)
+            maxe_r = (maxe_c_r if use_centered
+                      else metrics.max_abs_error(x, recon_r))
+            feas_r = (maxe_r <= target) & any_feas & ~adopted
+            est_tab = bitplane.estimated_code_bytes(
+                q_r.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
+                RES_NUM_PLANES)
+            est_r = jnp.take_along_axis(est_tab, cut_sel[None, :], axis=0)[0]
+            w4 = feas_r[:, None, None, None]
+            best_q = jnp.where(w4, q_r, best_q)
+            best_maxe = jnp.where(feas_r, maxe_r, best_maxe)
+            best_mean = jnp.where(feas_r, mean_r, best_mean)
+            best_rmax = jnp.where(feas_r, rmax_r, best_rmax)
+            best_est = jnp.where(feas_r, est_r, best_est)
+            adopted |= feas_r
+        return (cut_sel, any_feas, best_maxe, best_mean, best_rmax,
+                best_est, best_q)
 
     def residual_trivial(yres):
         zero = jnp.zeros((b,), jnp.float32)
@@ -398,6 +443,95 @@ def _encode_core(
         (jnp.abs(qbase).max(axis=(1, 2, 3)) >= (1 << BASE_NUM_PLANES))
         | (jnp.abs(qres).max(axis=(1, 2, 3)) >= (1 << RES_NUM_PLANES)))
 
+    # ---- base-scale refinement for base-only chunks (bound utilization) ----
+    # Chunks that ship WITHOUT a residual layer — base alone meets the
+    # bound (skip-residual, ref c:737) or the residual cannot reach it and
+    # pure-base is forced (ref c:755-758) — inherit the base cut's
+    # power-of-two error granularity: the shipped max error lands anywhere
+    # in (target/2, target], wasting up to half the bound (judge-measured
+    # 75% utilization at BASELINE config 1).  Requantize the base
+    # coefficients on a g-times-coarser grid at the SAME shipped cut and
+    # fold g into the STORED maxval (decoders compute the dequant scale as
+    # (maxval - minval)/65535, so the format is untouched); adopt the
+    # coarsest candidate still feasible under the shipped candidate's own
+    # criterion — uncentered for skip-residual (host ships it unadjusted
+    # unless the centered error also verifies), centered for the forced
+    # pure candidate (host always mean-adjusts it).  Residual-carrying
+    # chunks are left alone: their residual corrects the UNREFINED base,
+    # and their utilization is handled by the residual-scale refinement
+    # above.  Requantizing from the integer qbase (not the float
+    # coefficients) differs from exact requantization by at most one
+    # coarse step on a few coefficients; feasibility is verified with the
+    # decoder's exact arithmetic either way.
+    ship_pure_only = (~skip_residual) & (~res_feasible)
+    refinable = (skip_residual | ship_pure_only) & (~const)
+    cut_ship_ref = jnp.where(skip_residual, base_cut, pure_cut)
+    qbase_ship = qbase
+    maxval_ship = maxval
+    base_maxerr_out = base_maxerr
+    base_m0, base_m2 = base_m[0], base_m[2]
+    pure_m0, pure_m2 = pure_m[0], pure_m[2]
+    # Bisection on g in [1, 2): g = 1 is feasible by construction (it is
+    # the shipped candidate itself) and a feasible g >= 2 would contradict
+    # the cut search (the next coarser cut would have met the weaker
+    # quantile criterion).  Each iteration adopts its midpoint when
+    # feasible — the adopted state is always a VERIFIED candidate, so a
+    # (rare) non-monotone blip can only cost rate, never the bound.
+    #
+    # Determinism across batch shapes (the byte-identity contract between
+    # the pipeline/chunked/sharded routes): XLA CPU's per-lane fma
+    # contraction varies with the COMPILED batch shape, wobbling the
+    # DWT's float coefficients by +-1 int in the low bits — barriers do
+    # not survive its pipeline, so the wobble cannot be pinned at the
+    # transform.  Every SHIPPED value passes through `>> cut`, which
+    # masks it; the refinement therefore requantizes the CUT values (a
+    # wobble-free integer) and never touches full-precision qbase.  The
+    # stored-float mul+add is barriered against fma on backends that
+    # honor it.
+    cut4s = cut_ship_ref[:, None, None, None]
+    vmag_f = (jnp.abs(qbase) >> cut4s).astype(jnp.float32)  # exact in f32
+    sgn_neg = qbase < 0
+    g_lo = jnp.ones((b,), jnp.float32)
+    g_hi = jnp.full((b,), 2.0, jnp.float32)
+    for _ in range(BASE_REFINE_ITERS):
+        gf = 0.5 * (g_lo + g_hi)
+        inv_g = jax.lax.optimization_barrier(1.0 / gf)
+        # Decoders reconstruct a nonzero kept magnitude v as (v + 0.5) <<
+        # cut (recon_mag half-step bias), so the nearest refined magnitude
+        # is floor((v + 0.5)/g) — zero maps to zero automatically, and a
+        # just-significant v = 1 survives moderate coarsening instead of
+        # being truncated into the dead zone.
+        vmag_g = jnp.floor((vmag_f + 0.5) * inv_g[:, None, None, None]
+                           ).astype(jnp.int32)
+        q_g = jnp.where(sgn_neg, -(vmag_g << cut4s), vmag_g << cut4s)
+        maxval_g = (minval + jax.lax.optimization_barrier(rng * gf)
+                    ).astype(jnp.float32)
+        sb_g = ((maxval_g - minval) / BASE_SCALE)[:, None, None, None]
+        recon_g = (dwt.unpad(
+            dwt_pallas.idwt2d_dequant(q_g, cut_ship_ref, base_levels,
+                                      use_pallas=use_pallas),
+            orig_hw) * sb_g + off)
+        maxe_c_g, mean_g = metrics.centered_max_abs_error(x, recon_g)
+        maxe_u_g = metrics.max_abs_error(x, recon_g)
+        crit_pure = maxe_c_g if use_centered else maxe_u_g
+        crit_g = jnp.where(skip_residual, maxe_u_g, crit_pure)
+        feas_g = (crit_g <= target) & refinable
+        g_lo = jnp.where(feas_g, gf, g_lo)
+        g_hi = jnp.where(feas_g, g_hi, gf)
+        w4 = feas_g[:, None, None, None]
+        qbase_ship = jnp.where(w4, q_g, qbase_ship)
+        maxval_ship = jnp.where(feas_g, maxval_g, maxval_ship)
+        base_maxerr_out = jnp.where(feas_g & skip_residual, maxe_u_g,
+                                    base_maxerr_out)
+        upd_b = feas_g & skip_residual
+        base_m0 = jnp.where(upd_b, maxe_c_g if use_centered else maxe_u_g,
+                            base_m0)
+        base_m2 = jnp.where(upd_b, mean_g, base_m2)
+        upd_p = feas_g & ship_pure_only
+        pure_m0 = jnp.where(upd_p, crit_pure, pure_m0)
+        pure_m2 = jnp.where(upd_p, mean_g, pure_m2)
+    rng_ship = jnp.where(const, 1.0, maxval_ship - minval)
+
     # ---- sparse exchange rep (see core.transfer) ----
     # Base kept-values at the deepest cut any stream candidate can need
     # (pure_cut can be COARSER than base_cut: the quantile criterion is
@@ -406,8 +540,8 @@ def _encode_core(
     # will not carry a residual layer.
     store_cut = jnp.minimum(pure_cut, base_cut)
     pc = store_cut[:, None, None, None]
-    magb = jnp.abs(qbase)
-    vb = jnp.where(qbase < 0, -(magb >> pc), magb >> pc)
+    magb = jnp.abs(qbase_ship)
+    vb = jnp.where(qbase_ship < 0, -(magb >> pc), magb >> pc)
     rc = res_cut[:, None, None, None]
     res_active = ((~skip_residual) & res_feasible)[:, None, None, None]
     magr = jnp.abs(qres)
@@ -415,7 +549,7 @@ def _encode_core(
     vr = jnp.where(res_active, vr, 0)
 
     small = {
-        "minval": minval, "maxval": maxval, "const": const,
+        "minval": minval, "maxval": maxval_ship, "const": const,
         "overflow": overflow,
         "target_abs": target,
         "store_cut": store_cut,
@@ -423,12 +557,12 @@ def _encode_core(
         "pure_feasible": pure_feasible,
         "base_est_sizes": base_sizes,
         "base_quantiles": base_coarse[1],  # (n_coarse, B), coarse cut grid
-        "pure_maxerr": pure_m[0],
-        "pure_mean": pure_m[2],
+        "pure_maxerr": pure_m0,
+        "pure_mean": pure_m2,
         "skip_residual": skip_residual,
-        "base_maxerr": base_maxerr,
-        "base_maxerr_centered": base_m[0],
-        "base_mean": base_m[2],
+        "base_maxerr": base_maxerr_out,
+        "base_maxerr_centered": base_m0,
+        "base_mean": base_m2,
         "rmin": rmin, "rmax": rmax_out,
         "res_cut": res_cut, "res_feasible": res_feasible,
         "res_maxerr": res_maxerr_sel,
@@ -449,9 +583,9 @@ def _encode_core(
         ship_pure = (~skip_residual) & (~res_feasible)
         cut_ship = jnp.where(ship_pure, pure_cut, base_cut)
         recon_b = dwt.unpad(
-            dwt_pallas.idwt2d_dequant(qbase, cut_ship, base_levels,
+            dwt_pallas.idwt2d_dequant(qbase_ship, cut_ship, base_levels,
                                       use_pallas=use_pallas),
-            orig_hw) * scale_back + off
+            orig_hw) * (rng_ship / BASE_SCALE)[:, None, None, None] + off
         # Decoder arithmetic for the residual layer (kernels._decode_from
         # _qflat.layer): rng = where(hi > lo, hi - lo, 1); rec = spatial *
         # (rng / RES_SCALE) + lo, reconstructed from the SHIPPED kept
@@ -613,6 +747,34 @@ def encode_batch_temporal(
         rmax_out = sel(rmax_s)
         qsel = jnp.take_along_axis(
             q_s, f_idx[None, :, None, None, None], axis=0)[0]
+
+        # Post-selection scale refinement at the chosen cut (same move as
+        # the intra residual sweep — see _encode_core): coarsen the
+        # selected effective scale by sub-grid ratios, adopt the coarsest
+        # still-feasible candidate.  Feasibility is verified with the
+        # decoder's exact arithmetic below either way (the shipped delta is
+        # recomputed from the kept values), so this only trades wasted
+        # bound margin for rate.
+        f_grid = jnp.asarray(scale_steps, jnp.float32)
+        fv_sel = f_dyn * f_grid[f_idx]
+        any_feas_t = feas_s.any(axis=0)
+        adopted = jnp.zeros((b,), bool)
+        for rr in RES_REFINE_RATIOS:                 # coarsest first
+            fv_r = fv_sel / jnp.float32(rr)
+            q_r = bitplane.quantize_floor(yd * fv_r[:, None, None, None])
+            rmax_r = (rmin + rrng / fv_r).astype(jnp.float32)
+            sb_r = (jnp.where(rmax_r > rmin, rmax_r - rmin, 1.0)
+                    / RES_SCALE)
+            rec_r = (dwt.unpad(
+                dwt_pallas.idwt2d_dequant(q_r, cut, res_levels,
+                                          use_pallas=use_pallas), orig_hw)
+                * sb_r[:, None, None, None] + rmin[:, None, None, None])
+            feas_r = (metrics.max_abs_error(x_t, recon + rec_r) <= target)
+            feas_r = feas_r & any_feas_t & ~adopted
+            w4 = feas_r[:, None, None, None]
+            qsel = jnp.where(w4, q_r, qsel)
+            rmax_out = jnp.where(feas_r, rmax_r, rmax_out)
+            adopted |= feas_r
 
         cut4 = cut[:, None, None, None]
         mag = jnp.abs(qsel)

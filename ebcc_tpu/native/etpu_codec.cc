@@ -1222,6 +1222,91 @@ size_t encode_frame(const float *x, int d0, int hh, int ww,
   g_cut_hints = {d0, hh, ww, target, quantile_target, bc, pc,
                  res_feasible ? res_cut : -1};
 
+  /* ---- post-search scale refinement (bound utilization; mirrors the
+   * round-5 kernels.py refinement): the shipped candidate's power-of-two
+   * cut granularity strands the max error near 75% of the target.  Bisect
+   * a fractional coarsening of the shipped layer's quantization grid,
+   * folded into the STORED maxval/rmax floats (decoders compute dequant
+   * scales from those, so the stream format is untouched); every adopted
+   * candidate is verified with the decoder's exact arithmetic, so the
+   * bound stays exact.  Quality parity with the JAX encoder — streams are
+   * cross-decodable, not byte-identical. */
+  const bool ship_base_only = skip_residual || !res_feasible;
+  if (ship_base_only) {
+    const int cut_ship = skip_residual ? base_cut : pure_cut;
+    const std::vector<int32_t> q0 = base.q;
+    Layer trial = base;
+    float g_lo = 1.0f, g_hi = 2.0f;
+    for (int it = 0; it < 5; ++it) {
+      const float g = 0.5f * (g_lo + g_hi);
+      /* Requantize the CUT values (what the payload ships), re-expanded to
+       * the cut grid — the same semantics as kernels.py: decoders
+       * reconstruct a nonzero kept magnitude v as (v + 0.5) << cut
+       * (recon_mag), so the nearest refined magnitude is
+       * floor((v + 0.5) / g), via the same reciprocal-multiply
+       * arithmetic. */
+      const float ig = 1.0f / g;
+      for (size_t i = 0; i < q0.size(); ++i) {
+        const int32_t m = q0[i] < 0 ? -q0[i] : q0[i];
+        const int32_t vg =
+            (int32_t)std::floor(((float)(m >> cut_ship) + 0.5f) * ig);
+        const int32_t qe = vg << cut_ship;
+        trial.q[i] = q0[i] < 0 ? -qe : qe;
+      }
+      const float maxval_g = minv + rng * g;
+      const float bscale_g = (maxval_g - minv) / kBaseScale;
+      reconstruct(trial, cut_ship, kBaseLevels, spatial.data());
+      const Metrics m_g = error_metrics(x, spatial.data(), nullptr, d0, hh,
+                                        ww, hp, wp, bscale_g, minv, 0, 0,
+                                        target);
+      const bool feas =
+          skip_residual
+              ? m_g.max_raw <= target
+              : (centered ? m_g.max_centered : m_g.max_raw) <= target;
+      if (feas) {
+        g_lo = g;
+        base.q = trial.q;
+        h.maxval = maxval_g;
+        if (skip_residual)
+          base_m = m_g;
+        else
+          pure_m = m_g;
+      } else {
+        g_hi = g;
+      }
+    }
+  } else if (res_feasible) {
+    /* residual-carrying candidate: same bisection on the residual grid,
+     * folded into the stored rmax (the JAX path additionally sweeps
+     * fractional scales before refining; the bisection alone closes the
+     * same utilization gap here). */
+    const std::vector<int32_t> q0 = res.q;
+    Layer trial = res;
+    reconstruct(base, base_cut, kBaseLevels, spatial.data());
+    float r_lo = 1.0f, r_hi = 2.0f;
+    for (int it = 0; it < 5; ++it) {
+      const float r = 0.5f * (r_lo + r_hi);
+      for (size_t i = 0; i < q0.size(); ++i)
+        trial.q[i] = (int32_t)std::trunc((float)q0[i] / r);
+      const float rmax_r = rminv + rrng * r;
+      const float escale_r = (rmax_r - rminv) / kResScale;
+      reconstruct(trial, res_cut, kResLevels, rsp.data());
+      const Metrics m_r =
+          error_metrics(x, spatial.data(), rsp.data(), d0, hh, ww, hp, wp,
+                        bscale, minv, escale_r, rminv, target);
+      const bool feas =
+          (centered ? m_r.max_centered : m_r.max_raw) <= target;
+      if (feas) {
+        r_lo = r;
+        res.q = trial.q;
+        rmaxv = rmax_r;
+        res_m = m_r;
+      } else {
+        r_hi = r;
+      }
+    }
+  }
+
   /* candidate assembly + selection (mirror of _assemble_error_mode_stream) */
   std::vector<uint8_t> base_payload, base_comp;
   int base_top, base_kept;
