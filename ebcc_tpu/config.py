@@ -141,7 +141,7 @@ class CodecConfig:
             raise ValueError(f"dims/chunk_dims must have {NDIMS} entries")
         if self.residual_mode not in _RESIDUAL_NAMES:
             raise ValueError(f"invalid residual mode {self.residual_mode}")
-        if self.entropy_backend not in ("zstd", "cab", "auto"):
+        if self.entropy_backend not in ("zstd", "cab", "cab2", "auto"):
             raise ValueError(f"invalid entropy backend {self.entropy_backend}")
         if self.temporal and self.residual_mode in (RESIDUAL_NONE,
                                                     RESIDUAL_LOSSLESS):

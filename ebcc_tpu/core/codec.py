@@ -1682,7 +1682,8 @@ def _decode_streams_device(streams: List[bytes], sharding=None):
                                            & stream.FLAG_BASE_PARTIAL)
         max_size = (kept + 1) * plane_bytes
         if partial:
-            if backend == entropy.BACKEND_NATIVE_CAB:
+            if backend in (entropy.BACKEND_NATIVE_CAB,
+                           entropy.BACKEND_NATIVE_CAB2):
                 raise stream.StreamError(
                     "partial-plane payloads require a zstd/store entropy "
                     "layer")
@@ -2156,8 +2157,15 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
 
     depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "6")),
                 max(1, len(slices) - 1))
+    # Poster width: 2 suffices for zstd-3 (assembly-light), but the CAB
+    # backend runs ~0.11 s of coder CPU per 4-frame sub-batch in post_batch;
+    # wider posting overlaps more of it with the link legs (the coder
+    # releases the GIL inside the ctypes call).
+    posters = int(os.environ.get("EBCC_PIPELINE_POSTERS",
+                                 "4" if backend != entropy.BACKEND_ZSTD
+                                 else "2"))
     with ThreadPoolExecutor(max_workers=depth) as fetcher, \
-            ThreadPoolExecutor(max_workers=2) as poster:
+            ThreadPoolExecutor(max_workers=max(1, posters)) as poster:
         futs = [fetcher.submit(run_batch, s) for s in slices[:depth]]
         post_futs = []
         for i, sl in enumerate(slices):

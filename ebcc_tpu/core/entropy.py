@@ -27,6 +27,9 @@ BACKEND_ZSTD = 1
 BACKEND_NATIVE_CAB = 2  # native context-adaptive binary coder (cab_coder.cc)
 BACKEND_AUTO = 3        # pseudo-id: try zstd AND cab, keep the smaller
                         # (never appears in streams)
+BACKEND_NATIVE_CAB2 = 4  # relaxed-eligibility CAB profile: ~2x fewer coder
+                         # calls for ~1-2% stream growth (the throughput
+                         # point's backend; cab_coder.cc file header)
 
 
 def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
@@ -47,6 +50,10 @@ def compress(data: bytes, backend: int = BACKEND_ZSTD, level: int = 9,
         from .. import native
 
         return native.cab_compress(data, *meta)
+    if backend == BACKEND_NATIVE_CAB2:
+        from .. import native
+
+        return native.cab2_compress(data, *meta)
     raise ValueError(f"unknown entropy backend {backend}")
 
 
@@ -65,6 +72,10 @@ def decompress(data: bytes, backend: int, orig_size: int, meta=None) -> bytes:
         from .. import native
 
         return native.cab_decompress(data, *meta)
+    if backend == BACKEND_NATIVE_CAB2:
+        from .. import native
+
+        return native.cab2_decompress(data, *meta)
     raise ValueError(f"unknown entropy backend {backend}")
 
 
@@ -77,6 +88,8 @@ def backend_id(config) -> int:
     name = getattr(config, "entropy_backend", "zstd")
     if name == "cab":
         return BACKEND_NATIVE_CAB
+    if name == "cab2":
+        return BACKEND_NATIVE_CAB2
     if name == "auto":
         return BACKEND_AUTO
     return default_backend()

@@ -174,6 +174,11 @@ def load(auto_build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(ctypes.c_ubyte, flags="C_CONTIGUOUS"),
         ctypes.c_size_t]
+    # Backend 4 ("cab2", relaxed-eligibility profile): same ABI shape.
+    lib.etpu_cab2_compress.restype = ctypes.c_size_t
+    lib.etpu_cab2_compress.argtypes = list(lib.etpu_cab_compress.argtypes)
+    lib.etpu_cab2_decompress.restype = ctypes.c_size_t
+    lib.etpu_cab2_decompress.argtypes = list(lib.etpu_cab_decompress.argtypes)
     lib.etpu_spiht_encode.restype = ctypes.c_size_t
     lib.etpu_spiht_encode.argtypes = [
         np.ctypeslib.ndpointer(ctypes.c_float, flags="C_CONTIGUOUS"),
@@ -199,7 +204,7 @@ def _make_config(config) -> _ConfigStruct:
     c.residual_mode = config.residual_mode
     c.error = config.error
     c.zstd_level = config.zstd_level
-    c.entropy_backend = {"zstd": 1, "cab": 2, "auto": 3}.get(
+    c.entropy_backend = {"zstd": 1, "cab": 2, "auto": 3, "cab2": 4}.get(
         getattr(config, "entropy_backend", "zstd"), 1)
     c.temporal = 1 if getattr(config, "temporal", False) else 0
     c.allow_nan = 1 if getattr(config, "allow_nan", False) else 0
@@ -277,6 +282,35 @@ def cab_decompress(comp: bytes, kept: int, d0: int, hp: int, wp: int,
                                 buf, size)
     if n != size:
         raise ValueError("corrupt CAB payload")
+    return buf.tobytes()
+
+
+def cab2_compress(payload: bytes, kept: int, d0: int, hp: int, wp: int,
+                  levels: int) -> bytes:
+    """Relaxed-eligibility CAB profile (entropy backend id 4): ~2x fewer
+    coder calls than backend 2 for ~1-2% stream growth (cab_coder.cc)."""
+    lib = load()
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.etpu_cab2_compress(payload, len(payload), kept, d0, hp, wp,
+                               levels, ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("CAB2 compress failed")
+    try:
+        return bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_ubyte * n))
+                     .contents)
+    finally:
+        lib.etpu_free(out)
+
+
+def cab2_decompress(comp: bytes, kept: int, d0: int, hp: int, wp: int,
+                    levels: int) -> bytes:
+    lib = load()
+    size = (kept + 1) * d0 * hp * (wp // 8)
+    buf = np.zeros(size, np.uint8)
+    n = lib.etpu_cab2_decompress(comp, len(comp), kept, d0, hp, wp, levels,
+                                 buf, size)
+    if n != size:
+        raise ValueError("corrupt CAB2 payload")
     return buf.tobytes()
 
 

@@ -13,6 +13,10 @@
 
 #include <zstd.h>
 
+extern "C" size_t etpu_cab2_compress(const uint8_t *, size_t, int, int, int,
+                                     int, int, uint8_t **);
+extern "C" size_t etpu_cab2_decompress(const uint8_t *, size_t, int, int, int,
+                                       int, int, uint8_t *, size_t);
 extern "C" size_t etpu_cab_compress(const uint8_t *, size_t, int, int, int,
                                     int, int, uint8_t **);
 extern "C" size_t etpu_cab_decompress(const uint8_t *, size_t, int, int, int,
@@ -77,6 +81,7 @@ constexpr size_t kDeltaRecordSize = 16;
 constexpr int kBackendStore = 0;
 constexpr int kBackendZstd = 1;
 constexpr int kBackendCab = 2;
+constexpr int kBackendCab2 = 4; /* relaxed-eligibility profile */
 constexpr size_t kResidualDropBytes = 16;
 
 /* CDF 9/7 lifting constants (shared with ebcc_tpu/ops/dwt.py). */
@@ -540,10 +545,11 @@ struct LayerGeom {
 };
 
 bool cab_pack(const std::vector<uint8_t> &payload, const LayerGeom &g,
-              std::vector<uint8_t> *out) {
+              std::vector<uint8_t> *out, bool relaxed = false) {
   uint8_t *buf = nullptr;
-  const size_t n = etpu_cab_compress(payload.data(), payload.size(), g.kept,
-                                     g.d0, g.hp, g.wp, g.levels, &buf);
+  const size_t n = (relaxed ? etpu_cab2_compress : etpu_cab_compress)(
+      payload.data(), payload.size(), g.kept, g.d0, g.hp, g.wp, g.levels,
+      &buf);
   if (n == 0) return false;
   out->assign(buf, buf + n);
   std::free(buf);
@@ -568,6 +574,12 @@ bool entropy_encode(const std::vector<uint8_t> &payload, int level,
     *used = kBackendCab;
     return true;
   }
+  if (backend == kBackendCab2 && g.kept > 0) {
+    if (!cab_pack(payload, g, out, /*relaxed=*/true)) return false;
+    *used = kBackendCab2;
+    return true;
+  }
+  if (backend == kBackendCab2) backend = kBackendZstd; /* empty geom */
   if (!zstd_pack(payload.data(), payload.size(), level > 0 ? level : 9, out))
     return false;
   if (want_cab) {
@@ -644,9 +656,11 @@ bool decode_layer_values_g(int num_planes, int cut, int top, uint8_t backend,
       log_err("corrupt entropy payload");
       return false;
     }
-  } else if (backend == kBackendCab) {
-    if (!etpu_cab_decompress(payload, comp_size, kept, d0, hp, wp, levels,
-                             raw.data(), raw_size)) {
+  } else if (backend == kBackendCab || backend == kBackendCab2) {
+    const auto fn = backend == kBackendCab2 ? etpu_cab2_decompress
+                                            : etpu_cab_decompress;
+    if (!fn(payload, comp_size, kept, d0, hp, wp, levels, raw.data(),
+            raw_size)) {
       log_err("corrupt CAB payload");
       return false;
     }

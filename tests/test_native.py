@@ -245,6 +245,73 @@ class TestCABBackend:
             pass  # acceptable: loud failure
 
 
+class TestCAB2Backend:
+    """Entropy backend 4 (relaxed-eligibility CAB profile, cab_coder.cc
+    file header): same context model, different bitstream, ~2x fewer coder
+    calls for ~1-2% stream growth — the throughput operating point."""
+
+    def test_cab2_payload_roundtrip_random(self, native):
+        rng = np.random.default_rng(1)
+        d0, hp, wp, kept, levels = 2, 64, 64, 5, 3
+        plane_bytes = d0 * hp * (wp // 8)
+        planes = rng.integers(0, 256, (kept, plane_bytes), dtype=np.uint8)
+        sig_mask = np.bitwise_or.reduce(planes, axis=0)
+        signs = rng.integers(0, 256, plane_bytes, dtype=np.uint8) & sig_mask
+        payload = planes.tobytes() + signs.tobytes()
+        comp = native.cab2_compress(payload, kept, d0, hp, wp, levels)
+        assert native.cab2_decompress(comp, kept, d0, hp, wp,
+                                      levels) == payload
+
+    def test_cab2_sparse_roundtrip_near_strict_size(self, native):
+        """On a sparse wavelet-like payload the relaxed profile must stay
+        within a few percent of the strict profile's size (the design
+        trade: speed for ~1-2% ratio)."""
+        rng = np.random.default_rng(7)
+        d0, hp, wp, kept, levels = 1, 256, 256, 8, 4
+        mag = np.where(rng.random((hp, wp)) < 0.02,
+                       rng.integers(1, 1 << kept, (hp, wp)),
+                       0).astype(np.int64)
+        planes = [np.packbits((mag >> s) & 1, axis=-1).reshape(-1)
+                  for s in range(kept - 1, -1, -1)]
+        signs = np.packbits((mag > 0) & (rng.random((hp, wp)) < 0.5),
+                            axis=-1)
+        payload = b"".join(p.tobytes() for p in planes) + signs.tobytes()
+        c1 = native.cab_compress(payload, kept, d0, hp, wp, levels)
+        c2 = native.cab2_compress(payload, kept, d0, hp, wp, levels)
+        assert native.cab2_decompress(c2, kept, d0, hp, wp,
+                                      levels) == payload
+        assert len(c2) <= int(len(c1) * 1.15)
+
+    def test_cab2_stream_roundtrip_cross_decoders(self, native,
+                                                  medium_frame):
+        """cab2 streams decode on every route: python device decoder AND
+        the native C++ decoder (entropy id 4 in the header)."""
+        data = medium_frame[None]
+        cfg = CodecConfig(dims=data.shape, base_cr=30,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                          entropy_backend="cab2")
+        blob = encode(data, cfg)
+        out = decode(blob).reshape(data.shape)
+        assert np.abs(out - data).max() <= 0.1
+        nat = native_mod.native_decode(blob).reshape(data.shape)
+        assert np.abs(nat - data).max() <= 0.1
+        # and the native ENCODER's cab2 stream decodes on the python route
+        nblob = native_mod.native_encode(data, cfg)
+        nout = decode(nblob).reshape(data.shape)
+        assert np.abs(nout - data).max() <= 0.1
+
+    def test_cab2_corruption_detected_or_bounded(self, native, small_frame):
+        cfg = CodecConfig(dims=(1, 64, 64), base_cr=30,
+                          residual_mode=RESIDUAL_MAX_ERROR, error=0.1,
+                          entropy_backend="cab2")
+        blob = bytearray(encode(small_frame[None], cfg))
+        blob[100] ^= 0xFF
+        try:
+            decode(bytes(blob))
+        except Exception:
+            pass  # acceptable: loud failure
+
+
 class TestNativeEncodeRouting:
     """EBCC_ENCODE_BACKEND=native routes the public encode entry points
     through the host C++ encoder (no accelerator needed at all)."""
