@@ -143,6 +143,10 @@ class CodecConfig:
             raise ValueError(f"invalid residual mode {self.residual_mode}")
         if self.entropy_backend not in ("zstd", "cab", "cab2", "auto"):
             raise ValueError(f"invalid entropy backend {self.entropy_backend}")
+        # Padded widths must stay byte-aligned for the bitplane packers
+        # (flat pos>>3 byte math); 3 dyadic levels guarantee wp % 8 == 0.
+        if not 3 <= self.base_levels <= 8 or not 3 <= self.residual_levels <= 8:
+            raise ValueError("base_levels/residual_levels must be in [3, 8]")
         if self.temporal and self.residual_mode in (RESIDUAL_NONE,
                                                     RESIDUAL_LOSSLESS):
             raise ValueError(

@@ -131,6 +131,12 @@ def build_layer_payload_sparse(pos, vals, shape, stored_cut: int, cut: int,
     Returns (payload_bytes, top, kept).
     """
     d0v, hpv, wpv = shape
+    # Both packers assume byte-aligned rows (flat pos>>3 byte math in the
+    # fallback, explicit guard in C); the padded grid guarantees wp % 8 == 0
+    # for every supported level count, so a violation here is a geometry
+    # bug — fail loudly instead of emitting a mispacked payload.
+    if wpv % 8 != 0:
+        raise ValueError(f"padded width {wpv} not a multiple of 8")
     shift = cut - stored_cut
     if vals.size == 0:
         return b"", min(num_planes - cut, 255), 0
@@ -1344,6 +1350,28 @@ def _u16_upload_ok(minv: np.ndarray, maxv: np.ndarray,
     return bool(np.all(targets >= _U16_MIN_TARGET_OVER_SLACK * slack))
 
 
+_MIN_ENCODE_BATCH = 4
+
+
+def _pad_min_batch(xb):
+    """Pad sub-minimum batches up to ``_MIN_ENCODE_BATCH`` by repeating the
+    last chunk (assembly only reads the real entries).
+
+    Byte determinism: the per-chunk ``lax.map`` bodies in kernels.py are
+    bitwise stable only while XLA keeps the map a real loop — a trip count
+    of 1 gets elided and the body inlined+fused differently, which changed
+    a singleton encode's stored mean relative to the same chunk inside a
+    larger batch (round-5 fuzz finding).  Keeping every compiled trip
+    count >= 4 keeps the loop (and its body) intact."""
+    b = xb.shape[0]
+    if b >= _MIN_ENCODE_BATCH:
+        return xb
+    reps = [xb, ] + [xb[-1:]] * (_MIN_ENCODE_BATCH - b)
+    if isinstance(xb, np.ndarray):
+        return np.concatenate(reps, axis=0)
+    return jnp.concatenate(reps, axis=0)
+
+
 def encode_batch_device(xb, config: CodecConfig, opts: EncodeOptions,
                         use_pallas: bool = True):
     """Dispatch the device encode program on an already-device-resident
@@ -1423,7 +1451,7 @@ def _encode_chunk_batch(x_batch, config: CodecConfig,
     xb = np.ascontiguousarray(x_batch, dtype=np.float32) if is_np else x_batch
 
     error_mode = config.residual_mode != cfg.RESIDUAL_NONE
-    out = encode_batch_device(xb, config, opts)
+    out = encode_batch_device(_pad_min_batch(xb), config, opts)
     out_np = _fetch_encode_outputs(out, error_mode)
     streams = _assemble_batch(out_np, config, opts, n_frames, h, w, backend,
                               error_mode, b)
@@ -1447,7 +1475,8 @@ def _pipeline_encode_slices(slices, counts, config: CodecConfig,
 
     def run_batch(sl):
         return _fetch_encode_outputs(
-            encode_batch_device(sl, config, opts), error_mode)
+            encode_batch_device(_pad_min_batch(sl), config, opts),
+            error_mode)
 
     depth = min(int(os.environ.get("EBCC_PIPELINE_DEPTH", "6")),
                 max(1, len(slices) - 1))
@@ -2139,7 +2168,8 @@ def roundtrip_frames_device(x_dev, config: CodecConfig,
 
     def run_batch(sl):
         return _fetch_encode_outputs(
-            encode_batch_device(sl, config, opts), error_mode)
+            encode_batch_device(_pad_min_batch(sl), config, opts),
+            error_mode)
 
     def post_batch(i, out_np, count):
         """Assemble slice i's streams, then start its device decode —

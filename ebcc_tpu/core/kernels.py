@@ -222,8 +222,30 @@ def _encode_core(
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, orig_hw = _pad2d(u, mult)
 
+    # Byte determinism (CPU backend): XLA CPU's batch-shape-dependent fma
+    # contraction wobbles float results in the low bits, which leaks into
+    # shipped integers through ``>> cut`` at bit boundaries and into the
+    # stored min/max through the mean adjustment — breaking the
+    # byte-identity contract between batch partitionings (multihost merge,
+    # pipeline-vs-sequential; measured round-5 via the 4-process
+    # distributed test).  On CPU every value-bearing transform and every
+    # near-boundary refinement decision therefore runs per chunk under
+    # ``lax.map`` (the body compiles once at the per-chunk shape, so its
+    # arithmetic is bitwise identical no matter how chunks are batched);
+    # batches below _MIN_ENCODE_BATCH are padded by the caller so the map
+    # never degenerates into an inlined (differently-fused) singleton.
+    # On TPU the batched/Pallas formulation is kept: the wobble is a CPU
+    # codegen artifact (and the contract is validated on the CPU mesh);
+    # serializing per-chunk there would cost real device time.
+    det = jax.default_backend() == "cpu"
+
     # ---- base layer transform + quantize (fused Pallas on TPU) ----
-    qbase = dwt_pallas.dwt2d_quantize(up, base_levels, use_pallas)
+    if det:
+        qbase = jax.lax.map(
+            lambda u1: dwt_pallas.dwt2d_quantize(u1[None], base_levels,
+                                                 use_pallas)[0], up)
+    else:
+        qbase = dwt_pallas.dwt2d_quantize(up, base_levels, use_pallas)
 
     scale_back = rng[:, None, None, None] / BASE_SCALE
     off = minval[:, None, None, None]
@@ -288,10 +310,19 @@ def _encode_core(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)
 
     # ---- base reconstruction at the chosen cut ----
-    base_recon = dwt.unpad(
-        dwt_pallas.idwt2d_dequant(qbase, base_cut, base_levels,
-                                  use_pallas=use_pallas),
-        orig_hw) * scale_back + off
+    # Per-chunk on CPU like the forward transform: this reconstruction
+    # DEFINES the residual layer's input, so its wobble would flow
+    # continuously into the residual coefficients (byte determinism).
+    if det:
+        base_spatial = jax.lax.map(
+            lambda a: dwt_pallas.idwt2d_dequant(
+                a[0][None], a[1][None], base_levels,
+                use_pallas=use_pallas)[0], (qbase, base_cut))
+    else:
+        base_spatial = dwt_pallas.idwt2d_dequant(qbase, base_cut,
+                                                 base_levels,
+                                                 use_pallas=use_pallas)
+    base_recon = dwt.unpad(base_spatial, orig_hw) * scale_back + off
     base_err = x - base_recon
     base_maxerr = metrics.max_abs_error(x, base_recon)
     skip_residual = base_maxerr <= target  # ref c:737
@@ -308,7 +339,13 @@ def _encode_core(
     rrng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
     rn = (residual - rmin[:, None, None, None]) / rrng[:, None, None, None] * RES_SCALE
     rnp_, _ = _pad2d(rn, mult)
-    yres = dwt.dwt2d(rnp_, res_levels)  # float coefficients, quantized per f
+    # Per-chunk on CPU: the residual coefficients feed the shipped
+    # kept-values directly (byte determinism, see the qbase comment).
+    if det:
+        yres = jax.lax.map(lambda r1: dwt.dwt2d(r1[None], res_levels)[0],
+                           rnp_)
+    else:
+        yres = dwt.dwt2d(rnp_, res_levels)
     res_off = rmin[:, None, None, None]
     res_pad = _pad2d(residual, mult)[0] if use_curve else None
 
@@ -395,6 +432,60 @@ def _encode_core(
         f_sel = f_grid[f_idx]                        # (B,)
         cut_sel = sel(res_cut_f).astype(jnp.int32)
         any_feas = res_feas_f.any(axis=0)
+        # On CPU, a per-chunk ``lax.map`` body (NOT batched): the adopted
+        # candidate's error sits close to the bound by design, and XLA
+        # CPU's batch-shape-dependent fma contraction would flip the
+        # adoption between batch splits there (the byte-identity
+        # regression fixed in round 5 for the base bisection; same hazard
+        # here).  The map body compiles once at the per-chunk shape, so
+        # the decision arithmetic is bitwise identical no matter how
+        # chunks are batched.  On TPU the same logic runs batched.
+
+        def _refine_res_one(args):
+            (y1, x1, brec1, f1, cut1, anyf1, rmin1, rrng1, maxe1, mean1,
+             rmax1, est1, q1, targ1) = args
+            st = dict(q=q1, maxe=maxe1, mean=mean1, rmax=rmax1, est=est1)
+            adopted1 = jnp.bool_(False)
+            x4 = x1[None]
+            for r in RES_REFINE_RATIOS:              # coarsest first
+                f_r = f1 / jnp.float32(r)
+                q_r = bitplane.quantize_floor(y1 * f_r)
+                rmax_r = (rmin1 + rrng1 / f_r).astype(jnp.float32)
+                sb_r = (rmax_r - rmin1) / RES_SCALE
+                spatial_r = dwt_pallas.idwt2d_dequant(
+                    q_r[None], cut1[None], res_levels,
+                    use_pallas=use_pallas)
+                recon_r = brec1[None] + (dwt.unpad(spatial_r, orig_hw)
+                                         * sb_r + rmin1)
+                maxe_c_r, mean_r = metrics.centered_max_abs_error(
+                    x4, recon_r)
+                maxe_r = (maxe_c_r if use_centered
+                          else metrics.max_abs_error(x4, recon_r))[0]
+                mean_r = mean_r[0]
+                feas_r = (maxe_r <= targ1) & anyf1 & ~adopted1
+                est_tab = bitplane.estimated_code_bytes(
+                    q_r.reshape(1, d0 * rnp_.shape[-2], rnp_.shape[-1]),
+                    RES_NUM_PLANES)
+                est_r = jnp.take_along_axis(est_tab, cut1[None, None],
+                                            axis=0)[0, 0]
+                st["q"] = jnp.where(feas_r, q_r, st["q"])
+                st["maxe"] = jnp.where(feas_r, maxe_r, st["maxe"])
+                st["mean"] = jnp.where(feas_r, mean_r, st["mean"])
+                st["rmax"] = jnp.where(feas_r, rmax_r, st["rmax"])
+                st["est"] = jnp.where(feas_r, est_r, st["est"])
+                adopted1 |= feas_r
+            return (st["q"], st["maxe"], st["mean"], st["rmax"], st["est"])
+
+        if det:
+            (best_q, best_maxe, best_mean, best_rmax,
+             best_est) = jax.lax.map(
+                _refine_res_one,
+                (yres, x, base_recon, f_sel, cut_sel, any_feas, rmin, rrng,
+                 sel(res_maxe_f), sel(res_mean_f), sel(rmax_adj_f),
+                 sel(res_est_f), qres_sel, target))
+            return (cut_sel, any_feas, best_maxe, best_mean, best_rmax,
+                    best_est, best_q)
+        # Batched formulation (TPU): identical logic across the batch.
         best_maxe, best_mean = sel(res_maxe_f), sel(res_mean_f)
         best_rmax, best_est = sel(rmax_adj_f), sel(res_est_f)
         best_q = qres_sel
@@ -415,7 +506,8 @@ def _encode_core(
             est_tab = bitplane.estimated_code_bytes(
                 q_r.reshape(b, d0 * rnp_.shape[-2], rnp_.shape[-1]),
                 RES_NUM_PLANES)
-            est_r = jnp.take_along_axis(est_tab, cut_sel[None, :], axis=0)[0]
+            est_r = jnp.take_along_axis(est_tab, cut_sel[None, :],
+                                        axis=0)[0]
             w4 = feas_r[:, None, None, None]
             best_q = jnp.where(w4, q_r, best_q)
             best_maxe = jnp.where(feas_r, maxe_r, best_maxe)
@@ -480,56 +572,122 @@ def _encode_core(
     #
     # Determinism across batch shapes (the byte-identity contract between
     # the pipeline/chunked/sharded routes): XLA CPU's per-lane fma
-    # contraction varies with the COMPILED batch shape, wobbling the
-    # DWT's float coefficients by +-1 int in the low bits — barriers do
-    # not survive its pipeline, so the wobble cannot be pinned at the
-    # transform.  Every SHIPPED value passes through `>> cut`, which
-    # masks it; the refinement therefore requantizes the CUT values (a
-    # wobble-free integer) and never touches full-precision qbase.  The
-    # stored-float mul+add is barriered against fma on backends that
-    # honor it.
-    cut4s = cut_ship_ref[:, None, None, None]
-    vmag_f = (jnp.abs(qbase) >> cut4s).astype(jnp.float32)  # exact in f32
-    sgn_neg = qbase < 0
-    g_lo = jnp.ones((b,), jnp.float32)
-    g_hi = jnp.full((b,), 2.0, jnp.float32)
-    for _ in range(BASE_REFINE_ITERS):
-        gf = 0.5 * (g_lo + g_hi)
-        inv_g = jax.lax.optimization_barrier(1.0 / gf)
-        # Decoders reconstruct a nonzero kept magnitude v as (v + 0.5) <<
-        # cut (recon_mag half-step bias), so the nearest refined magnitude
-        # is floor((v + 0.5)/g) — zero maps to zero automatically, and a
-        # just-significant v = 1 survives moderate coarsening instead of
-        # being truncated into the dead zone.
-        vmag_g = jnp.floor((vmag_f + 0.5) * inv_g[:, None, None, None]
-                           ).astype(jnp.int32)
-        q_g = jnp.where(sgn_neg, -(vmag_g << cut4s), vmag_g << cut4s)
-        maxval_g = (minval + jax.lax.optimization_barrier(rng * gf)
-                    ).astype(jnp.float32)
-        sb_g = ((maxval_g - minval) / BASE_SCALE)[:, None, None, None]
-        recon_g = (dwt.unpad(
-            dwt_pallas.idwt2d_dequant(q_g, cut_ship_ref, base_levels,
-                                      use_pallas=use_pallas),
-            orig_hw) * sb_g + off)
-        maxe_c_g, mean_g = metrics.centered_max_abs_error(x, recon_g)
-        maxe_u_g = metrics.max_abs_error(x, recon_g)
-        crit_pure = maxe_c_g if use_centered else maxe_u_g
-        crit_g = jnp.where(skip_residual, maxe_u_g, crit_pure)
-        feas_g = (crit_g <= target) & refinable
-        g_lo = jnp.where(feas_g, gf, g_lo)
-        g_hi = jnp.where(feas_g, g_hi, gf)
-        w4 = feas_g[:, None, None, None]
-        qbase_ship = jnp.where(w4, q_g, qbase_ship)
-        maxval_ship = jnp.where(feas_g, maxval_g, maxval_ship)
-        base_maxerr_out = jnp.where(feas_g & skip_residual, maxe_u_g,
-                                    base_maxerr_out)
-        upd_b = feas_g & skip_residual
-        base_m0 = jnp.where(upd_b, maxe_c_g if use_centered else maxe_u_g,
-                            base_m0)
-        base_m2 = jnp.where(upd_b, mean_g, base_m2)
-        upd_p = feas_g & ship_pure_only
-        pure_m0 = jnp.where(upd_p, crit_pure, pure_m0)
-        pure_m2 = jnp.where(upd_p, mean_g, pure_m2)
+    # contraction varies with the COMPILED batch shape, wobbling float
+    # results in the low bits — barriers do not survive its pipeline, so
+    # the wobble cannot be pinned at the transform.  Shipped VALUES are
+    # masked by requantizing the CUT integers, but the bisection's
+    # feasibility DECISIONS converge onto the error boundary, where any
+    # wobble flips the adopted g (a real round-5 regression: the 4-process
+    # distributed merge differed from the single-process encode at the
+    # stored maxval).  The whole refinement therefore runs under
+    # ``lax.map`` — the body compiles ONCE at the per-chunk shape, so its
+    # arithmetic is bitwise identical no matter how chunks are batched —
+    # and under a ``lax.cond`` so encodes with no refinable chunk (every
+    # chunk carries a residual: the bench path) skip the extra transforms
+    # entirely.
+    def _refine_base_one(args):
+        (x1, q1, cut1, minv1, rng1, targ1, skip1, pure1, refin1, mv1,
+         bme1, bm01, bm21, pm01, pm21) = args
+        vmag_f1 = (jnp.abs(q1) >> cut1).astype(jnp.float32)  # exact in f32
+        neg1 = q1 < 0
+        st = dict(q=q1, mv=mv1, bme=bme1, bm0=bm01, bm2=bm21, pm0=pm01,
+                  pm2=pm21)
+        g_lo1 = jnp.float32(1.0)
+        g_hi1 = jnp.float32(2.0)
+        x4 = x1[None]
+        for _ in range(BASE_REFINE_ITERS):
+            gf = 0.5 * (g_lo1 + g_hi1)
+            inv_g = jax.lax.optimization_barrier(1.0 / gf)
+            # Decoders reconstruct a nonzero kept magnitude v as (v + 0.5)
+            # << cut (recon_mag half-step bias), so the nearest refined
+            # magnitude is floor((v + 0.5)/g) — zero maps to zero
+            # automatically, and a just-significant v = 1 survives moderate
+            # coarsening instead of being truncated into the dead zone.
+            vmag_g = jnp.floor((vmag_f1 + 0.5) * inv_g).astype(jnp.int32)
+            q_g = jnp.where(neg1, -(vmag_g << cut1), vmag_g << cut1)
+            maxval_g = (minv1 + jax.lax.optimization_barrier(rng1 * gf)
+                        ).astype(jnp.float32)
+            sb_g = (maxval_g - minv1) / BASE_SCALE
+            recon_g = (dwt.unpad(
+                dwt_pallas.idwt2d_dequant(q_g[None], cut1[None], base_levels,
+                                          use_pallas=use_pallas),
+                orig_hw) * sb_g + minv1)
+            maxe_c_g, mean_g = metrics.centered_max_abs_error(x4, recon_g)
+            maxe_u_g = metrics.max_abs_error(x4, recon_g)
+            maxe_c_g, mean_g = maxe_c_g[0], mean_g[0]
+            maxe_u_g = maxe_u_g[0]
+            crit_pure = maxe_c_g if use_centered else maxe_u_g
+            crit_g = jnp.where(skip1, maxe_u_g, crit_pure)
+            feas_g = (crit_g <= targ1) & refin1
+            g_lo1 = jnp.where(feas_g, gf, g_lo1)
+            g_hi1 = jnp.where(feas_g, g_hi1, gf)
+            st["q"] = jnp.where(feas_g, q_g, st["q"])
+            st["mv"] = jnp.where(feas_g, maxval_g, st["mv"])
+            st["bme"] = jnp.where(feas_g & skip1, maxe_u_g, st["bme"])
+            upd_b = feas_g & skip1
+            st["bm0"] = jnp.where(
+                upd_b, maxe_c_g if use_centered else maxe_u_g, st["bm0"])
+            st["bm2"] = jnp.where(upd_b, mean_g, st["bm2"])
+            upd_p = feas_g & pure1
+            st["pm0"] = jnp.where(upd_p, crit_pure, st["pm0"])
+            st["pm2"] = jnp.where(upd_p, mean_g, st["pm2"])
+        return (st["q"], st["mv"], st["bme"], st["bm0"], st["bm2"],
+                st["pm0"], st["pm2"])
+
+    if det:
+        refine_xs = (x, qbase, cut_ship_ref, minval, rng, target,
+                     skip_residual, ship_pure_only, refinable, maxval_ship,
+                     base_maxerr_out, base_m0, base_m2, pure_m0, pure_m2)
+
+        def _refine_base_all(xs):
+            return jax.lax.map(_refine_base_one, xs)
+
+        def _refine_base_skip(xs):
+            return (qbase_ship, maxval_ship, base_maxerr_out, base_m0,
+                    base_m2, pure_m0, pure_m2)
+
+        (qbase_ship, maxval_ship, base_maxerr_out, base_m0, base_m2,
+         pure_m0, pure_m2) = jax.lax.cond(refinable.any(), _refine_base_all,
+                                          _refine_base_skip, refine_xs)
+    else:
+        # Batched bisection (TPU): identical logic across the batch.
+        cut4s = cut_ship_ref[:, None, None, None]
+        vmag_f = (jnp.abs(qbase) >> cut4s).astype(jnp.float32)
+        sgn_neg = qbase < 0
+        g_lo = jnp.ones((b,), jnp.float32)
+        g_hi = jnp.full((b,), 2.0, jnp.float32)
+        for _ in range(BASE_REFINE_ITERS):
+            gf = 0.5 * (g_lo + g_hi)
+            inv_g = jax.lax.optimization_barrier(1.0 / gf)
+            vmag_g = jnp.floor((vmag_f + 0.5) * inv_g[:, None, None, None]
+                               ).astype(jnp.int32)
+            q_g = jnp.where(sgn_neg, -(vmag_g << cut4s), vmag_g << cut4s)
+            maxval_g = (minval + jax.lax.optimization_barrier(rng * gf)
+                        ).astype(jnp.float32)
+            sb_g = ((maxval_g - minval) / BASE_SCALE)[:, None, None, None]
+            recon_g = (dwt.unpad(
+                dwt_pallas.idwt2d_dequant(q_g, cut_ship_ref, base_levels,
+                                          use_pallas=use_pallas),
+                orig_hw) * sb_g + off)
+            maxe_c_g, mean_g = metrics.centered_max_abs_error(x, recon_g)
+            maxe_u_g = metrics.max_abs_error(x, recon_g)
+            crit_pure = maxe_c_g if use_centered else maxe_u_g
+            crit_g = jnp.where(skip_residual, maxe_u_g, crit_pure)
+            feas_g = (crit_g <= target) & refinable
+            g_lo = jnp.where(feas_g, gf, g_lo)
+            g_hi = jnp.where(feas_g, g_hi, gf)
+            w4 = feas_g[:, None, None, None]
+            qbase_ship = jnp.where(w4, q_g, qbase_ship)
+            maxval_ship = jnp.where(feas_g, maxval_g, maxval_ship)
+            base_maxerr_out = jnp.where(feas_g & skip_residual, maxe_u_g,
+                                        base_maxerr_out)
+            upd_b = feas_g & skip_residual
+            base_m0 = jnp.where(
+                upd_b, maxe_c_g if use_centered else maxe_u_g, base_m0)
+            base_m2 = jnp.where(upd_b, mean_g, base_m2)
+            upd_p = feas_g & ship_pure_only
+            pure_m0 = jnp.where(upd_p, crit_pure, pure_m0)
+            pure_m2 = jnp.where(upd_p, mean_g, pure_m2)
     rng_ship = jnp.where(const, 1.0, maxval_ship - minval)
 
     # ---- sparse exchange rep (see core.transfer) ----
@@ -547,6 +705,56 @@ def _encode_core(
     magr = jnp.abs(qres)
     vr = jnp.where(qres < 0, -(magr >> rc), magr >> rc)
     vr = jnp.where(res_active, vr, 0)
+
+    # ---- ship-metrics recomputation (byte determinism, CPU only) ----
+    # The host folds the error MEAN into the stored min/max and gates the
+    # residual-drop / mean-adjustment decisions on these maxerr values, so
+    # they land in stream bytes CONTINUOUSLY (any low-bit wobble changes
+    # the file).  Batched reductions wobble with the compiled batch shape
+    # on XLA CPU, which broke the multihost byte-identity contract at some
+    # batch splits (a latent pre-round-5 bug caught by the 4-process
+    # distributed test).  Recompute every host-visible metric per chunk
+    # under ``lax.map`` from the SHIPPED integers — the body compiles once
+    # at the per-chunk shape, so the values are bitwise identical no
+    # matter how chunks are batched.  TPU keeps the sweep-derived batched
+    # values (three transforms per chunk saved).
+    def _ship_metrics_one(args):
+        (x1, qb1, bcut1, pcut1, minv1, rngs1, qr1, rcut1, rmin1,
+         rmaxo1) = args
+        x4 = x1[None]
+        sb1 = rngs1 / BASE_SCALE
+
+        def base_recon_at(cut1):
+            return dwt.unpad(
+                dwt_pallas.idwt2d_dequant(qb1[None], cut1[None],
+                                          base_levels,
+                                          use_pallas=use_pallas),
+                orig_hw) * sb1 + minv1
+
+        rec_base = base_recon_at(bcut1)
+        rec_pure = base_recon_at(pcut1)
+        rr1 = jnp.where(rmaxo1 > rmin1, rmaxo1 - rmin1, 1.0)
+        rec_res = rec_base + (dwt.unpad(
+            dwt_pallas.idwt2d_dequant(qr1[None], rcut1[None], res_levels,
+                                      use_pallas=use_pallas),
+            orig_hw) * (rr1 / RES_SCALE) + rmin1)
+        b_c, b_m = metrics.centered_max_abs_error(x4, rec_base)
+        b_u = metrics.max_abs_error(x4, rec_base)
+        p_c, p_m = metrics.centered_max_abs_error(x4, rec_pure)
+        p_u = metrics.max_abs_error(x4, rec_pure)
+        r_c, r_m = metrics.centered_max_abs_error(x4, rec_res)
+        r_u = metrics.max_abs_error(x4, rec_res)
+        p_crit = p_c if use_centered else p_u
+        r_crit = r_c if use_centered else r_u
+        return (b_u[0], b_c[0], b_m[0], p_crit[0], p_m[0], r_crit[0],
+                r_m[0])
+
+    if det:
+        (base_maxerr_out, base_m0, base_m2, pure_m0, pure_m2,
+         res_maxerr_sel, res_mean_sel) = jax.lax.map(
+            _ship_metrics_one,
+            (x, qbase_ship, base_cut, pure_cut, minval, rng_ship, qres,
+             res_cut, rmin, rmax_out))
 
     small = {
         "minval": minval, "maxval": maxval_ship, "const": const,
@@ -582,19 +790,35 @@ def _encode_core(
         # byte-size comparison, no drop rule, no mean adjustment).
         ship_pure = (~skip_residual) & (~res_feasible)
         cut_ship = jnp.where(ship_pure, pure_cut, base_cut)
-        recon_b = dwt.unpad(
-            dwt_pallas.idwt2d_dequant(qbase_ship, cut_ship, base_levels,
-                                      use_pallas=use_pallas),
-            orig_hw) * (rng_ship / BASE_SCALE)[:, None, None, None] + off
+        # Per-chunk maps on CPU: this reconstruction seeds the temporal
+        # carry, so its wobble would flow into every delta frame's shipped
+        # values (byte determinism; see the qbase comment).
+        if det:
+            spat_b = jax.lax.map(
+                lambda a: dwt_pallas.idwt2d_dequant(
+                    a[0][None], a[1][None], base_levels,
+                    use_pallas=use_pallas)[0], (qbase_ship, cut_ship))
+        else:
+            spat_b = dwt_pallas.idwt2d_dequant(qbase_ship, cut_ship,
+                                               base_levels,
+                                               use_pallas=use_pallas)
+        recon_b = dwt.unpad(spat_b, orig_hw) \
+            * (rng_ship / BASE_SCALE)[:, None, None, None] + off
         # Decoder arithmetic for the residual layer (kernels._decode_from
         # _qflat.layer): rng = where(hi > lo, hi - lo, 1); rec = spatial *
         # (rng / RES_SCALE) + lo, reconstructed from the SHIPPED kept
         # values (idwt2d_dequant masks at the cut, so qres is equivalent).
         rrng_out = jnp.where(rmax_out > rmin, rmax_out - rmin, 1.0)
-        res_rec = dwt.unpad(
-            dwt_pallas.idwt2d_dequant(qres, res_cut, res_levels,
-                                      use_pallas=use_pallas),
-            orig_hw) * (rrng_out / RES_SCALE)[:, None, None, None] \
+        if det:
+            spat_r = jax.lax.map(
+                lambda a: dwt_pallas.idwt2d_dequant(
+                    a[0][None], a[1][None], res_levels,
+                    use_pallas=use_pallas)[0], (qres, res_cut))
+        else:
+            spat_r = dwt_pallas.idwt2d_dequant(qres, res_cut, res_levels,
+                                               use_pallas=use_pallas)
+        res_rec = dwt.unpad(spat_r, orig_hw) \
+            * (rrng_out / RES_SCALE)[:, None, None, None] \
             + rmin[:, None, None, None]
         use_res = ((~skip_residual) & res_feasible)[:, None, None, None]
         small["_recon"] = recon_b + jnp.where(use_res, res_rec, 0.0)
@@ -687,6 +911,8 @@ def encode_batch_temporal(
 
     xs = jnp.moveaxis(x[:, 1:], 1, 0)[:, :, None]  # (T-1, B, 1, H, W)
 
+    det = jax.default_backend() == "cpu"  # see _encode_core's qbase note
+
     def step(recon, x_t):
         r = x_t - recon
         skip = metrics.max_abs_error(x_t, recon) <= target  # (B,)
@@ -696,7 +922,13 @@ def encode_batch_temporal(
         rn = ((r - rmin[:, None, None, None]) / rrng[:, None, None, None]
               * RES_SCALE)
         rnp_, orig_hw = _pad2d(rn, mult)
-        yd = dwt.dwt2d(rnp_, res_levels)
+        # Per-chunk on CPU: delta coefficients feed the shipped
+        # kept-values (byte determinism; see _encode_core's qbase note).
+        if det:
+            yd = jax.lax.map(
+                lambda r1: dwt.dwt2d(r1[None], res_levels)[0], rnp_)
+        else:
+            yd = dwt.dwt2d(rnp_, res_levels)
         hp_, wp_ = rnp_.shape[-2:]
 
         # Adaptive quantization scale: unlike the residual layer (whose
@@ -758,23 +990,62 @@ def encode_batch_temporal(
         f_grid = jnp.asarray(scale_steps, jnp.float32)
         fv_sel = f_dyn * f_grid[f_idx]
         any_feas_t = feas_s.any(axis=0)
-        adopted = jnp.zeros((b,), bool)
-        for rr in RES_REFINE_RATIOS:                 # coarsest first
-            fv_r = fv_sel / jnp.float32(rr)
-            q_r = bitplane.quantize_floor(yd * fv_r[:, None, None, None])
-            rmax_r = (rmin + rrng / fv_r).astype(jnp.float32)
-            sb_r = (jnp.where(rmax_r > rmin, rmax_r - rmin, 1.0)
-                    / RES_SCALE)
-            rec_r = (dwt.unpad(
-                dwt_pallas.idwt2d_dequant(q_r, cut, res_levels,
-                                          use_pallas=use_pallas), orig_hw)
-                * sb_r[:, None, None, None] + rmin[:, None, None, None])
-            feas_r = (metrics.max_abs_error(x_t, recon + rec_r) <= target)
-            feas_r = feas_r & any_feas_t & ~adopted
-            w4 = feas_r[:, None, None, None]
-            qsel = jnp.where(w4, q_r, qsel)
-            rmax_out = jnp.where(feas_r, rmax_r, rmax_out)
-            adopted |= feas_r
+
+        # Per-chunk ``lax.map`` (not batched): adoption decisions sit near
+        # the error boundary, where XLA's batch-shape-dependent fma
+        # contraction would flip them between batch splits and break the
+        # byte-identity contract (see the intra refinements above).
+        def _refine_delta_one(args):
+            (y1, x1, rec1, f1, cut1, anyf1, rmin1, rrng1, q1, rmax1,
+             targ1) = args
+            adopted1 = jnp.bool_(False)
+            q_out, rmax_o = q1, rmax1
+            for rr in RES_REFINE_RATIOS:             # coarsest first
+                fv_r = f1 / jnp.float32(rr)
+                q_r = bitplane.quantize_floor(y1 * fv_r)
+                rmax_r = (rmin1 + rrng1 / fv_r).astype(jnp.float32)
+                sb_r = (jnp.where(rmax_r > rmin1, rmax_r - rmin1, 1.0)
+                        / RES_SCALE)
+                rec_r = (dwt.unpad(
+                    dwt_pallas.idwt2d_dequant(q_r[None], cut1[None],
+                                              res_levels,
+                                              use_pallas=use_pallas),
+                    orig_hw) * sb_r + rmin1)
+                feas_r = (metrics.max_abs_error(
+                    x1[None], rec1[None] + rec_r)[0] <= targ1)
+                feas_r = feas_r & anyf1 & ~adopted1
+                q_out = jnp.where(feas_r, q_r, q_out)
+                rmax_o = jnp.where(feas_r, rmax_r, rmax_o)
+                adopted1 |= feas_r
+            return q_out, rmax_o
+
+        if det:
+            qsel, rmax_out = jax.lax.map(
+                _refine_delta_one,
+                (yd, x_t, recon, fv_sel, cut, any_feas_t, rmin, rrng,
+                 qsel, rmax_out, target))
+        else:
+            # Batched formulation (TPU): identical logic across the batch.
+            adopted = jnp.zeros((b,), bool)
+            for rr_ in RES_REFINE_RATIOS:            # coarsest first
+                fv_r = fv_sel / jnp.float32(rr_)
+                q_r = bitplane.quantize_floor(
+                    yd * fv_r[:, None, None, None])
+                rmax_r = (rmin + rrng / fv_r).astype(jnp.float32)
+                sb_r = (jnp.where(rmax_r > rmin, rmax_r - rmin, 1.0)
+                        / RES_SCALE)
+                rec_r = (dwt.unpad(
+                    dwt_pallas.idwt2d_dequant(q_r, cut, res_levels,
+                                              use_pallas=use_pallas),
+                    orig_hw) * sb_r[:, None, None, None]
+                    + rmin[:, None, None, None])
+                feas_r = (metrics.max_abs_error(x_t, recon + rec_r)
+                          <= target)
+                feas_r = feas_r & any_feas_t & ~adopted
+                w4 = feas_r[:, None, None, None]
+                qsel = jnp.where(w4, q_r, qsel)
+                rmax_out = jnp.where(feas_r, rmax_r, rmax_out)
+                adopted |= feas_r
 
         cut4 = cut[:, None, None, None]
         mag = jnp.abs(qsel)
@@ -789,8 +1060,17 @@ def encode_batch_temporal(
         # the STORED rmin/rmax.  Zero values + rmin=rmax=0 give an exact
         # zero delta for skipped frames.
         q_ship = jnp.where(vr_t < 0, -((-vr_t) << cut4), vr_t << cut4)
-        spat = dwt_pallas.idwt2d_dequant(q_ship, cut, res_levels,
-                                         use_pallas=use_pallas)
+        # Per-chunk on CPU: this reconstruction is CARRIED into the next
+        # frame's delta, so wobble here would flow into every later
+        # frame's shipped values (byte determinism).
+        if det:
+            spat = jax.lax.map(
+                lambda a: dwt_pallas.idwt2d_dequant(
+                    a[0][None], a[1][None], res_levels,
+                    use_pallas=use_pallas)[0], (q_ship, cut))
+        else:
+            spat = dwt_pallas.idwt2d_dequant(q_ship, cut, res_levels,
+                                             use_pallas=use_pallas)
         rng_s = jnp.where(rmax_f > rmin_s, rmax_f - rmin_s, 1.0)
         delta = (dwt.unpad(spat, orig_hw)
                  * (rng_s / RES_SCALE)[:, None, None, None]
@@ -864,7 +1144,8 @@ def encode_batch_rate_only(
     rng = jnp.where(const, 1.0, maxval - minval)
     u = (x - minval[:, None, None, None]) / rng[:, None, None, None] * BASE_SCALE
     up, _ = _pad2d(u, mult)
-    ybase = dwt.dwt2d(up, base_levels)
+    # Per-chunk (byte determinism; see _encode_core's qbase comment).
+    ybase = jax.lax.map(lambda u1: dwt.dwt2d(u1[None], base_levels)[0], up)
     qbase = bitplane.quantize_floor(ybase)
     sizes = bitplane.estimated_code_bytes(
         qbase.reshape(b, d0 * up.shape[-2], up.shape[-1]), BASE_NUM_PLANES)

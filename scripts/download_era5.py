@@ -61,6 +61,23 @@ SFC_REQUEST = {
 }
 
 
+# Hourly 500 hPa temperature sequence (one synoptic day, 8 consecutive
+# hours): the real-data fixture for the temporal (closed-loop predictive)
+# mode measurements — consecutive reanalysis hours are the correlation
+# regime temporal coding targets (tests/test_temporal.py real-sequence
+# gate, docs/RESULTS.md temporal table).
+TEMPORAL_REQUEST = {
+    "product_type": ["reanalysis"],
+    "variable": ["temperature"],
+    "year": ["2024"],
+    "month": ["03"],
+    "day": ["01"],
+    "time": [f"{h:02d}:00" for h in range(8)],
+    "pressure_level": ["500"],
+    "data_format": "netcdf",
+}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--out-dir", default="data", type=Path)
@@ -69,6 +86,11 @@ def main(argv=None) -> int:
                          "temperature frame) from the pressure-level file")
     ap.add_argument("--skip-sfc", action="store_true",
                     help="pressure-level file only")
+    ap.add_argument("--temporal", action="store_true",
+                    help="also fetch 8 consecutive hourly 500 hPa "
+                         "temperature frames and emit "
+                         "era5_temporal_8f.npy (the temporal-mode "
+                         "real-sequence fixture)")
     args = ap.parse_args(argv)
 
     try:
@@ -90,6 +112,20 @@ def main(argv=None) -> int:
         client.retrieve("reanalysis-era5-single-levels", SFC_REQUEST,
                         str(sfc_target))
         print(f"wrote {sfc_target}")
+
+    if args.temporal:
+        tmp_target = args.out_dir / "era5_temporal_sample.nc"
+        client.retrieve("reanalysis-era5-pressure-levels", TEMPORAL_REQUEST,
+                        str(tmp_target))
+        print(f"wrote {tmp_target}")
+        import numpy as np
+        import xarray as xr
+
+        ds = xr.open_dataset(tmp_target)
+        seq = np.asarray(ds["t"].squeeze(), dtype=np.float32)
+        assert seq.shape == (8, 721, 1440), seq.shape
+        np.save(args.out_dir / "era5_temporal_8f.npy", seq)
+        print(f"wrote {args.out_dir / 'era5_temporal_8f.npy'} {seq.shape}")
 
     if args.npy:
         import numpy as np

@@ -448,7 +448,7 @@ class TestSparsePayloadPacker:
     assembler switched to the sparse builder because the dense scatter +
     per-plane packbits cost dense-grid work per candidate."""
 
-    def test_parity_random(self):
+    def test_parity_random(self, monkeypatch):
         rng = np.random.default_rng(7)
         for _ in range(20):
             d0 = int(rng.choice([1, 2]))
@@ -468,13 +468,12 @@ class TestSparsePayloadPacker:
             got = codec_mod.build_layer_payload_sparse(
                 pos, vals, (d0, hp, wp), stored_cut, cut, 20)
             assert ref == got
-            import os as _os
-            _os.environ["EBCC_NO_NATIVE_PACK"] = "1"
-            try:
-                got_np = codec_mod.build_layer_payload_sparse(
-                    pos, vals, (d0, hp, wp), stored_cut, cut, 20)
-            finally:
-                del _os.environ["EBCC_NO_NATIVE_PACK"]
+            # monkeypatch (not direct os.environ mutation): restores any
+            # pre-existing value instead of deleting it for later tests.
+            monkeypatch.setenv("EBCC_NO_NATIVE_PACK", "1")
+            got_np = codec_mod.build_layer_payload_sparse(
+                pos, vals, (d0, hp, wp), stored_cut, cut, 20)
+            monkeypatch.delenv("EBCC_NO_NATIVE_PACK")
             assert ref == got_np
 
     def test_empty_and_int16(self):
