@@ -527,27 +527,38 @@ def _device_main():
     # ref_binary_* fields below measure in-artifact).
     cab_point_pts = None
     cab_point_cr = None
+    cab2_point_pts = None
+    cab2_point_cr = None
     if (ERROR_MODE == "max"
             and os.environ.get("EBCC_BENCH_CAB_POINT", "1") == "1"):
-        ccfg = CodecConfig(
-            dims=data.shape, base_cr=30, residual_mode=mode,
-            error=ERROR_TARGET, chunk_dims=(1, H, W),
-            zstd_level=config.zstd_level, entropy_backend="cab")
+        # Both CAB profiles: backend 2 (strict, max ratio) and backend 4
+        # (relaxed "CAB2", ~25% less coder CPU for ~6% stream growth) —
+        # the dual-target summary below picks whichever meets both
+        # BASELINE goals with the higher ratio.
+        for be_name in ("cab", "cab2"):
+            ccfg = CodecConfig(
+                dims=data.shape, base_cr=30, residual_mode=mode,
+                error=ERROR_TARGET, chunk_dims=(1, H, W),
+                zstd_level=config.zstd_level, entropy_backend=be_name)
 
-        def cab_roundtrip():
-            st, dec = codec_mod.roundtrip_frames_device(
-                x_dev, ccfg, opts, max_batch=sub)
-            return st, float(maxerr_fn(x_dev, dec))
+            def cab_roundtrip():
+                st, dec = codec_mod.roundtrip_frames_device(
+                    x_dev, ccfg, opts, max_batch=sub)
+                return st, float(maxerr_fn(x_dev, dec))
 
-        cstreams, cerr = cab_roundtrip()  # warm (compiles nothing new)
-        cab_t = []
-        for _ in range(max(3, REPS // 2)):
-            ct0 = time.perf_counter()
-            cstreams, cerr = cab_roundtrip()
-            cab_t.append(time.perf_counter() - ct0)
-            assert cerr <= bound, (cerr, bound)
-        cab_point_pts = n_points / min(cab_t)
-        cab_point_cr = data.nbytes / sum(len(s) for s in cstreams)
+            cstreams, cerr = cab_roundtrip()  # warm (compiles nothing new)
+            cab_t = []
+            for _ in range(max(3, REPS // 2)):
+                ct0 = time.perf_counter()
+                cstreams, cerr = cab_roundtrip()
+                cab_t.append(time.perf_counter() - ct0)
+                assert cerr <= bound, (cerr, bound)
+            if be_name == "cab":
+                cab_point_pts = n_points / min(cab_t)
+                cab_point_cr = data.nbytes / sum(len(s) for s in cstreams)
+            else:
+                cab2_point_pts = n_points / min(cab_t)
+                cab2_point_cr = data.nbytes / sum(len(s) for s in cstreams)
 
     # Reference-binary measurement (round-4 VERDICT #1/#3): compile and
     # run the reference's OWN codec (compat/reference_bin.py — unmodified
@@ -622,6 +633,13 @@ def _device_main():
         if cab_point_pts is not None else None,
         "cab_point_compression_ratio": round(cab_point_cr, 2)
         if cab_point_cr is not None else None,
+        "cab2_point_pts_per_s": round(cab2_point_pts, 1)
+        if cab2_point_pts is not None else None,
+        "cab2_point_vs_baseline": round(
+            cab2_point_pts / BASELINE_PTS_PER_S, 2)
+        if cab2_point_pts is not None else None,
+        "cab2_point_compression_ratio": round(cab2_point_cr, 2)
+        if cab2_point_cr is not None else None,
         "ref_binary_pts_per_s": round(ref_binary_pts, 1)
         if ref_binary_pts is not None else None,
         "ref_binary_cr": round(ref_binary_cr, 2)
@@ -659,6 +677,31 @@ def _device_main():
         if cab_point_cr is not None and ref_binary_cr:
             result["cab_point_cr_vs_ref"] = round(
                 cab_point_cr / ref_binary_cr, 3)
+    # BOTH BASELINE targets at one operating point, against the MEASURED
+    # reference (round-4 VERDICT #1): among the measured points, the
+    # highest-ratio one with >=50x throughput AND CR >= the reference
+    # binary's in-run ratio.  None when no point qualifies in this run's
+    # link weather — the claim is only ever made from a measured artifact.
+    candidates = [
+        ("zstd-%d" % config.zstd_level, dev_pts_per_s,
+         data.nbytes / blob_bytes),
+        ("zstd-9", dual_pts, dual_cr),
+        ("cab", cab_point_pts, cab_point_cr),
+        ("cab2", cab2_point_pts, cab2_point_cr),
+    ]
+    if ref_binary_cr:
+        best = None
+        for name, pts_c, cr_c in candidates:
+            if pts_c is None or cr_c is None:
+                continue
+            if (pts_c >= 50 * BASELINE_PTS_PER_S and cr_c >= ref_binary_cr
+                    and (best is None or cr_c > best[2])):
+                best = (name, pts_c, cr_c)
+        result["baseline_point_backend"] = best[0] if best else None
+        result["baseline_point_pts_per_s"] = (round(best[1], 1)
+                                              if best else None)
+        result["baseline_point_compression_ratio"] = (round(best[2], 2)
+                                                      if best else None)
     # Artifact hardening: every reported rate/ratio must be finite and
     # positive — a timer bug must fail the bench, not publish a negative
     # throughput into the driver artifact (round-3 regression).

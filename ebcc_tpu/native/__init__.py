@@ -64,15 +64,39 @@ def lib_path() -> Optional[Path]:
 
 def build(force: bool = False) -> Path:
     """Compile the native library (CMake + Ninja).  Idempotent; an
-    env-provided prebuilt library (see :func:`lib_path`) short-circuits."""
+    env-provided prebuilt library (see :func:`lib_path`) short-circuits.
+
+    The CAB entropy coder is built with profile-guided optimization
+    (measured ~10% on the bench payloads): configure+build with
+    ``-fprofile-generate``, run the ``cab_train`` trainer, reconfigure
+    with ``-fprofile-use``, rebuild.  Any failure in the PGO sequence
+    falls back to a plain build (``EBCC_NO_PGO=1`` skips it outright —
+    e.g. cross-compiling release wheels where the trainer can't run)."""
+    import os
+
     found = lib_path()
     if not force and found:
         return found
     BUILD_DIR.mkdir(exist_ok=True)
-    subprocess.run(
-        ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
-        cwd=BUILD_DIR, check=True, capture_output=True)
-    subprocess.run(["ninja"], cwd=BUILD_DIR, check=True, capture_output=True)
+
+    def _cmake(pgo: str):
+        subprocess.run(
+            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release",
+             f"-DETPU_PGO={pgo}", ".."],
+            cwd=BUILD_DIR, check=True, capture_output=True)
+        subprocess.run(["ninja"], cwd=BUILD_DIR, check=True,
+                       capture_output=True)
+
+    if os.environ.get("EBCC_NO_PGO"):
+        _cmake("OFF")
+    else:
+        try:
+            _cmake("generate")
+            subprocess.run([str(BUILD_DIR / "cab_train")], cwd=BUILD_DIR,
+                           check=True, capture_output=True, timeout=300)
+            _cmake("use")
+        except Exception:
+            _cmake("OFF")
     p = BUILD_DIR / LIB_NAME
     if not p.exists():
         raise RuntimeError("native build produced no library")

@@ -206,7 +206,8 @@ struct Contexts {
  * the class map (shape-keyed) skips its rebuild entirely for the common
  * same-shape-chunks case. */
 struct Scratch {
-  std::vector<uint8_t> sig, refined, nsc, blk;
+  std::vector<uint8_t> sig, refined, nb; /* nb: hi nibble = #significant
+                                          * neighbors, lo = blk count */
   std::vector<uint32_t> rowcnt, supcnt, segcnt;
   std::vector<uint32_t> srowcnt, ssupcnt, ssegcnt;
   std::vector<uint8_t> cls;
@@ -224,8 +225,7 @@ struct Scratch {
                int wp, int levels, bool relaxed) {
     zero8(sig, n);
     zero8(refined, n);
-    zero8(nsc, n);
-    zero8(blk, n);
+    zero8(nb, n);
     zero32(rowcnt, rows);
     zero32(supcnt, rows * nsup);
     if (!relaxed) {
@@ -292,8 +292,13 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
    * what live recomputation would observe mid-row. */
   uint8_t *sig = S.sig.data();
   uint8_t *refined = S.refined.data();
-  uint8_t *nsc = S.nsc.data();
-  uint8_t *blk = S.blk.data();
+  /* nb packs both neighborhood counters into ONE byte per coefficient:
+   * high nibble = significant-neighbor count (context input, <= 8), low
+   * nibble = blk = sig + parent_sig + nsc (<= 10, the run-eligibility
+   * state).  nsc > 0 implies blk > 0, so byte == 0 <=> blk == 0 and all
+   * eligibility scans/loads keep their semantics while mark_significant
+   * does ONE read-modify-write per neighbor instead of two. */
+  uint8_t *nb = S.nb.data();
   const uint8_t *cls = S.cls.data();
   Contexts ctx;
 
@@ -302,9 +307,12 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
    * count the cell itself.  (0,0) is its own parent; the extra +1 it gets
    * as its own child only matters for blk != 0, which stays correct.
    * ``frbase`` = f * hp (the row-counter base for this frame). */
-  auto bump_blk = [&](size_t base, size_t frbase, int rr, int cc) {
-    uint8_t &b = blk[base + (size_t)rr * wp + cc];
-    if (b++ == 0) {
+  auto bump_nb = [&](size_t base, size_t frbase, int rr, int cc,
+                     uint8_t add) {
+    uint8_t &b = nb[base + (size_t)rr * wp + cc];
+    const uint8_t old = b;
+    b = (uint8_t)(old + add);
+    if (old == 0) {
       const size_t fr = frbase + rr;
       ++S.rowcnt[fr];
       /* Strict eligibility needs both tile counters; the relaxed profile
@@ -324,18 +332,17 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
       ++S.ssupcnt[fr * nsup + (c / kSupLen)];
       ++S.ssegcnt[fr * nseg + (c / kSegLen)];
     }
-    bump_blk(base, frbase, r, c);
+    bump_nb(base, frbase, r, c, 0x01);       /* self: blk only */
     const int ra = r > 0 ? r - 1 : 0, rb = r + 1 < hp ? r + 1 : hp - 1;
     const int ca = c > 0 ? c - 1 : 0, cb = c + 1 < wp ? c + 1 : wp - 1;
     for (int rr = ra; rr <= rb; ++rr)
       for (int cc = ca; cc <= cb; ++cc) {
         if (rr == r && cc == c) continue;
-        ++nsc[base + (size_t)rr * wp + cc];
-        bump_blk(base, frbase, rr, cc);
+        bump_nb(base, frbase, rr, cc, 0x11); /* neighbor: nsc + blk */
       }
     for (int rr = 2 * r; rr <= 2 * r + 1 && rr < hp; ++rr)
       for (int cc = 2 * c; cc <= 2 * c + 1 && cc < wp; ++cc)
-        bump_blk(base, frbase, rr, cc);
+        bump_nb(base, frbase, rr, cc, 0x01); /* child: blk only */
   };
 
   uint8_t *signs = payload + (size_t)kept * plane_bytes;
@@ -346,12 +353,12 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
       const size_t frbase = (size_t)f * hp;
       const size_t bbase = (size_t)f * hp * wb;
       for (int r = 0; r < hp; ++r) {
-        const uint8_t *brow = blk + base + (size_t)r * wp;
+        const uint8_t *brow = nb + base + (size_t)r * wp;
         uint8_t *prow = plane + bbase + (size_t)r * wb;
         uint8_t *srow = signs + bbase + (size_t)r * wb;
         uint8_t *sig_row = sig + base + (size_t)r * wp;
         uint8_t *ref_row = refined + base + (size_t)r * wp;
-        const uint8_t *nsc_row = nsc + base + (size_t)r * wp;
+        const uint8_t *nb_row = nb + base + (size_t)r * wp;
         const uint8_t *cls_row = cls + (size_t)r * wp;
         const uint8_t *psig_row = sig + base + (size_t)(r >> 1) * wp;
         const size_t fr = frbase + r;
@@ -400,7 +407,8 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
              * the same-orientation parent of any detail coefficient sits at
              * (r>>1, c>>1). */
             const int psig = (psig_row[c >> 1] & kSig) ? 1 : 0;
-            const int sc = (cls_row[c] * 9 + nsc_row[c]) * 2 + psig;
+            const int sc =
+                (cls_row[c] * 9 + (nb_row[c] >> 4)) * 2 + psig;
             int bit;
             if (kEncode) {
               bit = (prow[c >> 3] & mask) ? 1 : 0;
@@ -414,7 +422,7 @@ void walk(uint8_t *payload, int kept, int d0, int hp, int wp, int levels,
           } else {
             /* EBCOT's 3 magnitude-refinement contexts: the first
              * refinement distinguishes active neighborhoods. */
-            const int rc = ref_row[c] ? 2 : (nsc_row[c] ? 1 : 0);
+            const int rc = ref_row[c] ? 2 : (nb_row[c] >> 4 ? 1 : 0);
             if (kEncode) {
               const int bit = (prow[c >> 3] & mask) ? 1 : 0;
               enc->encode(bit, &ctx.ref[rc]);
